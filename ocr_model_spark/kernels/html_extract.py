@@ -1,0 +1,346 @@
+"""Deterministic HTML main-content extraction (the flagship kernel, M14).
+
+Specified by the driver north rule ("HTML boilerplate stripping via DOM-tree
+text-density/link-density heuristics, Readability/trafilatura-style scoring");
+the reference routes ``.html`` into its plain-text branch
+(``worker/document_processor.py:388-389,502-549``) so this kernel is new, but
+it plugs into the reference's semantics framework:
+
+  * regions carry ``{type, text, confidence, needs_review}`` like
+    ``worker/types.py:92-102`` Regions,
+  * region texts are whitespace-normalized and joined with ``"\\n\\n"`` into
+    the document text, mirroring the reference's page join
+    (``worker/document_processor.py:475-476``),
+  * span offsets are char offsets into that document text (north-rule
+    "span offsets", SURVEY.md W5),
+  * confidence is a pure deterministic function of link density and length.
+
+Pure function, stdlib only (``html.parser``), no wall clock, no randomness:
+byte-identical output for identical input bytes, which is the per-row
+invariant the driver checks.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from ocr_model_spark.kernels.encoding import decode_with_fallback
+
+# ---------------------------------------------------------------- DOM model
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# subtrees that never contribute content
+_IGNORE_TAGS = frozenset(
+    "script style noscript template svg math head iframe form button select "
+    "option textarea nav header footer aside".split()
+)
+# class/id tokens that mark boilerplate containers (word-boundary match)
+_BOILER_TOKENS = frozenset(
+    "nav navbar menu footer header sidebar banner breadcrumb breadcrumbs "
+    "comment comments share social ad ads advert advertisement sponsored "
+    "cookie popup modal related widget promo subscribe newsletter".split()
+)
+_TOKEN_SPLIT = re.compile(r"[^a-z0-9]+")
+
+_EXPLICIT_BLOCKS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li dt dd blockquote pre figcaption".split()
+)
+_CONTAINER_BLOCKS = frozenset("div section article main body td th caption".split())
+_LIST_CONTAINERS = frozenset(("ul", "ol", "dl"))
+# tags that implicitly close an open <p>/<li>
+_AUTOCLOSE_TRIGGERS = _EXPLICIT_BLOCKS | _CONTAINER_BLOCKS | _LIST_CONTAINERS | {
+    "table",
+    "ul",
+    "ol",
+}
+
+_REGION_TYPE = {
+    "h1": "heading",
+    "h2": "heading",
+    "h3": "heading",
+    "h4": "heading",
+    "h5": "heading",
+    "h6": "heading",
+    "li": "list_item",
+    "dt": "list_item",
+    "dd": "list_item",
+    "blockquote": "quote",
+    "pre": "code",
+}
+
+# acceptance thresholds (deterministic spec — tests pin these)
+_MIN_CHARS = {"heading": 3, "list_item": 10, "quote": 10, "code": 10, "paragraph": 25}
+_MAX_LINK_DENSITY = {
+    "heading": 0.66,
+    "list_item": 0.25,
+    "quote": 0.5,
+    "code": 0.5,
+    "paragraph": 0.5,
+}
+_REVIEW_THRESHOLD = 0.7  # mirrors the reference's needs_review cutoff (worker/types.py)
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "boiler")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []  # _Node | str
+        self.boiler = False
+
+
+def _is_boiler(attrs: dict[str, str]) -> bool:
+    blob = " ".join(
+        v for k, v in attrs.items() if k in ("class", "id", "role") and v
+    ).lower()
+    if not blob:
+        return False
+    return any(t in _BOILER_TOKENS for t in _TOKEN_SPLIT.split(blob) if t)
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant DOM builder: never raises on malformed markup."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in _VOID_TAGS:
+            if tag == "br":
+                self.stack[-1].children.append(" ")
+            return
+        # implicit close of p/li when a block starts inside them
+        while (
+            len(self.stack) > 1
+            and self.stack[-1].tag in ("p", "li", "dt", "dd")
+            and tag in _AUTOCLOSE_TRIGGERS
+        ):
+            self.stack.pop()
+        node = _Node(tag, dict(attrs))
+        node.boiler = _is_boiler(node.attrs)
+        self.stack[-1].children.append(node)
+        self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        if tag.lower() == "br":
+            self.stack[-1].children.append(" ")
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in _VOID_TAGS:
+            return
+        # pop to the matching open tag if present; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+# ------------------------------------------------------------- tree metrics
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+def _collect(node: _Node, under_link: bool, out: list) -> None:
+    """Append (fragment, under_link) pairs for content-bearing text."""
+    for ch in node.children:
+        if isinstance(ch, str):
+            out.append((ch, under_link))
+        elif ch.tag in _IGNORE_TAGS or ch.boiler:
+            continue
+        else:
+            _collect(ch, under_link or ch.tag == "a", out)
+
+
+def _stats(node: _Node) -> tuple[str, int, int, int]:
+    """Return (normalized_text, total_chars, link_chars, elem_count)."""
+    frags: list = []
+    _collect(node, node.tag == "a", frags)
+    # region text: normalize the full concatenation (single canonical spacing)
+    text = _norm("".join(f for f, _ in frags))
+    # densities: per-fragment normalized lengths so they are insensitive to
+    # how markup splits runs of text
+    total = 0
+    link = 0
+    for f, is_link in frags:
+        n = len(_norm(f))
+        total += n
+        if is_link:
+            link += n
+    elems = _count_elems(node)
+    return text, total, link, elems
+
+
+def _count_elems(node: _Node) -> int:
+    n = 0
+    for ch in node.children:
+        if isinstance(ch, _Node) and ch.tag not in _IGNORE_TAGS and not ch.boiler:
+            n += 1 + _count_elems(ch)
+    return n
+
+
+def _has_block_descendant(node: _Node) -> bool:
+    for ch in node.children:
+        if isinstance(ch, _Node):
+            if ch.tag in _IGNORE_TAGS or ch.boiler:
+                continue
+            if ch.tag in _EXPLICIT_BLOCKS or ch.tag in _CONTAINER_BLOCKS:
+                return True
+            if _has_block_descendant(ch):
+                return True
+    return False
+
+
+def _confidence(text_len: int, link_density: float) -> float:
+    """Deterministic confidence: (1 - link_density) scaled by a length factor."""
+    length_factor = 0.5 + 0.5 * min(1.0, text_len / 120.0)
+    return round((1.0 - link_density) * length_factor, 6)
+
+
+# ------------------------------------------------------------ region harvest
+
+
+def _evaluate(node: _Node, rtype: str) -> dict | None:
+    text, total, link, elems = _stats(node)
+    n = len(text)
+    if n < _MIN_CHARS[rtype]:
+        return None
+    link_density = round(link / total, 6) if total else 0.0
+    if link_density > _MAX_LINK_DENSITY[rtype]:
+        return None
+    text_density = round(total / (1.0 + elems), 6)
+    conf = _confidence(n, link_density)
+    return {
+        "type": rtype,
+        "text": text,
+        "link_density": link_density,
+        "text_density": text_density,
+        "confidence": conf,
+        "needs_review": conf < _REVIEW_THRESHOLD,
+    }
+
+
+def _harvest(node: _Node, out: list) -> bool:
+    """Emit regions from ``node``'s subtree in document order.
+
+    Returns True if any region was emitted below (used for the
+    div-as-paragraph fallback).
+    """
+    emitted = False
+    for ch in node.children:
+        if not isinstance(ch, _Node):
+            continue
+        if ch.tag in _IGNORE_TAGS or ch.boiler:
+            continue
+        if ch.tag in _EXPLICIT_BLOCKS:
+            # li containing a nested list: recurse for item granularity
+            if ch.tag in ("li", "dd") and _has_list_descendant(ch):
+                emitted |= _harvest(ch, out)
+                continue
+            region = _evaluate(ch, _REGION_TYPE.get(ch.tag, "paragraph"))
+            if region is not None:
+                out.append(region)
+                emitted = True
+            continue
+        child_emitted = _harvest(ch, out)
+        if (
+            not child_emitted
+            and ch.tag in _CONTAINER_BLOCKS
+            and not _has_block_descendant(ch)
+        ):
+            region = _evaluate(ch, "paragraph")
+            if region is not None:
+                out.append(region)
+                child_emitted = True
+        emitted |= child_emitted
+    return emitted
+
+
+def _has_list_descendant(node: _Node) -> bool:
+    for ch in node.children:
+        if isinstance(ch, _Node) and ch.tag not in _IGNORE_TAGS and not ch.boiler:
+            if ch.tag in _LIST_CONTAINERS or _has_list_descendant(ch):
+                return True
+    return False
+
+
+def _find_title(node: _Node) -> str | None:
+    for ch in node.children:
+        if isinstance(ch, _Node):
+            if ch.tag in ("title", "h1"):
+                t = _norm("".join(c for c in ch.children if isinstance(c, str)))
+                if t:
+                    return t
+            found = _find_title(ch)
+            if found:
+                return found
+    return None
+
+
+# ------------------------------------------------------------------ kernel
+
+
+def extract_html(data: bytes) -> dict:
+    """Extract main content from raw HTML bytes.
+
+    Returns ``{text, title, encoding, ok, error, regions:[{idx, type, text,
+    span_start, span_end, link_density, text_density, confidence,
+    needs_review}]}``. Deterministic; never raises on malformed markup.
+    """
+    try:
+        raw, encoding = decode_with_fallback(data if data is not None else b"")
+    except UnicodeDecodeError as e:  # unreachable with latin-1 in the chain
+        return {
+            "text": "",
+            "title": None,
+            "encoding": None,
+            "ok": False,
+            "error": f"decode-failed: {e.reason}",
+            "regions": [],
+        }
+    builder = _TreeBuilder()
+    try:
+        builder.feed(raw)
+        builder.close()
+    except Exception as e:  # html.parser is tolerant; belt and braces
+        return {
+            "text": "",
+            "title": None,
+            "encoding": encoding,
+            "ok": False,
+            "error": f"parse-failed: {type(e).__name__}",
+            "regions": [],
+        }
+    regions: list[dict] = []
+    _harvest(builder.root, regions)
+    # document text: regions joined with "\n\n" (reference page-join rule);
+    # span offsets are char offsets into this exact string.
+    offset = 0
+    parts: list[str] = []
+    for i, r in enumerate(regions):
+        r["idx"] = i
+        r["span_start"] = offset
+        r["span_end"] = offset + len(r["text"])
+        offset = r["span_end"] + 2  # len("\n\n")
+        parts.append(r["text"])
+    return {
+        "text": "\n\n".join(parts),
+        "title": _find_title(builder.root),
+        "encoding": encoding,
+        "ok": True,
+        "error": None,
+        "regions": regions,
+    }

@@ -1,0 +1,40 @@
+"""Document-type sniffing from magic bytes.
+
+Reference semantics: ``worker/pipeline/io_conversion.py:14-26`` (magic bytes)
+and ``worker/document_processor.py:379-391`` (extension map). In the Spark
+engine this also exists as a pure column expression
+(:func:`ocr_model_spark.operators.dispatch.doc_type_col`) so the dispatch is
+JVM-side; this Python twin is used inside kernels and for byte-identity tests.
+"""
+
+from __future__ import annotations
+
+PDF = "pdf"
+HTML = "html"
+IMAGE = "image"
+DOCX = "docx"
+TEXT = "text"
+UNKNOWN = "unknown"
+
+
+def sniff_doc_type(data: bytes) -> str:
+    """Classify raw document bytes. Deterministic, pure."""
+    if not data:
+        return UNKNOWN
+    head = data[:512]
+    if head.startswith(b"%PDF"):
+        return PDF
+    if head.startswith(b"\x89PNG\r\n\x1a\n") or head.startswith(b"\xff\xd8\xff"):
+        return IMAGE
+    if head.startswith(b"GIF87a") or head.startswith(b"GIF89a"):
+        return IMAGE
+    if head.startswith(b"PK\x03\x04"):
+        # zip container: DOCX in the reference's world (io_conversion.py:23)
+        return DOCX
+    low = head.lstrip()[:256].lower()
+    if low.startswith(b"<!doctype html") or low.startswith(b"<html") or b"<html" in low:
+        return HTML
+    # fall back on a cheap tag scan: looks-like-markup heuristic
+    if low.startswith(b"<") and b">" in low:
+        return HTML
+    return TEXT

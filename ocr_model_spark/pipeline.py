@@ -1,0 +1,117 @@
+"""End-to-end extraction pipeline: pages table → extracted docs + region rows
++ per-partition lineage, with content-hash resume.
+
+This is the Spark re-expression of the reference's whole processing path
+(``worker/document_processor.py:101-377`` one-document loop + Celery queue)
+as ONE lazy DataFrame program:
+
+    read → salt-repartition(url_host) → [resume anti-join] → gated extract UDF
+         → docs / region rows / summaries → snapshot commit (+ lineage)
+
+Scale notes (north rule):
+  * **Skew**: crawl corpora are host-skewed; we repartition on
+    ``(url_host, salt)`` where the salt is DETERMINISTIC (derived from
+    ``xxhash64(url)``, not rand()) so replays produce identical partition
+    assignment — required for reproducible lineage.
+  * **Resume**: exactly-once per (url, content_sha256) via a left-anti join
+    against the committed snapshot — the reference's content-hash cache
+    (``worker/storage_manager.py:27-44``, ``document_processor.py:170-205``)
+    turned into a relational operator. The hash is computed scan-side so
+    only the (url, hash) projection of history shuffles, never payloads.
+  * **Lineage**: per-partition metric rows (partition id, input file, doc
+    counts, failure counters) are derived from the same docs DataFrame and
+    committed with the snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_model_spark.operators.extract import doc_summary, extract_pages, region_rows
+from ocr_model_spark.sources.pages import read_pages
+
+DEFAULT_SALT_BUCKETS = 8
+
+
+def salted_repartition(
+    pages: DataFrame, num_partitions: int | None = None, salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """Repartition on (url_host, deterministic salt) to defuse domain skew.
+
+    The salt is ``pmod(xxhash64(url), B)`` — a pure function of the url, so
+    the layout is stable across replays (unlike ``rand()``-salting).
+    """
+    host = F.expr("parse_url(url, 'HOST')")
+    salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+    if num_partitions:
+        return pages.repartition(num_partitions, host, salt)
+    return pages.repartition(host, salt)
+
+
+def resume_filter(pages: DataFrame, snapshot: DataFrame | None) -> DataFrame:
+    """Drop pages already present in the committed snapshot (same url AND
+    same content hash — a re-crawled page with changed bytes reprocesses).
+
+    Left-anti join on the tiny (url, content_sha256) projection; AQE turns
+    it into a broadcast when history fits.
+    """
+    if snapshot is None:
+        return pages
+    done = snapshot.select("url", "content_sha256").dropDuplicates(["url", "content_sha256"])
+    keyed = pages.withColumn("content_sha256", F.sha2(F.col("html"), 256))
+    return keyed.join(done, ["url", "content_sha256"], "left_anti").drop("content_sha256")
+
+
+def partition_lineage(docs: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rows committed with every snapshot
+    (north rule): input file, partition id, row counts, failure counters."""
+    return docs.groupBy(
+        F.col("provenance.partition_id").alias("partition_id"),
+        F.col("provenance.input_file").alias("input_file"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_failed"),
+        F.sum(F.coalesce(F.size("regions"), F.lit(0))).alias("n_regions"),
+        F.max("warc_ts").alias("max_warc_ts"),
+        F.min("warc_ts").alias("min_warc_ts"),
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages_path: str,
+    snapshot_dir: str | None = None,
+    num_partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    """Build the full lazy plan. Returns {'docs','rows','summary','lineage'}."""
+    pages = read_pages(spark, pages_path)
+    # capture scan-time lineage before any shuffle destroys it
+    pages = pages.withColumn("input_file", F.input_file_name())
+    prev = None
+    if snapshot_dir and os.path.exists(os.path.join(snapshot_dir, "_SUCCESS")):
+        prev = spark.read.parquet(snapshot_dir)
+    pages = resume_filter(pages, prev)
+    pages = salted_repartition(pages, num_partitions)
+    docs = extract_pages(pages)
+    return {
+        "docs": docs,
+        "rows": region_rows(docs),
+        "summary": doc_summary(docs),
+        "lineage": partition_lineage(docs),
+    }
+
+
+def commit_snapshot(results: dict[str, DataFrame], out_dir: str) -> None:
+    """Commit docs + lineage for resume. The FIRST commit creates the
+    snapshot; later commits APPEND their delta (a resumed run processes only
+    new/changed urls, and must not clobber already-committed history). On a
+    real cluster this is an Iceberg append transaction; parquet emulates it.
+    """
+    mode = "append" if os.path.exists(os.path.join(out_dir, "_SUCCESS")) else "overwrite"
+    docs = results["docs"].drop("regions")
+    docs.write.mode(mode).parquet(out_dir)
+    results["lineage"].write.mode(mode).parquet(os.path.join(out_dir, "_lineage"))

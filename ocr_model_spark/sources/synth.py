@@ -1,0 +1,214 @@
+"""Deterministic synthetic Common-Crawl-style corpus generator.
+
+Builds the north-rule input table ``(url, warc_ts, html, text, lang)`` from
+the driver's ``documents.parquet`` text (FIXTURES.md §1): every page is a
+seeded, pure function of ``(seed, index, base_text)`` — regenerating at any
+scale yields byte-identical payloads, which is what makes the byte-identity
+pytest replay possible.
+
+Payload mix (fractions of rows, chosen per-row by a seeded RNG):
+  * ~88% HTML: boilerplate shell (nav/header/sidebar/footer with high link
+    density, short promo blurbs) around main content (h1 + paragraphs + list
+    + blockquote with high text density) — exercises the density scorer;
+  * ~8% synthetic PDFs (``%PDF`` magic + the ``%%SYNTHPAGE`` content-stream
+    subset ``kernels/pdf_extract.py`` parses) — exercises the PDF branch,
+    line/block grouping and the multi-page span-offset arithmetic;
+  * ~2% plain text — exercises the verbatim-text branch;
+  * ~1% truncated HTML — parser tolerance path;
+  * ~1% PNG magic bytes — the extraction-failure / lineage-counter path.
+
+~3% of HTML rows are encoded latin-1 with bytes invalid in UTF-8, exercising
+the reference's encoding fallback chain (document_processor.py:513-549).
+
+Hosts are Zipf-skewed (a few hosts dominate) so the salted-repartition path
+has real skew to defuse, even at sandbox scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import os
+import random
+
+import pandas as pd
+
+_CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
+_N_HOSTS = 101
+
+_NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
+_PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
+
+
+def _host_pool() -> list[str]:
+    return [f"site{i:03d}.example.com" for i in range(_N_HOSTS)]
+
+
+def _pick_host(rng: random.Random, hosts: list[str]) -> str:
+    # Zipf-ish: P(rank r) ∝ 1/(r+1); deterministic inverse-CDF sampling
+    weights = [1.0 / (r + 1) for r in range(len(hosts))]
+    total = sum(weights)
+    x = rng.random() * total
+    acc = 0.0
+    for h, w in zip(hosts, weights):
+        acc += w
+        if x <= acc:
+            return h
+    return hosts[-1]
+
+
+def _sentences(words: list[str], rng: random.Random, n_sentences: int) -> list[str]:
+    out = []
+    for _ in range(n_sentences):
+        k = rng.randint(6, 14)
+        ws = [words[rng.randrange(len(words))] for _ in range(k)]
+        out.append(" ".join(ws).capitalize() + ".")
+    return out
+
+
+def _esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _html_page(i: int, rng: random.Random, words: list[str], accented: bool) -> bytes:
+    title = " ".join(words[rng.randrange(len(words))] for _ in range(4)).title()
+    paras = [" ".join(_sentences(words, rng, rng.randint(2, 5))) for _ in range(rng.randint(3, 7))]
+    items = [" ".join(_sentences(words, rng, 1)) for _ in range(rng.randint(3, 6))]
+    quote = " ".join(_sentences(words, rng, 2))
+    if accented:
+        paras = [p.replace("a", "á").replace("e", "é") for p in paras]
+        quote = quote.replace("o", "ö")
+    nav = "".join(f'<li><a href="/{w.lower()}">{w}</a></li>' for w in _NAV_WORDS)
+    side = "".join(
+        f'<li><a href="/t/{j}">{words[rng.randrange(len(words))]}</a></li>' for j in range(8)
+    )
+    promo = _PROMO[rng.randrange(len(_PROMO))]
+    body_paras = "".join(f"<p>{_esc(p)}</p>" for p in paras)
+    body_items = "".join(f"<li>{_esc(it)}</li>" for it in items)
+    html = (
+        "<!DOCTYPE html><html><head><title>"
+        + _esc(title)
+        + '</title><script>var x=1;</script><style>p{color:#000}</style></head><body>'
+        + f'<nav class="navbar"><ul>{nav}</ul></nav>'
+        + f'<header class="page-header"><a href="/">LOGO</a><p>{promo}</p></header>'
+        + f'<div class="sidebar"><h3>Links</h3><ul>{side}</ul></div>'
+        + '<main><article>'
+        + f"<h1>{_esc(title)}</h1>"
+        + body_paras
+        + f"<ul>{body_items}</ul>"
+        + f"<blockquote>{_esc(quote)}</blockquote>"
+        + "</article></main>"
+        + f'<footer class="footer"><p>© example {1990 + i % 30}</p><a href="/priv">Privacy</a></footer>'
+        + "</body></html>"
+    )
+    return html.encode("latin-1" if accented else "utf-8", errors="replace")
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def _pdf_page_bytes(page_num: int, rng: random.Random, words: list[str]) -> bytes:
+    w, h = 612, 792
+    out = [f"%%SYNTHPAGE {page_num} {w} {h}\n".encode()]
+    y = h - 72  # PDF user space, bottom-up
+    n_blocks = rng.randint(2, 4)
+    for _ in range(n_blocks):
+        n_lines = rng.randint(1, 4)
+        for _ in range(n_lines):
+            text = _pdf_escape(" ".join(_sentences(words, rng, 1)))
+            out.append(f"BT /F1 12 Tf 72 {y} Td ({text}) Tj ET\n".encode())
+            y -= 14  # tight leading: same block
+        y -= 30  # block gap
+    return b"".join(out)
+
+
+def _pdf_doc(rng: random.Random, words: list[str]) -> bytes:
+    n_pages = rng.randint(1, 3)
+    parts = [b"%PDF-1.4\n%%SYNTHPDF deterministic synthetic subset\n"]
+    parts += [_pdf_page_bytes(p, rng, words) for p in range(1, n_pages + 1)]
+    parts.append(b"%%EOF\n")
+    return b"".join(parts)
+
+
+def build_page_row(seed: int, i: int, base_text: str, base_lang: str) -> dict:
+    """Pure function of (seed, i, base_text): one pages-table row."""
+    rng = random.Random(f"{seed}:{i}")
+    hosts = _host_pool()
+    host = _pick_host(rng, hosts)
+    url = f"https://{host}/p/{hashlib.sha256(f'{seed}:{i}'.encode()).hexdigest()[:12]}-{i}"
+    warc_ts = _CRAWL_START + dt.timedelta(seconds=37 * i)
+    words = base_text.split() or ["lorem", "ipsum", "dolor"]
+    roll = rng.random()
+    lang = base_lang or "en"
+    if roll < 0.08:
+        html = _pdf_doc(rng, words)
+    elif roll < 0.10:
+        html = (" ".join(_sentences(words, rng, rng.randint(4, 10)))).encode("utf-8")
+    elif roll < 0.11:
+        full = _html_page(i, rng, words, accented=False)
+        html = full[: max(64, len(full) * 2 // 3)]  # truncated mid-document
+    elif roll < 0.12:
+        html = b"\x89PNG\r\n\x1a\n" + bytes(rng.randrange(256) for _ in range(128))
+    else:
+        accented = rng.random() < 0.03
+        if accented:
+            lang = "de"
+        html = _html_page(i, rng, words, accented)
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": html,
+        "text": base_text if rng.random() < 0.5 else None,
+        "lang": lang,
+    }
+
+
+def build_pages_pandas(docs: pd.DataFrame, n_pages: int, seed: int = 42) -> pd.DataFrame:
+    """Build ``n_pages`` synthetic pages from a documents frame
+    (``doc_id,text,lang,…``). Deterministic in (docs order, n_pages, seed)."""
+    texts = docs["text"].tolist()
+    langs = docs["lang"].tolist() if "lang" in docs else ["en"] * len(texts)
+    rows = [
+        build_page_row(seed, i, texts[i % len(texts)], langs[i % len(langs)])
+        for i in range(n_pages)
+    ]
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+def materialize_pages(
+    sf_dir: str, out_dir: str, n_pages: int | None = None, seed: int = 42
+) -> str:
+    """Materialize the synthetic pages table as parquet next to the workdir.
+
+    Cached: if the target file already exists it is reused (payloads are a
+    pure function of (seed, index, documents.parquet), so reuse is safe).
+    Returns the parquet path.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    if n_pages is None:
+        n_pages = len(docs)
+    path = os.path.join(out_dir, f"pages_seed{seed}_n{n_pages}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = build_pages_pandas(docs, n_pages, seed)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    table = table.cast(
+        pa.schema(
+            [
+                pa.field("url", pa.string(), nullable=False),
+                pa.field("warc_ts", pa.timestamp("us")),
+                pa.field("html", pa.binary()),
+                pa.field("text", pa.string()),
+                pa.field("lang", pa.string()),
+            ]
+        )
+    )
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

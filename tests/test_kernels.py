@@ -1,0 +1,135 @@
+"""Standalone kernel tests: deterministic, Spark-free."""
+
+from __future__ import annotations
+
+from ocr_model_spark.kernels.encoding import decode_with_fallback
+from ocr_model_spark.kernels.extract import extract_document
+from ocr_model_spark.kernels.html_extract import extract_html
+from ocr_model_spark.kernels.pdf_extract import extract_pdf
+from ocr_model_spark.kernels.sniff import sniff_doc_type
+
+
+def test_encoding_fallback_chain():
+    assert decode_with_fallback("héllo".encode("utf-8")) == ("héllo", "utf-8")
+    # bytes invalid in utf-8 → latin-1 (second in the reference chain)
+    text, enc = decode_with_fallback("héllo".encode("latin-1"))
+    assert enc == "latin-1"
+    assert text == "héllo"
+
+
+def test_sniff_magic_bytes():
+    assert sniff_doc_type(b"%PDF-1.4\n...") == "pdf"
+    assert sniff_doc_type(b"\x89PNG\r\n\x1a\nxxxx") == "image"
+    assert sniff_doc_type(b"\xff\xd8\xff\xe0JFIF") == "image"
+    assert sniff_doc_type(b"PK\x03\x04word/") == "docx"
+    assert sniff_doc_type(b"<!DOCTYPE html><html></html>") == "html"
+    assert sniff_doc_type(b"  <html><body>x</body></html>") == "html"
+    assert sniff_doc_type(b"just plain words") == "text"
+    assert sniff_doc_type(b"") == "unknown"
+
+
+HTML = b"""<!DOCTYPE html><html><head><title>My Title</title>
+<script>var boiler = 'ignore me';</script></head><body>
+<nav class="navbar"><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li></ul></nav>
+<div class="sidebar"><ul><li><a href="/1">link one</a></li><li><a href="/2">link two</a></li></ul></div>
+<main><article>
+<h1>My Title</h1>
+<p>This paragraph is the main content of the page and long enough to pass.</p>
+<p>Second &amp; final paragraph with an <a href="/x">inline link</a> inside prose text here.</p>
+<ul><li>First meaningful list item content</li><li>Second meaningful list item content</li></ul>
+<blockquote>A quotation block with enough characters.</blockquote>
+</article></main>
+<footer class="footer"><p>Copyright boilerplate that is long enough to pass length</p></footer>
+</body></html>"""
+
+
+def test_html_extract_regions_and_boilerplate():
+    r = extract_html(HTML)
+    assert r["ok"] and r["encoding"] == "utf-8"
+    assert r["title"] == "My Title"
+    types = [reg["type"] for reg in r["regions"]]
+    texts = [reg["text"] for reg in r["regions"]]
+    assert types == ["heading", "paragraph", "paragraph", "list_item", "list_item", "quote"]
+    # nav/sidebar/footer never leak into content
+    joined = r["text"]
+    assert "Home" not in joined and "link one" not in joined and "Copyright" not in joined
+    assert "ignore me" not in joined
+    # entity decoding
+    assert "Second & final paragraph" in texts[2]
+
+
+def test_html_span_offsets_are_exact():
+    r = extract_html(HTML)
+    for reg in r["regions"]:
+        assert r["text"][reg["span_start"] : reg["span_end"]] == reg["text"]
+    # regions joined with \n\n reconstruct the document text exactly
+    assert "\n\n".join(reg["text"] for reg in r["regions"]) == r["text"]
+
+
+def test_html_link_density_rejects_link_farm():
+    farm = (
+        b"<html><body><div>"
+        + b"".join(
+            b'<p><a href="/%d">a long enough link text row here %d</a></p>' % (i, i)
+            for i in range(5)
+        )
+        + b"</div></body></html>"
+    )
+    r = extract_html(farm)
+    assert r["regions"] == []
+
+
+def test_html_malformed_is_tolerated():
+    r = extract_html(b"<html><body><p>Good paragraph content long enough to pass here")
+    assert r["ok"]
+    assert len(r["regions"]) == 1
+
+
+def test_html_deterministic():
+    assert extract_html(HTML) == extract_html(HTML)
+
+
+SYNTH_PDF = (
+    b"%PDF-1.4\n%%SYNTHPDF x\n"
+    b"%%SYNTHPAGE 1 612 792\n"
+    b"BT /F1 12 Tf 72 720 Td (Alpha line one.) Tj ET\n"
+    b"BT /F1 12 Tf 72 706 Td (Alpha line two.) Tj ET\n"
+    b"BT /F1 12 Tf 72 660 Td (Beta block here.) Tj ET\n"
+    b"%%SYNTHPAGE 2 612 792\n"
+    b"BT /F1 12 Tf 72 720 Td (Page two text.) Tj ET\n"
+    b"%%EOF\n"
+)
+
+
+def test_pdf_block_grouping_and_join_rule():
+    r = extract_pdf(SYNTH_PDF)
+    assert r["ok"]
+    texts = [reg["text"] for reg in r["regions"]]
+    # two lines 14pt apart merge into one block; 46pt gap starts a new block
+    assert texts == ["Alpha line one. Alpha line two.", "Beta block here.", "Page two text."]
+    # reference join rule: blocks joined " " within page, page + "\n\n" each
+    assert r["text"] == "Alpha line one. Alpha line two. Beta block here.\n\nPage two text.\n\n"
+    for reg in r["regions"]:
+        assert r["text"][reg["span_start"] : reg["span_end"]] == reg["text"]
+
+
+def test_pdf_max_pages_cap():
+    r = extract_pdf(SYNTH_PDF, max_pages=1)
+    assert [reg["text"] for reg in r["regions"]] == [
+        "Alpha line one. Alpha line two.",
+        "Beta block here.",
+    ]
+
+
+def test_text_branch_verbatim():
+    payload = "plain text,\nkept verbatim — no normalization".encode("utf-8")
+    r = extract_document(payload)
+    assert r["doc_type"] == "text"
+    assert r["text"] == payload.decode("utf-8")
+    assert r["regions"][0]["confidence"] == 1.0
+
+
+def test_unextractable_types_fail_gracefully():
+    r = extract_document(b"\x89PNG\r\n\x1a\n1234")
+    assert r["doc_type"] == "image" and not r["ok"] and "engine-unavailable" in r["error"]
+    assert extract_document(b"")["error"] == "empty-payload"
