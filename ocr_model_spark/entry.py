@@ -1,0 +1,135 @@
+"""Glue for the driver contract (__spark_entry__.py): flagship entry, the
+query registry (SQL-oracled + rows-only), and the oracle SQL map."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_model_spark.operators.multimodal import media_metadata
+from ocr_model_spark.operators.similarity import lsh_cosine_topk
+from ocr_model_spark.pipeline import run_extraction
+from ocr_model_spark.queries import SQL_QUERIES
+from ocr_model_spark.sources.synth import materialize_pages
+from ocr_model_spark.streaming.pipeline import streaming_windowed_counts
+
+def _cache_dir() -> str:
+    """Writable cache for synthesized pages tables. When the package is
+    deployed as a --py-files zip, __file__ points INSIDE the archive, so fall
+    back to the system temp dir."""
+    env = os.environ.get("SPARK_GRAFT_CACHE")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.isdir(repo):
+        return os.path.join(repo, ".cache")
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "ocr_model_spark_cache")
+
+
+CACHE_DIR = _cache_dir()
+# the synthetic pages table is a pure function of (seed, documents.parquet),
+# so caching by sf-dir basename is safe
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def pages_for(sf_dir: str, n_pages: int | None = None) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return materialize_pages(sf_dir, os.path.join(CACHE_DIR, tag), n_pages=n_pages)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query: synthesize the Common-Crawl-style pages table from
+    the sf documents, run the full extraction pipeline, return per-document
+    summaries (url, type, counts, confidence)."""
+    path = pages_for(sf_dir)
+    res = run_extraction(spark, path)
+    return res["summary"].drop("provenance")
+
+
+# ---------------------------------------------------------- rows-only queries
+# (non-SQL-expressible: pandas-UDF extraction, streaming, approximate ANN,
+# multimodal decode — the driver records a rows-only check for these)
+
+
+def q_extract_doc_summary(spark, sf_dir):
+    return flagship(spark, sf_dir).orderBy("url")
+
+
+def q_extract_region_rows(spark, sf_dir):
+    res = run_extraction(spark, pages_for(sf_dir))
+    return (
+        res["rows"]
+        .select(
+            "url",
+            "region_idx",
+            "region_type",
+            "text",
+            "span_start",
+            "span_end",
+            "confidence",
+            "needs_review",
+        )
+        .orderBy("url", "region_idx")
+    )
+
+
+def q_extract_lineage(spark, sf_dir):
+    res = run_extraction(spark, pages_for(sf_dir), num_partitions=8)
+    return res["lineage"].orderBy("partition_id")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(queries, emb, k=3, n_planes=6, dim=64).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_multimodal_media_meta(spark, sf_dir):
+    pages = spark.read.parquet(pages_for(sf_dir))
+    images = pages.filter(F.substring("html", 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"))
+    return media_metadata(images).orderBy("url")
+
+
+def q_streaming_windowed(spark, sf_dir):
+    return streaming_windowed_counts(spark, f"{sf_dir}/events.parquet").orderBy(
+        "window_start", "event_type"
+    )
+
+
+_SQL_STREAMING_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value) + 1e-9, 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+ROWS_ONLY_QUERIES = {
+    "extract_doc_summary": q_extract_doc_summary,
+    "extract_region_rows": q_extract_region_rows,
+    "extract_lineage": q_extract_lineage,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_media_meta": q_multimodal_media_meta,
+}
+
+EXTRA_SQL_QUERIES = {
+    "streaming_windowed": (q_streaming_windowed, _SQL_STREAMING_WINDOWED),
+}
+
+
+def all_queries() -> dict:
+    out = {}
+    for name, (fn, _sql) in {**SQL_QUERIES, **EXTRA_SQL_QUERIES}.items():
+        out[name] = fn
+    out.update(ROWS_ONLY_QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in {**SQL_QUERIES, **EXTRA_SQL_QUERIES}.items()}

@@ -1,0 +1,214 @@
+"""Deduplication operators for training-data pipelines (driver-mandated
+first-class components, beyond the reference's J4/U2 ensemble dedup).
+
+All variants share a **cross-engine stable hash** so the DuckDB oracle can
+verify them bit-for-bit:
+
+    Spark : conv(substr(md5(s), 1, 8), 16, 10)            → BIGINT
+    DuckDB: CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)  → BIGINT
+
+(verified identical; never use xxhash64/hash() — engine-specific.)
+
+Scale notes: every operator is expression-only until the final key shuffle;
+shingle explosion multiplies rows ~n_words× so the shingle frame projects to
+(id, shingle-hash) immediately; LSH banding turns the quadratic all-pairs
+problem into a groupBy on band keys (the standard web-dedup design — one
+shuffle per band set, skew-safe because hot bands are capped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2147483647  # modulus for minhash permutations
+
+# fixed permutation constants (a*x + b) mod P — deterministic, shared with
+# the oracle SQL; 16 hashes → 4 bands × 4 rows
+MINHASH_A = [13, 101, 499, 997, 1499, 1999, 2503, 3001, 3499, 4001, 4507, 5003, 5501, 6007, 6521, 7001]
+MINHASH_B = [7, 97, 397, 797, 1201, 1601, 2003, 2411, 2801, 3203, 3607, 4003, 4409, 4801, 5209, 5641]
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SIMHASH_BITS = 16
+
+
+def stable_hash(col: Column) -> Column:
+    """32-bit stable hash of a string column (md5-prefix; oracle-matchable)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def normalized_words(text: Column) -> Column:
+    """Canonical tokenization shared by all text-dedup ops (and the oracle):
+    lowercase, strip non-alphanumerics, split on whitespace runs."""
+    cleaned = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " "))
+    return F.filter(F.split(cleaned, r"\s+"), lambda w: w != "")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined)."""
+    words = normalized_words(text)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per duplicate group (size > 1)
+    with the member ids and the canonical keeper (min id). sha2 over the raw
+    text — the same content key the reference caches on
+    (``worker/storage_manager.py:27-28``)."""
+    h = F.sha2(F.col(text_col), 256).alias("content_sha256")
+    return (
+        df.select(F.col(id_col).alias("id"), h)
+        .groupBy("content_sha256")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard pairs
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hashed: bool = True
+) -> DataFrame:
+    """(id, shingle) long frame, distinct per doc; the fat text column is
+    projected away before any shuffle. ``hashed=True`` replaces the shingle
+    string with its 32-bit stable hash (for minhash); exact Jaccard keeps the
+    strings so 32-bit collisions can't merge distinct shingles."""
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    )
+    if hashed:
+        out = out.select("id", stable_hash(F.col("shingle")).alias("sh"))
+    return out.distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shingle self-join.
+
+    Exact but quadratic in co-shingled docs — the CORRECTNESS baseline; use
+    :func:`minhash_candidates` as the scale path and feed its candidates into
+    this for verification of the survivors only.
+    """
+    sh = shingle_frame(df, id_col, text_col, n, hashed=False)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(F.broadcast(sizes).withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(F.broadcast(sizes).withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- MinHash LSH
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """16 minhash values per doc: min over shingles of (a_i*sid + b_i) mod P.
+    One narrow groupBy over the shingle frame — 16 mins computed in a single
+    partial-aggregating pass (map-side combine)."""
+    sh = shingle_frame(df, id_col, text_col, n).withColumn(
+        "sid", F.pmod(F.col("sh"), F.lit(MERSENNE31))
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("sid") + F.lit(b), F.lit(MERSENNE31))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """LSH banding: docs sharing any (band_idx, band_key) bucket become a
+    candidate pair. Returns distinct (id_a < id_b) pairs.
+
+    At 10^12 scale this is the near-dup workhorse: cost is one shuffle on
+    band keys; hot buckets (boilerplate-identical docs) self-limit because
+    the pair explosion happens per-bucket and the verify stage prunes."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint: per word, hash → per bit ±count accumulation →
+    bit set where the sum is positive. Explode words AND bit indexes, one
+    groupBy — all expression code."""
+    words = (
+        df.select(F.col(id_col).alias("id"), F.explode(normalized_words(F.col(text_col))).alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", stable_hash(F.col("w")))
+    )
+    per_bit = (
+        words.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            F.col("cnt"),
+            F.col("h"),
+        )
+        .withColumn(
+            "signed",
+            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("cnt")).otherwise(
+                -F.col("cnt")
+            ),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("signed").alias("s"))
+    )
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0)
+        ).alias("simhash")
+    )

@@ -1,0 +1,96 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+Driver-mandated training-data plumbing. The Spark side is REAL — schemas,
+``mapInPandas`` batch iteration, partition-preserving projection; the decode
+kernels are STUBS because no image/audio libraries exist in this container:
+
+  * if PIL is importable, :func:`_decode_image` uses it;
+  * otherwise it falls back to a clearly-marked DETERMINISTIC FAKE that
+    derives (width, height, format) from the payload's magic bytes + sha256,
+    so tests exercise the full distributed path with stable outputs.
+
+At scale the rule from SURVEY.md §1.2 applies: media bytes never survive past
+the decode stage as a column — project to features immediately.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # type: ignore
+
+    _HAS_PIL = True
+except Exception:
+    Image = None
+    _HAS_PIL = False
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _sniff_format(data: bytes) -> str:
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if data.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if data.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    return "unknown"
+
+
+def _decode_image(data: bytes) -> tuple[int, int, str]:
+    """Return (width, height, decoder). STUB when PIL is absent: dimensions
+    are a deterministic function of the content hash — NOT real pixel data —
+    marked by decoder='fake'."""
+    if _HAS_PIL:  # pragma: no cover
+        import io
+
+        with Image.open(io.BytesIO(data)) as im:
+            return im.width, im.height, "pil"
+    h = hashlib.sha256(data).digest()
+    width = 64 + (h[0] << 4 | h[1] >> 4)  # deterministic fake dims
+    height = 64 + (h[2] << 4 | h[3] >> 4)
+    return width, height, "fake"
+
+
+def media_metadata(media_df: DataFrame, url_col: str = "url", bin_col: str = "html") -> DataFrame:
+    """mapInPandas decode stage: (url, binary) → typed media metadata.
+
+    Batch-iterator form so one Python worker handles a whole Arrow batch;
+    media bytes are dropped on output (never shuffled)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, decoder = _decode_image(data)
+                rows.append(
+                    {
+                        "url": url,
+                        "format": _sniff_format(data),
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(data),
+                        "content_sha256": hashlib.sha256(data).hexdigest(),
+                        "decoder": decoder,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+
+    return media_df.select(url_col, bin_col).mapInPandas(decode_batches, MEDIA_META_SCHEMA)

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths (driver-mandated training-data operators):
+
+  * :func:`cosine_topk` — brute-force exact top-k, the correctness baseline.
+    Dot products are pure higher-order-function expressions
+    (``zip_with`` + ``aggregate``) — JVM-side, codegen'd, no Python.
+  * :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH buckets
+    (signs of dot products with deterministic hash-derived planes), equi-join
+    on bucket key, exact cosine only within buckets. At 10^12 rows the
+    crossJoin is impossible; bucketing turns ANN into one shuffle on a short
+    key. Recall < 1 by construction — pair it with multi-probe (several
+    independent plane sets unioned) to trade cost for recall.
+
+Determinism: hyperplane components are derived from md5 hashes of
+(plane_idx, dim_idx) — no RNG state, reproducible across runs/engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_model_spark.operators.windows import top_k_per_group
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (query_id, neighbor_id, sim).
+
+    The small ``queries`` side is broadcast — the corpus is scanned once,
+    never shuffled. Ties break on neighbor id ascending (deterministic).
+    Similarity is rounded so float-associativity noise can't flip hashes in
+    the oracle comparison.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("sim"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "sim", "rank")
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1): derived from
+    md5 of the (plane, dim) pair — stable across engines and runs."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return (h / float(1 << 32)) * 2.0 - 1.0
+
+
+def hyperplane_signature(vec: Column, n_planes: int, dim: int) -> Column:
+    """Bucket key: concatenated signs of <vec, plane_p> for p in [0, n)."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+        bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: exact cosine only within shared hyperplane buckets.
+
+    One equi-join shuffle on the bucket key instead of a crossJoin — the plan
+    that survives 1000 executors. Queries landing in empty buckets simply
+    return fewer than k rows (multi-probe across plane sets mitigates)."""
+    sig = lambda df, idc: df.select(
+        F.col(id_col).alias(idc),
+        F.col(vec_col).alias(f"{idc}_v"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = sig(queries, "query_id")
+    c = sig(corpus, "neighbor_id")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_id_v"), F.col("neighbor_id_v")), round_to).alias("sim"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "sim", "rank")

@@ -1,0 +1,112 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting (driver-mandated training-data components).
+
+All pure column expressions (regexp + arithmetic), so they run inside
+whole-stage codegen at full scan speed, and every one has an exact ANSI-SQL
+twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ocr_model_spark.operators.dedup import normalized_words, stable_hash
+
+# tiny deterministic stopword sets per language (n-gram-free heuristic:
+# function-word hit rate decides; ties break by the fixed language order)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+}
+_EN_STOPWORDS = LANG_MARKERS["en"] + ["for", "on", "with", "as", "this", "that"]
+
+FINGERPRINT_MOD = 2147483647
+
+
+def _marker_hits(text: Column, markers: list[str]) -> Column:
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language function-word hits;
+     'und' (undetermined) when nothing matches. Fixed tie order en>de>fr."""
+    en, de, fr = (_marker_hits(text, LANG_MARKERS[lang]) for lang in ("en", "de", "fr"))
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (the reference's word_count:
+    ``len(text.split())``, document_processor.py:815)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and isolated symbols
+    counted separately — the standard pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    return F.when(F.length(text) > 0, F.round(n_punct / F.length(text), 6)).otherwise(0.0)
+
+
+def stopword_ratio(text: Column) -> Column:
+    hits = _marker_hits(text, _EN_STOPWORDS)
+    n = ws_token_count(text)
+    return F.when(n > 0, F.round(hits / n, 6)).otherwise(0.0)
+
+
+def mean_word_length(text: Column) -> Column:
+    words = normalized_words(text)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(words) > 0, F.round(total / F.size(words), 6)).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length factor × word-shape factor, minus a
+    punctuation-spam penalty. Deterministic spec (tests + oracle pin it):
+
+        length_f = least(1, n_chars/500)
+        shape_f  = 1 if 3 <= mean_word_len <= 10 else 0.5
+        penalty  = least(0.5, 2 * punct_ratio)
+        score    = round(greatest(0, length_f * shape_f - penalty), 6)
+    """
+    length_f = F.least(F.lit(1.0), F.length(text) / 500.0)
+    mwl = mean_word_length(text)
+    shape_f = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    penalty = F.least(F.lit(0.5), 2.0 * punct_ratio(text))
+    return F.round(F.greatest(F.lit(0.0), length_f * shape_f - penalty), 6)
+
+
+def quality_bucket(score: Column) -> Column:
+    """The reference's quality buckets (advanced_ocr_app.py:734-746):
+    high > 0.9, medium in [0.7, 0.9], low < 0.7."""
+    return (
+        F.when(score > 0.9, F.lit("high"))
+        .when(score >= 0.7, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Position-sensitive rolling document fingerprint:
+    ``sum((i+1) * stable_hash(word_i)) mod M`` over normalized words —
+    order-sensitive (unlike a bag hash), expression-only, oracle-matchable."""
+    words = normalized_words(text)
+    idx = F.sequence(F.lit(1), F.size(words))
+    weighted = F.zip_with(
+        words, idx, lambda w, i: F.pmod(i.cast("long") * stable_hash(w), F.lit(FINGERPRINT_MOD))
+    )
+    return F.when(F.size(words) > 0, F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, x: F.pmod(acc + x, F.lit(FINGERPRINT_MOD))
+    )).otherwise(F.lit(0).cast("long"))

@@ -1,0 +1,763 @@
+"""Driver-facing query suite: one entry per implemented operator family
+(SURVEY.md §2), each with a Spark implementation and (where ANSI-SQL can
+express it) a DuckDB oracle string with IDENTICAL column names and rounding.
+
+Conventions for oracle parity:
+  * every computed column is aliased the same on both sides;
+  * double aggregates are rounded (2dp money, 4dp stats, 6dp ratios) so
+    float-associativity noise cannot flip the driver's value hash;
+  * division-derived doubles get a +1e-9 nudge before rounding on BOTH
+    sides: Spark's ROUND decimal-izes the shortest repr (0.59525 → up) while
+    DuckDB rounds the binary value (0.59524999… → down); the nudge moves
+    both engines to the same side of the half boundary;
+  * only engine-agnostic primitives are used (md5-prefix stable hash, never
+    xxhash64/hash());
+  * timestamps compare as DATE or via epoch seconds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_model_spark.operators import dedup as D
+from ocr_model_spark.operators import similarity as S
+from ocr_model_spark.operators import textstats as X
+from ocr_model_spark.operators import tokens as TK
+from ocr_model_spark.operators import windows as W
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# derived token fixture (identical arithmetic Spark-side and SQL-side):
+# a deterministic grid-with-jitter token layout built from `events`, so
+# the layout operators (W1/W2/J3, P4/J2) have an exact SQL oracle without
+# shipping extra files (FIXTURES.md §3 semantics).
+# =====================================================================
+
+_TOKENS_SQL_CTE = """
+WITH base AS (
+    SELECT
+        concat('doc', CAST(user_id % 20 AS VARCHAR)) AS url,
+        CAST(event_id % 3 AS INT) + 1 AS page_num,
+        event_id AS token_idx,
+        event_type AS text,
+        CAST((event_id * 7) % 8 AS DOUBLE) * 80 + CAST((event_id * 31) % 7 AS DOUBLE) AS x1,
+        CAST((event_id * 13) % 15 AS DOUBLE) * 20 + CAST((event_id * 17) % 5 AS DOUBLE) AS y1,
+        ROUND(CAST((event_id * 2654435761) % 1000 AS DOUBLE) / 1000.0, 3) AS confidence
+    FROM events
+), tokens AS (
+    SELECT url, page_num, token_idx, text, x1, y1,
+           x1 + 60 AS x2, y1 + 12 AS y2, confidence
+    FROM base
+)
+"""
+
+
+def derived_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    x1 = ((eid * 7) % 8).cast("double") * 80 + ((eid * 31) % 7).cast("double")
+    y1 = ((eid * 13) % 15).cast("double") * 20 + ((eid * 17) % 5).cast("double")
+    return e.select(
+        F.concat(F.lit("doc"), (F.col("user_id") % 20).cast("string")).alias("url"),
+        ((eid % 3) + 1).cast("int").alias("page_num"),
+        eid.alias("token_idx"),
+        F.col("event_type").alias("text"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + 60).alias("x2"),
+        (y1 + 12).alias("y2"),
+        F.round(((eid * 2654435761) % 1000).cast("double") / 1000.0, 3).alias("confidence"),
+    )
+
+
+# =====================================================================
+# relational / aggregation / window queries
+# =====================================================================
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity") + 1e-9, 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + 1e-9, 4).alias("avg_price"),
+            F.round(F.avg("l_discount") + 1e-9, 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity) + 1e-9, 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
+       ROUND(AVG(l_discount) + 1e-9, 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_doc_summary_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars") + 1e-9, 4).alias("avg_chars"),
+            F.sum(X.ws_token_count(F.col("text"))).alias("sum_words"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_DOC_SUMMARY = """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       ROUND(AVG(n_chars) + 1e-9, 4) AS avg_chars,
+       SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_words
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 10).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value") + 1e-9, 4).alias("avg_value"))
+        .orderBy("bucket")
+    )
+
+
+_SQL_VALUE_HISTOGRAM = """
+SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
+       ROUND(AVG(value) + 1e-9, 4) AS avg_value
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_user_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn("sec", F.col("ts").cast("timestamp_ltz").cast("double"))
+    s = W.sessionize(e, ["user_id"], "sec", 1800.0)
+    return (
+        s.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+_SQL_USER_SESSIONS = """
+WITH e AS (
+    SELECT user_id,
+           CAST(epoch(ts) AS DOUBLE) AS sec,
+           LAG(CAST(epoch(ts) AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS DOUBLE)) AS prev
+    FROM events
+)
+SELECT user_id,
+       SUM(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       COUNT(*) AS n_events
+FROM e GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_first_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "event_type")
+        .orderBy("user_id", "rank")
+    )
+
+
+_SQL_FIRST_EVENTS = """
+SELECT user_id, rank, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank
+    FROM events
+) WHERE rank <= 3 ORDER BY user_id, rank
+"""
+
+
+def q_daily_running(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    return W.running_total(d, ["day"], "n", ["event_type"], "running_n").orderBy(
+        "event_type", "day"
+    )
+
+
+_SQL_DAILY_RUNNING = """
+WITH d AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+FROM d ORDER BY event_type, day
+"""
+
+
+def q_dedup_max_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+_SQL_DEDUP_MAX_VALUE = """
+SELECT user_id, event_type, event_id, ROUND(value, 4) AS value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY value DESC, event_id ASC) AS rn
+    FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+def q_topk_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sums = e.groupBy("event_type", "user_id").agg(F.round(F.sum("value"), 4).alias("total"))
+    return W.top_k_per_group(
+        sums, ["event_type"], [F.desc("total"), F.asc("user_id")], 2
+    ).orderBy("event_type", "rank")
+
+
+_SQL_TOPK_USERS = """
+SELECT event_type, user_id, total, rank FROM (
+    SELECT event_type, user_id, ROUND(SUM(value), 4) AS total,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ROUND(SUM(value), 4) DESC, user_id ASC) AS rank
+    FROM events GROUP BY event_type, user_id
+) WHERE rank <= 2 ORDER BY event_type, rank
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_SQL_REVENUE_BY_NATION = """
+SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    inactive = c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+    return (
+        inactive.join(F.broadcast(n), inactive.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_inactive"))
+        .orderBy("n_name")
+    )
+
+
+_SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT n_name, COUNT(*) AS n_inactive
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_event_type_presence(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-14"
+    early = e.filter(F.col("ts") < cutoff).select("event_type").distinct()
+    late = e.filter(F.col("ts") >= cutoff).select("event_type").distinct()
+    return (
+        early.withColumn("in_early", F.lit(1))
+        .join(late.withColumn("in_late", F.lit(1)), "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("in_early", F.lit(0)).alias("in_early"),
+            F.coalesce("in_late", F.lit(0)).alias("in_late"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_EVENT_TYPE_PRESENCE = """
+WITH early AS (SELECT DISTINCT event_type, 1 AS in_early FROM events WHERE ts < TIMESTAMP '2024-01-14'),
+     late  AS (SELECT DISTINCT event_type, 1 AS in_late  FROM events WHERE ts >= TIMESTAMP '2024-01-14')
+SELECT COALESCE(early.event_type, late.event_type) AS event_type,
+       COALESCE(in_early, 0) AS in_early, COALESCE(in_late, 0) AS in_late
+FROM early FULL OUTER JOIN late ON early.event_type = late.event_type
+ORDER BY event_type
+"""
+
+
+def q_corpus_span_offsets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return W.span_offsets(
+        d.select("doc_id", "source", "n_chars"), ["source"], ["doc_id"], "n_chars", 2
+    ).select("doc_id", "source", "span_start", "span_end").orderBy("doc_id")
+
+
+_SQL_CORPUS_SPAN_OFFSETS = """
+SELECT doc_id, source,
+       COALESCE(SUM(n_chars + 2) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS span_start,
+       COALESCE(SUM(n_chars + 2) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_chars AS span_end
+FROM documents ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# layout queries over derived tokens (W1/W2/J3, P4/J2)
+# =====================================================================
+
+
+def q_token_layout_cells(spark, sf_dir):
+    t = derived_tokens(spark, sf_dir)
+    t = TK.group_rows(t, ["url", "page_num"], 12.0, "row_id")
+    t = TK.cluster_columns(t, ["url", "page_num"], "col_id")
+    cells = TK.assemble_cells(t, ["url", "page_num"], "row_id", "col_id")
+    return cells.select(
+        "url",
+        "page_num",
+        "row_id",
+        "col_id",
+        "cell_text",
+        F.round("confidence", 4).alias("confidence"),
+        "n_tokens",
+        "needs_review",
+    ).orderBy("url", "page_num", "row_id", "col_id")
+
+
+_SQL_TOKEN_LAYOUT_CELLS = (
+    _TOKENS_SQL_CTE
+    + """
+, rowed AS (
+    SELECT *,
+           SUM(CASE WHEN prev_cy IS NULL OR cy - prev_cy > 12.0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY url, page_num ORDER BY cy) AS row_id
+    FROM (
+        SELECT *, (y1 + y2) / 2 AS cy,
+               LAG((y1 + y2) / 2) OVER (PARTITION BY url, page_num ORDER BY (y1 + y2) / 2) AS prev_cy
+        FROM tokens
+    )
+), coled AS (
+    SELECT *,
+           SUM(CASE WHEN prev_cx IS NULL OR cx - prev_cx > col_gap THEN 1 ELSE 0 END)
+               OVER (PARTITION BY url, page_num ORDER BY cx) AS col_id
+    FROM (
+        SELECT *, (x1 + x2) / 2 AS cx,
+               LAG((x1 + x2) / 2) OVER (PARTITION BY url, page_num ORDER BY (x1 + x2) / 2) AS prev_cx,
+               GREATEST(20.0, 0.04 * (MAX((x1 + x2) / 2) OVER (PARTITION BY url, page_num)
+                                      - MIN((x1 + x2) / 2) OVER (PARTITION BY url, page_num))) AS col_gap
+        FROM rowed
+    )
+)
+SELECT url, page_num, row_id, col_id,
+       string_agg(text, ' ' ORDER BY x1, token_idx, text) AS cell_text,
+       ROUND(MIN(confidence), 4) AS confidence,
+       COUNT(*) AS n_tokens,
+       MAX(CASE WHEN confidence < 0.7 THEN TRUE ELSE FALSE END) AS needs_review
+FROM coled
+GROUP BY url, page_num, row_id, col_id
+ORDER BY url, page_num, row_id, col_id
+"""
+)
+
+
+def q_spatial_join(spark, sf_dir):
+    t = derived_tokens(spark, sf_dir)
+    pages = t.select("url", "page_num").distinct()
+    regions = pages.select(
+        "url", "page_num", F.explode(F.array(F.lit(0), F.lit(1))).alias("region_id")
+    ).select(
+        "url",
+        "page_num",
+        "region_id",
+        (F.col("region_id") * 320.0).alias("r_x1"),
+        F.lit(0.0).alias("r_y1"),
+        ((F.col("region_id") + 1) * 320.0).alias("r_x2"),
+        F.lit(400.0).alias("r_y2"),
+    )
+    joined = t.join(regions, ["url", "page_num"]).filter(
+        TK.token_in_region("", "r_")
+    )
+    return (
+        joined.groupBy("url", "page_num", "region_id")
+        .agg(F.count("*").alias("n_tokens"), F.round(F.avg("confidence") + 1e-9, 4).alias("avg_conf"))
+        .orderBy("url", "page_num", "region_id")
+    )
+
+
+_SQL_SPATIAL_JOIN = (
+    _TOKENS_SQL_CTE
+    + """
+, regions AS (
+    SELECT url, page_num, g.region_id,
+           g.region_id * 320.0 AS r_x1, 0.0 AS r_y1,
+           (g.region_id + 1) * 320.0 AS r_x2, 400.0 AS r_y2
+    FROM (SELECT DISTINCT url, page_num FROM tokens)
+    CROSS JOIN (SELECT UNNEST([0, 1]) AS region_id) g
+)
+SELECT t.url, t.page_num, r.region_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(t.confidence) + 1e-9, 4) AS avg_conf
+FROM tokens t JOIN regions r ON t.url = r.url AND t.page_num = r.page_num
+WHERE (t.x1 + t.x2) / 2 >= r.r_x1 AND (t.x1 + t.x2) / 2 < r.r_x2
+  AND (t.y1 + t.y2) / 2 >= r.r_y1 AND (t.y1 + t.y2) / 2 < r.r_y2
+GROUP BY t.url, t.page_num, r.region_id
+ORDER BY t.url, t.page_num, r.region_id
+"""
+)
+
+
+# =====================================================================
+# dedup / similarity / text-analysis queries
+# =====================================================================
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        D.exact_duplicates(e, "event_id", "props")
+        .select("content_sha256", "n_docs", "keep_id")
+        .orderBy("content_sha256")
+    )
+
+
+_SQL_EXACT_DUP_GROUPS = """
+SELECT sha256(props) AS content_sha256, COUNT(*) AS n_docs, MIN(event_id) AS keep_id
+FROM events GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_sha256
+"""
+
+_SQL_SHINGLES_CTE = """
+WITH words AS (
+    SELECT doc_id, source,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+), shx AS (
+    SELECT doc_id, source,
+           unnest(CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM words
+), sh AS (SELECT DISTINCT doc_id, source, shingle FROM shx)
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, "doc_id", "text", 3, 0.12).orderBy("id_a", "id_b")
+
+
+_SQL_JACCARD_PAIRS = (
+    _SQL_SHINGLES_CTE
+    + """
+, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.12
+ORDER BY id_a, id_b
+"""
+)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_signatures(d, "doc_id", "text").withColumnRenamed("id", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n       ".join(
+        f"MIN(({a} * sid + {b}) % {D.MERSENNE31}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+    )
+    return (
+        _SQL_SHINGLES_CTE
+        + f"""
+, sids AS (
+    SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % {D.MERSENNE31} AS sid
+    FROM sh
+)
+SELECT doc_id,
+       {mins}
+FROM sids GROUP BY doc_id ORDER BY doc_id
+"""
+    )
+
+
+def q_minhash_candidates(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_candidates(d, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+def _minhash_candidates_sql() -> str:
+    band_rows = []
+    for b in range(D.N_BANDS):
+        cols = [f"mh{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    sig_sql = _minhash_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sig AS ({sig_sql}),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash(d, "doc_id", "text").withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+_SQL_SIMHASH = f"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+), wc AS (
+    SELECT doc_id, word, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(w) AS word FROM words)
+    GROUP BY doc_id, word
+), hashed AS (
+    SELECT doc_id, cnt, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS h FROM wc
+), per_bit AS (
+    SELECT doc_id, g.bit,
+           SUM(CASE WHEN (h >> g.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+    FROM hashed, generate_series(0, {D.SIMHASH_BITS - 1}) AS g(bit)
+    GROUP BY doc_id, g.bit
+)
+SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(queries, emb, k=3).orderBy("query_id", "rank")
+
+
+_SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND(list_cosine_similarity(qv, cv), 4) AS sim
+    FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, sim,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+def q_text_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        X.lang_id(t).alias("lang_guess"),
+        X.ws_token_count(t).alias("ws_tokens"),
+        X.bpe_ish_token_count(t).alias("bpe_tokens"),
+        X.stopword_ratio(t).alias("stopword_ratio"),
+        X.mean_word_length(t).alias("mean_word_len"),
+    ).orderBy("doc_id")
+
+
+_EN = "|".join(X.LANG_MARKERS["en"])
+_DE = "|".join(X.LANG_MARKERS["de"])
+_FR = "|".join(X.LANG_MARKERS["fr"])
+_EN_STOPS = "|".join(X._EN_STOPWORDS)
+
+_SQL_TEXT_PROFILE = f"""
+WITH scored AS (
+    SELECT doc_id, text,
+           len(regexp_extract_all(lower(text), '\\b({_EN})\\b')) AS en_hits,
+           len(regexp_extract_all(lower(text), '\\b({_DE})\\b')) AS de_hits,
+           len(regexp_extract_all(lower(text), '\\b({_FR})\\b')) AS fr_hits,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+           len(regexp_extract_all(lower(text), '\\b({_EN_STOPS})\\b')) AS stop_hits,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess,
+       ws_tokens, bpe_tokens,
+       CASE WHEN ws_tokens > 0 THEN ROUND(CAST(stop_hits AS DOUBLE) / ws_tokens, 6) ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN len(w) > 0
+            THEN ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6)
+            ELSE 0.0 END AS mean_word_len
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    score = X.quality_score(t)
+    return d.select(
+        "doc_id",
+        score.alias("quality"),
+        X.quality_bucket(score).alias("bucket"),
+        X.punct_ratio(t).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+_SQL_QUALITY_SCORES = """
+WITH feat AS (
+    SELECT doc_id,
+           LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS length_f,
+           CASE WHEN length(text) > 0
+                THEN ROUND(CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                           / length(text), 6)
+                ELSE 0.0 END AS punct_ratio,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+), mwl AS (
+    SELECT doc_id, length_f, punct_ratio,
+           CASE WHEN len(w) > 0
+                THEN ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6)
+                ELSE 0.0 END AS mean_word_len
+    FROM feat
+), scored AS (
+    SELECT doc_id, punct_ratio,
+           ROUND(GREATEST(0.0,
+               length_f * (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END)
+               - LEAST(0.5, 2.0 * punct_ratio)), 6) AS quality
+    FROM mwl
+)
+SELECT doc_id, quality,
+       CASE WHEN quality > 0.9 THEN 'high' WHEN quality >= 0.7 THEN 'medium' ELSE 'low' END AS bucket,
+       punct_ratio
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+_SQL_DOC_FINGERPRINTS = f"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(w) > 0 THEN
+           CAST(list_sum(list_transform(generate_series(1, len(w)),
+                i -> (CAST(i AS BIGINT) * (CAST(concat('0x', substr(md5(w[i]), 1, 8)) AS BIGINT)))
+                     % {X.FINGERPRINT_MOD})) % {X.FINGERPRINT_MOD} AS BIGINT)
+       ELSE 0 END AS fingerprint
+FROM words ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+SQL_QUERIES: dict[str, tuple[Callable, str]] = {
+    "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
+    "doc_summary_by_source": (q_doc_summary_by_source, _SQL_DOC_SUMMARY),
+    "value_histogram": (q_value_histogram, _SQL_VALUE_HISTOGRAM),
+    "user_sessions": (q_user_sessions, _SQL_USER_SESSIONS),
+    "first_events": (q_first_events, _SQL_FIRST_EVENTS),
+    "daily_running": (q_daily_running, _SQL_DAILY_RUNNING),
+    "dedup_max_value": (q_dedup_max_value, _SQL_DEDUP_MAX_VALUE),
+    "topk_users": (q_topk_users, _SQL_TOPK_USERS),
+    "revenue_by_nation": (q_revenue_by_nation, _SQL_REVENUE_BY_NATION),
+    "customers_without_orders": (q_customers_without_orders, _SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "event_type_presence": (q_event_type_presence, _SQL_EVENT_TYPE_PRESENCE),
+    "corpus_span_offsets": (q_corpus_span_offsets, _SQL_CORPUS_SPAN_OFFSETS),
+    "token_layout_cells": (q_token_layout_cells, _SQL_TOKEN_LAYOUT_CELLS),
+    "spatial_join": (q_spatial_join, _SQL_SPATIAL_JOIN),
+    "exact_dup_groups": (q_exact_dup_groups, _SQL_EXACT_DUP_GROUPS),
+    "jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD_PAIRS),
+    "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
+    "minhash_candidates": (q_minhash_candidates, _minhash_candidates_sql()),
+    "simhash": (q_simhash, _SQL_SIMHASH),
+    "cosine_topk": (q_cosine_topk, _SQL_COSINE_TOPK),
+    "text_profile": (q_text_profile, _SQL_TEXT_PROFILE),
+    "quality_scores": (q_quality_scores, _SQL_QUALITY_SCORES),
+    "doc_fingerprints": (q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
+}
