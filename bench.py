@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The primary metric is extraction throughput (docs/sec over the synthesized
+Common-Crawl-style pages table — the north-rule workload); per-query wall
+times for the analytics suite are reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _consume(df) -> int:
+    """Force full computation without driver-side materialization."""
+    return df.agg(F.count(F.lit(1))).first()[0]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from ocr_model_spark.entry import pages_for
+    from ocr_model_spark.pipeline import run_extraction
+    from ocr_model_spark.queries import SQL_QUERIES
+    from ocr_model_spark.session import get_spark
+
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="ocr_model_spark_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # synthesize (cached) the pages table OUTSIDE the timed section
+    pages_path = pages_for(sf_dir)
+    n_pages = spark.read.parquet(pages_path).count()
+
+    # warm up the python worker pool + JIT with a slice of the real job so
+    # timings measure throughput, not process spawn
+    warm = run_extraction(spark, pages_path)
+    _consume(warm["docs"].limit(500))
+
+    timings: dict[str, float] = {}
+
+    # --- headline: full extraction pipeline (docs + region rows + lineage)
+    # no .cache(): serializing the nested docs into the memory store costs
+    # ~10× more than recomputing the (cheap, warm) extraction per consumer
+    t0 = time.perf_counter()
+    res = run_extraction(spark, pages_path)
+    n_docs = res["docs"].count()
+    _consume(res["rows"])
+    _consume(res["lineage"])
+    extract_sec = time.perf_counter() - t0
+    timings["extraction_pipeline"] = round(extract_sec, 3)
+
+    # --- analytics suite (one representative per operator family)
+    headline = [
+        "tpch_q1",
+        "user_sessions",
+        "token_layout_cells",
+        "revenue_by_nation",
+        "minhash_candidates",
+        "simhash",
+        "cosine_topk",
+        "quality_scores",
+        "doc_fingerprints",
+    ]
+    for name in headline:
+        fn, _sql = SQL_QUERIES[name]
+        t0 = time.perf_counter()
+        _consume(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "extracted docs/sec (full pipeline: docs+rows+lineage)",
+        "value": round(n_docs / extract_sec, 2),
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": sf,
+        "suite_seconds": total,
+        "n_pages": n_pages,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,9 +44,13 @@ def normalized_words(text: Column) -> Column:
     return F.filter(F.split(cleaned, r"\s+"), lambda w: w != "")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-word shingles (space-joined)."""
-    words = normalized_words(text)
+def shingles_of(words: Column, n: int = 3) -> Column:
+    """Array of n-word shingles from a MATERIALIZED words-array column.
+
+    ``words`` must be a plain column reference, not a computed expression: an
+    expression captured inside the ``transform`` lambda re-evaluates per
+    element (the regex tokenization would run O(n_words) times per document —
+    measured 25× slowdown). Project ``normalized_words`` to a column first."""
     return F.when(
         F.size(words) >= n,
         F.transform(
@@ -54,6 +58,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(words, i + 1, n), " "),
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined). Prefer
+    ``shingles_of(materialized_words_col)`` in hot paths (see above)."""
+    return shingles_of(normalized_words(text), n)
 
 
 # ------------------------------------------------------------- exact dedup
@@ -87,13 +97,24 @@ def shingle_frame(
     projected away before any shuffle. ``hashed=True`` replaces the shingle
     string with its 32-bit stable hash (for minhash); exact Jaccard keeps the
     strings so 32-bit collisions can't merge distinct shingles."""
-    out = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    # spread first: a single-file scan is one partition, which would run the
+    # (CPU-bound) shingling + hashing expressions single-threaded; then
+    # materialize the words array so the shingle lambda sees a column ref
+    spread = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    worded = spread.select("id", normalized_words(F.col("t")).alias("w"))
+    out = worded.select(
+        "id",
+        F.explode(F.array_distinct(shingles_of(F.col("w"), n))).alias("shingle"),
     )
     if hashed:
         out = out.select("id", stable_hash(F.col("shingle")).alias("sh"))
     return out.distinct()
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow frame to the pool width so per-row
+    CPU work parallelizes even from a one-partition scan."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def jaccard_pairs(
@@ -143,37 +164,62 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_candidates(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """LSH banding: docs sharing any (band_idx, band_key) bucket become a
     candidate pair. Returns distinct (id_a < id_b) pairs.
 
-    At 10^12 scale this is the near-dup workhorse: cost is one shuffle on
-    band keys; hot buckets (boilerplate-identical docs) self-limit because
-    the pair explosion happens per-bucket and the verify stage prunes."""
+    Plan shape (the one that survives 10^12 rows): the signature frame is
+    computed ONCE, bands explode from an array literal (no N re-computations
+    of the upstream pipeline), and pairs are generated per-bucket with
+    higher-order functions after a single groupBy on the band key — one
+    shuffle total, no self-join.
+
+    ``max_bucket`` caps pathological buckets (boilerplate-identical docs):
+    pair count is quadratic per bucket, so at web scale run exact dedup
+    first and cap here (the dropped buckets are already exact-dup groups).
+    Default None = emit everything (exact LSH semantics; matches the SQL
+    oracle)."""
     sig = minhash_signatures(df, id_col, text_col, n)
-    bands = []
+    band_structs = []
     for b in range(N_BANDS):
-        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sig.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("band_key"),
-            )
+        cols = [
+            F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("band_key"))
         )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
-    a = banded.alias("a")
-    b2 = banded.alias("b")
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ids)),
+                lambda j: F.struct(
+                    F.element_at(ids, i).alias("id_a"), F.element_at(ids, j).alias("id_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -186,7 +232,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     bit set where the sum is positive. Explode words AND bit indexes, one
     groupBy — all expression code."""
     words = (
-        df.select(F.col(id_col).alias("id"), F.explode(normalized_words(F.col(text_col))).alias("w"))
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+        .select("id", F.explode(normalized_words(F.col("t"))).alias("w"))
         .groupBy("id", "w")
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", stable_hash(F.col("w")))

@@ -95,6 +95,11 @@ def run_extraction(
     if snapshot_dir and os.path.exists(os.path.join(snapshot_dir, "_SUCCESS")):
         prev = spark.read.parquet(snapshot_dir)
     pages = resume_filter(pages, prev)
+    if num_partitions is None:
+        # pin the partition count: AQE would coalesce a small shuffle to ~1
+        # partition and serialize the (CPU-bound) extraction UDF stage; the
+        # pandas-UDF stage must always span the worker pool
+        num_partitions = spark.sparkContext.defaultParallelism * 2
     pages = salted_repartition(pages, num_partitions)
     docs = extract_pages(pages)
     return {
