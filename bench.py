@@ -20,8 +20,12 @@ from pyspark.sql import functions as F
 
 
 def _consume(df) -> int:
-    """Force full computation without driver-side materialization."""
-    return df.agg(F.count(F.lit(1))).first()[0]
+    """Force FULL computation without driver-side materialization: checksum
+    every column of every row. A bare count() would let Catalyst prune
+    unused projections — including the extraction pandas UDF and unused
+    aggregate expressions — and the benchmark would measure nothing."""
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    return df.select(row_hash.alias("h")).agg(F.sum("h")).first()[0] or 0
 
 
 def main() -> None:
@@ -50,13 +54,16 @@ def main() -> None:
     # --- headline: full extraction pipeline (docs + region rows + lineage)
     # no .cache(): serializing the nested docs into the memory store costs
     # ~10× more than recomputing the (cheap, warm) extraction per consumer
-    t0 = time.perf_counter()
     res = run_extraction(spark, pages_path)
-    n_docs = res["docs"].count()
-    _consume(res["rows"])
-    _consume(res["lineage"])
+    n_docs = res["docs"].count()  # cheap: UDF pruned for a bare count
+    t0 = time.perf_counter()
+    _consume(res["docs"])
     extract_sec = time.perf_counter() - t0
-    timings["extraction_pipeline"] = round(extract_sec, 3)
+    timings["extraction_docs"] = round(extract_sec, 3)
+    for part in ("rows", "lineage"):
+        t0 = time.perf_counter()
+        _consume(res[part])
+        timings[f"extraction_{part}"] = round(time.perf_counter() - t0, 3)
 
     # --- analytics suite (one representative per operator family)
     headline = [
@@ -78,7 +85,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "extracted docs/sec (full pipeline: docs+rows+lineage)",
+        "metric": "extracted docs/sec (full materialization of the docs table)",
         "value": round(n_docs / extract_sec, 2),
         "unit": "docs/sec",
         "queries": timings,

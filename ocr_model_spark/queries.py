@@ -356,6 +356,101 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_conf_stats(spark, sf_dir):
+    """A4: full stats block (count/avg/stddev/exact-median/min/max)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+            F.round(F.stddev("value") + 1e-9, 4).alias("stddev_value"),
+            F.round(F.expr("percentile(value, 0.5)") + 1e-9, 4).alias("median_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_CONF_STATS = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(AVG(value) + 1e-9, 4) AS avg_value,
+       ROUND(STDDEV(value) + 1e-9, 4) AS stddev_value,
+       ROUND(quantile_cont(value, 0.5) + 1e-9, 4) AS median_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_pagination(spark, sf_dir):
+    """O5: deterministic keyset pagination (order by unique key)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .offset(100)
+        .limit(50)
+    )
+
+
+_SQL_PAGINATION = """
+SELECT event_id, user_id, event_type FROM events
+ORDER BY event_id LIMIT 50 OFFSET 100
+"""
+
+
+def q_set_intersect_except(spark, sf_dir):
+    """U-family: INTERSECT and EXCEPT of user populations."""
+    e = _t(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errorers = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = clickers.intersect(errorers).withColumn("relation", F.lit("both"))
+    only_click = clickers.exceptAll(errorers).withColumn("relation", F.lit("click_only"))
+    return both.unionByName(only_click).orderBy("relation", "user_id")
+
+
+_SQL_SET_INTERSECT_EXCEPT = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     errorers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'both' AS relation FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM errorers)
+UNION ALL
+SELECT user_id, 'click_only' AS relation FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM errorers)
+ORDER BY relation, user_id
+"""
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """Rollup aggregation (free from Spark SQL; noted in SURVEY.md §2.4)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+_SQL_REVENUE_ROLLUP = """
+SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(c_mktsegment, 'ALL') AS segment,
+       ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)
+ORDER BY nation, segment
+"""
+
+
 # =====================================================================
 # layout queries over derived tokens (W1/W2/J3, P4/J2)
 # =====================================================================
@@ -749,6 +844,10 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "customers_without_orders": (q_customers_without_orders, _SQL_CUSTOMERS_WITHOUT_ORDERS),
     "event_type_presence": (q_event_type_presence, _SQL_EVENT_TYPE_PRESENCE),
     "corpus_span_offsets": (q_corpus_span_offsets, _SQL_CORPUS_SPAN_OFFSETS),
+    "conf_stats": (q_conf_stats, _SQL_CONF_STATS),
+    "pagination": (q_pagination, _SQL_PAGINATION),
+    "set_intersect_except": (q_set_intersect_except, _SQL_SET_INTERSECT_EXCEPT),
+    "revenue_rollup": (q_revenue_rollup, _SQL_REVENUE_ROLLUP),
     "token_layout_cells": (q_token_layout_cells, _SQL_TOKEN_LAYOUT_CELLS),
     "spatial_join": (q_spatial_join, _SQL_SPATIAL_JOIN),
     "exact_dup_groups": (q_exact_dup_groups, _SQL_EXACT_DUP_GROUPS),

@@ -196,19 +196,27 @@ def materialize_pages(
         return path
     os.makedirs(out_dir, exist_ok=True)
     pdf = build_pages_pandas(docs, n_pages, seed)
-    table = pa.Table.from_pandas(pdf, preserve_index=False)
-    table = table.cast(
-        pa.schema(
-            [
-                pa.field("url", pa.string(), nullable=False),
-                pa.field("warc_ts", pa.timestamp("us")),
-                pa.field("html", pa.binary()),
-                pa.field("text", pa.string()),
-                pa.field("lang", pa.string()),
-            ]
-        )
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string(), nullable=False),
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
     )
+    # write a MULTI-FILE dataset (like a real crawl's many WARC-derived
+    # files): a single parquet file is one Spark scan task no matter the
+    # core count, which serializes the scan stage of every downstream job
+    n_files = max(1, min(64, n_pages // 625))
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    os.makedirs(tmp, exist_ok=True)
+    chunk = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if part.empty:
+            continue
+        table = pa.Table.from_pandas(part, preserve_index=False).cast(schema)
+        pq.write_table(table, os.path.join(tmp, f"part-{i:05d}.parquet"))
     os.replace(tmp, path)
     return path

@@ -44,7 +44,8 @@ def test_streaming_extraction_commits_snapshot(spark, pages_path, tmp_path):
     from ocr_model_spark.streaming.pipeline import streaming_extraction
 
     out = str(tmp_path / "stream_snap")
-    streaming_extraction(spark, os.path.dirname(pages_path), out)
+    # pages_path is a multi-file dataset directory — stream it directly
+    streaming_extraction(spark, pages_path, out)
     snap = spark.read.parquet(out)
     assert snap.count() == 300
     lin = spark.read.parquet(out + "/_lineage")

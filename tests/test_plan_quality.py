@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the properties that make the engine scale.
+
+These guard against regressions Catalyst won't warn about: a filter that
+stops reaching the scan, the extraction UDF leaking onto rows that don't
+need it, or expression stages falling out of whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_model_spark.operators.extract import extract_pages
+from ocr_model_spark.sources.pages import read_pages
+
+
+import contextlib
+import io
+
+
+def _explain(df, mode: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _plan(df) -> str:
+    return _explain(df, "simple")
+
+
+def _formatted(df) -> str:
+    return _explain(df, "formatted")
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, pages_path):
+    df = read_pages(spark, pages_path).filter(
+        F.col("warc_ts") >= "2024-03-01 01:00:00"
+    ).select("url", "warc_ts")
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(warc_ts), GreaterThanOrEqual(warc_ts" in plan
+    # column pruning: html must NOT be read for a (url, warc_ts) projection
+    assert "html" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_extraction_udf_is_gated(spark, pages_path):
+    docs = extract_pages(spark.read.parquet(pages_path))
+    plan = _plan(docs)
+    # exactly one Arrow-Python stage: the hot branch; the cold branch is
+    # pure expressions
+    assert plan.count("ArrowEvalPython") == 1
+    # the hot branch filters on the sniffed type BEFORE the UDF
+    assert "unionbyname" in plan.lower() or "Union" in plan
+
+
+def test_expression_queries_are_codegen(spark):
+    from ocr_model_spark.queries import q_quality_scores, q_tpch_q1
+
+    # AQE hides codegen annotations until execution — disable just for the
+    # plan inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _formatted(q_tpch_q1(spark, "/root/testdata/sf0.001"))
+        # '*'-prefixed nodes = inside a WholeStageCodegen span
+        assert "* HashAggregate" in plan and "* ColumnarToRow" in plan
+        q = _formatted(q_quality_scores(spark, "/root/testdata/sf0.001"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # text analytics stay JVM-side: vectorized scan, zero Python eval nodes
+    for p in (plan, q):
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Batched: true" in q
+
+
+def test_broadcast_join_chosen_for_small_dims(spark):
+    from ocr_model_spark.queries import q_revenue_by_nation
+
+    plan = _plan(q_revenue_by_nation(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
