@@ -25,7 +25,8 @@ def _consume(df) -> int:
     unused projections — including the extraction pandas UDF and unused
     aggregate expressions — and the benchmark would measure nothing."""
     row_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-    return df.select(row_hash.alias("h")).agg(F.sum("h")).first()[0] or 0
+    # bit_xor: overflow-free combine (ANSI mode rejects sum() of longs)
+    return df.select(row_hash.alias("h")).agg(F.expr("bit_xor(h)")).first()[0] or 0
 
 
 def main() -> None:

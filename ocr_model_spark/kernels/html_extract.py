@@ -103,7 +103,13 @@ def _is_boiler(attrs: dict[str, str]) -> bool:
 
 
 class _TreeBuilder(HTMLParser):
-    """Tolerant DOM builder: never raises on malformed markup."""
+    """Tolerant DOM builder: never raises on malformed markup.
+
+    Kept as the REFERENCE parser (stdlib ``html.parser`` callbacks); the hot
+    path uses :func:`_fast_build`, a regex scanner feeding the exact same
+    tree-building rules — a test pins the two to identical output on the
+    synthetic corpus.
+    """
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -111,40 +117,138 @@ class _TreeBuilder(HTMLParser):
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
-        tag = tag.lower()
-        if tag in _VOID_TAGS:
-            if tag == "br":
-                self.stack[-1].children.append(" ")
-            return
-        # implicit close of p/li when a block starts inside them
-        while (
-            len(self.stack) > 1
-            and self.stack[-1].tag in ("p", "li", "dt", "dd")
-            and tag in _AUTOCLOSE_TRIGGERS
-        ):
-            self.stack.pop()
-        node = _Node(tag, dict(attrs))
-        node.boiler = _is_boiler(node.attrs)
-        self.stack[-1].children.append(node)
-        self.stack.append(node)
+        _open_tag(self.stack, tag.lower(), dict(attrs))
 
     def handle_startendtag(self, tag, attrs):
         if tag.lower() == "br":
             self.stack[-1].children.append(" ")
 
     def handle_endtag(self, tag):
-        tag = tag.lower()
-        if tag in _VOID_TAGS:
-            return
-        # pop to the matching open tag if present; ignore stray end tags
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
-                return
+        _close_tag(self.stack, tag.lower())
 
     def handle_data(self, data):
         if data:
             self.stack[-1].children.append(data)
+
+
+_P_LIKE = frozenset(("p", "li", "dt", "dd"))
+
+
+def _open_tag(stack: list, tag: str, attrs: dict[str, str]) -> None:
+    if tag in _VOID_TAGS:
+        if tag == "br":
+            stack[-1].children.append(" ")
+        return
+    # implicit close of p/li when a block starts inside them
+    if tag in _AUTOCLOSE_TRIGGERS:
+        while len(stack) > 1 and stack[-1].tag in _P_LIKE:
+            stack.pop()
+    node = _Node(tag, attrs)
+    node.boiler = bool(attrs) and _is_boiler(attrs)
+    stack[-1].children.append(node)
+    stack.append(node)
+
+
+def _close_tag(stack: list, tag: str) -> None:
+    if tag in _VOID_TAGS:
+        return
+    # pop to the matching open tag if present; ignore stray end tags
+    for i in range(len(stack) - 1, 0, -1):
+        if stack[i].tag == tag:
+            del stack[i:]
+            return
+
+
+# --------------------------------------------------------- fast scanner
+
+# one pass over the markup: tags, comments, declarations; stdlib html.parser
+# spends ~85% of kernel time on per-position bookkeeping we don't need
+_FAST_TAG_RE = re.compile(
+    r"<(?:"
+    r"!--.*?(?:-->|$)"  # comments
+    r"|!\[CDATA\[.*?(?:\]\]>|$)"  # cdata
+    r"|[!?][^>]*>?"  # doctype / processing instructions
+    r"|(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"  # 1: end-slash, 2: tag name
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"  # 3: attr blob
+    r"(/?)>"  # 4: self-closing slash
+    r")",
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"(class|id|role)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I
+)
+_RAWTEXT_CLOSE = {
+    t: re.compile(f"</{t}[\\s>]", re.I) for t in ("script", "style", "textarea", "title")
+}
+
+
+def _fast_build(raw: str) -> _Node:
+    """Regex-scan ``raw`` into the same tree :class:`_TreeBuilder` builds.
+
+    Tolerant: unmatched ``<`` is literal text; unterminated constructs
+    consume to end-of-input. Entities are unescaped in text (same as
+    ``convert_charrefs=True``)."""
+    from html import unescape
+
+    root = _Node("#root")
+    stack = [root]
+    pos = 0
+    n = len(raw)
+    find = raw.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            chunk = raw[pos:]
+            if chunk:
+                stack[-1].children.append(unescape(chunk) if "&" in chunk else chunk)
+            break
+        if lt > pos:
+            chunk = raw[pos:lt]
+            stack[-1].children.append(unescape(chunk) if "&" in chunk else chunk)
+        m = _FAST_TAG_RE.match(raw, lt)
+        if not m:
+            stack[-1].children.append("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        slash, tag, blob, selfclose = m.group(1, 2, 3, 4)
+        if tag is None:
+            continue  # comment / doctype / PI
+        tag = tag.lower()
+        if slash:  # end tag
+            _close_tag(stack, tag)
+            continue
+        blob = blob or ""
+        attrs: dict[str, str] = {}
+        if blob and ("class" in blob or "id" in blob or "role" in blob or "Class" in blob or "ID" in blob):
+            for am in _ATTR_RE.finditer(blob):
+                val = am.group(2) or am.group(3) or am.group(4) or ""
+                attrs[am.group(1).lower()] = unescape(val) if "&" in val else val
+        if selfclose:
+            if tag == "br":
+                stack[-1].children.append(" ")
+            continue
+        # raw-text elements: consume to the matching close without tokenizing
+        if tag in _RAWTEXT_CLOSE:
+            _open_tag(stack, tag, attrs)
+            cm = _RAWTEXT_CLOSE[tag].search(raw, pos)
+            if cm is None:
+                content = raw[pos:]
+                pos = n
+            else:
+                content = raw[pos : cm.start()]
+                gt = find(">", cm.start())
+                pos = (gt + 1) if gt >= 0 else n
+            if content:
+                # title content is real text; script/style bodies are data
+                # too (the tree walk ignores those subtrees)
+                stack[-1].children.append(
+                    unescape(content) if "&" in content else content
+                )
+            _close_tag(stack, tag)
+            continue
+        _open_tag(stack, tag, attrs)
+    return root
 
 
 # ------------------------------------------------------------- tree metrics
@@ -311,11 +415,9 @@ def extract_html(data: bytes) -> dict:
             "error": f"decode-failed: {e.reason}",
             "regions": [],
         }
-    builder = _TreeBuilder()
     try:
-        builder.feed(raw)
-        builder.close()
-    except Exception as e:  # html.parser is tolerant; belt and braces
+        root = _fast_build(raw)
+    except Exception as e:  # tolerant by construction; belt and braces
         return {
             "text": "",
             "title": None,
@@ -325,7 +427,7 @@ def extract_html(data: bytes) -> dict:
             "regions": [],
         }
     regions: list[dict] = []
-    _harvest(builder.root, regions)
+    _harvest(root, regions)
     # document text: regions joined with "\n\n" (reference page-join rule);
     # span offsets are char offsets into this exact string.
     offset = 0
@@ -338,7 +440,7 @@ def extract_html(data: bytes) -> dict:
         parts.append(r["text"])
     return {
         "text": "\n\n".join(parts),
-        "title": _find_title(builder.root),
+        "title": _find_title(root),
         "encoding": encoding,
         "ok": True,
         "error": None,

@@ -1,0 +1,87 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no event-stream state (its queue is per-document), but the
+engine's streaming surface needs one custom stateful operator for crawl
+monitoring: **running per-host ingest counters** — for each url_host, the
+cumulative (docs, failures, bytes) across ALL micro-batches, emitted once
+per batch the host appears in. This is state Spark's built-in windowed aggs
+can't express incrementally in update mode with arbitrary logic, which is
+exactly the ``applyInPandasWithState`` niche.
+
+State schema is a single struct row per host; timeouts are disabled (crawl
+counters never expire). Works under ``availableNow`` for tests and under a
+real trigger in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url_host", T.StringType()),
+        T.StructField("total_docs", T.LongType()),
+        T.StructField("total_failed", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total_docs", T.LongType()),
+        T.StructField("total_failed", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+    ]
+)
+
+
+def _update_host(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    docs = failed = nbytes = 0
+    for pdf in pdfs:
+        docs += len(pdf)
+        failed += int((~pdf["ok"]).sum())
+        nbytes += int(pdf["n_bytes"].sum())
+    if state.exists:
+        pd_, pf_, pb_ = state.get
+        docs, failed, nbytes = docs + pd_, failed + pf_, nbytes + pb_
+    state.update((docs, failed, nbytes))
+    yield pd.DataFrame(
+        [
+            {
+                "url_host": key[0],
+                "total_docs": docs,
+                "total_failed": failed,
+                "total_bytes": nbytes,
+            }
+        ]
+    )
+
+
+def host_ingest_counters(pages_stream: DataFrame) -> DataFrame:
+    """streaming pages(url, html, …) → per-host cumulative counters.
+
+    ``pages_stream`` must be a STREAMING DataFrame with url + html columns;
+    the projection to (host, ok-ish flag, byte count) happens JVM-side —
+    only three narrow columns reach the stateful python stage."""
+    from ocr_model_spark.operators.dispatch import doc_type_col
+
+    slim = pages_stream.select(
+        F.expr("parse_url(url, 'HOST')").alias("url_host"),
+        doc_type_col(F.col("html")).isin("pdf", "html", "text").alias("ok"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
+    )
+    return slim.groupBy("url_host").applyInPandasWithState(
+        _update_host,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -133,3 +133,36 @@ def test_unextractable_types_fail_gracefully():
     r = extract_document(b"\x89PNG\r\n\x1a\n1234")
     assert r["doc_type"] == "image" and not r["ok"] and "engine-unavailable" in r["error"]
     assert extract_document(b"")["error"] == "empty-payload"
+
+
+def test_fast_scanner_matches_stdlib_parser():
+    """The regex scanner must build the same tree (same extraction output)
+    as the stdlib html.parser reference path, across the synthetic corpus."""
+    import pandas as pd
+
+    from ocr_model_spark.kernels import html_extract as hx
+    from ocr_model_spark.sources.synth import build_pages_pandas
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = build_pages_pandas(docs, 150, seed=7)
+
+    def extract_with(root):
+        regs: list = []
+        hx._harvest(root, regs)
+        return regs, hx._find_title(root)
+
+    checked = 0
+    for payload in pages["html"]:
+        b = bytes(payload)
+        if b.startswith((b"%PDF", b"\x89PNG")):
+            continue
+        try:
+            raw = b.decode("utf-8")
+        except UnicodeDecodeError:
+            raw = b.decode("latin-1")
+        builder = hx._TreeBuilder()
+        builder.feed(raw)
+        builder.close()
+        assert extract_with(hx._fast_build(raw)) == extract_with(builder.root)
+        checked += 1
+    assert checked > 100
