@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_model_spark.operators.multimodal import media_metadata
-from ocr_model_spark.operators.similarity import lsh_cosine_topk
+from ocr_model_spark.operators.similarity import ivf_cosine_topk, lsh_cosine_topk
 from ocr_model_spark.pipeline import run_extraction
 from ocr_model_spark.queries import SQL_QUERIES
 from ocr_model_spark.sources.synth import materialize_pages
@@ -92,6 +92,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=6).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_multimodal_media_meta(spark, sf_dir):
     pages = spark.read.parquet(pages_for(sf_dir))
     images = pages.filter(F.substring("html", 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"))
@@ -115,6 +125,7 @@ ROWS_ONLY_QUERIES = {
     "extract_region_rows": q_extract_region_rows,
     "extract_lineage": q_extract_lineage,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_media_meta": q_multimodal_media_meta,
 }
 

@@ -27,6 +27,7 @@ EMPTY_RESULT = {
     "encoding": None,
     "ok": False,
     "error": None,
+    "metadata": {},
     "regions": [],
 }
 
@@ -57,6 +58,7 @@ def _extract_text_plain(data: bytes) -> dict:
         "encoding": encoding,
         "ok": True,
         "error": None,
+        "metadata": {"encoding": encoding},
         "regions": regions,
     }
 
@@ -75,5 +77,6 @@ def extract_document(data: bytes | None, max_pages: int | None = None) -> dict:
         out = _extract_text_plain(data)
     else:  # IMAGE / DOCX / UNKNOWN: engines not present in this build
         out = dict(EMPTY_RESULT, error=f"engine-unavailable:{doc_type}")
+    out.setdefault("metadata", {})  # error branches may omit it
     out["doc_type"] = doc_type
     return out

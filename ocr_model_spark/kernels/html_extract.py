@@ -444,5 +444,6 @@ def extract_html(data: bytes) -> dict:
         "encoding": encoding,
         "ok": True,
         "error": None,
+        "metadata": {"n_regions": str(len(regions))},
         "regions": regions,
     }

@@ -243,5 +243,11 @@ def extract_pdf(data: bytes, max_pages: int | None = None) -> dict:
         "encoding": None,
         "ok": True,
         "error": None,
+        # S10 metadata subset (reference: pdf_processor.py:238-274 extracts
+        # title/author/page_count/has_toc; the synthetic subset carries counts)
+        "metadata": {
+            "page_count": str(len(pages)),
+            "block_count": str(len(regions)),
+        },
         "regions": regions,
     }

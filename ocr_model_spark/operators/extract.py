@@ -46,6 +46,7 @@ EXTRACT_TYPE = T.StructType(
         T.StructField("encoding", T.StringType()),
         T.StructField("ok", T.BooleanType()),
         T.StructField("error", T.StringType()),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
         T.StructField("regions", T.ArrayType(REGION_TYPE)),
     ]
 )
@@ -82,6 +83,7 @@ def _empty_extract_struct(doc_type: Column, error: str) -> Column:
         F.lit(None).cast("string").alias("encoding"),
         F.lit(False).alias("ok"),
         F.lit(error).alias("error"),
+        F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("metadata"),
         F.lit(None).cast(T.ArrayType(REGION_TYPE)).alias("regions"),
     )
 
@@ -131,6 +133,7 @@ def extract_pages(pages: DataFrame) -> DataFrame:
         F.col("extracted.encoding").alias("encoding"),
         F.col("extracted.title").alias("title"),
         F.col("extracted.text").alias("text_extracted"),
+        F.col("extracted.metadata").alias("metadata"),
         F.col("extracted.regions").alias("regions"),
         "provenance",
     )

@@ -90,6 +90,93 @@ def hyperplane_signature(vec: Column, n_planes: int, dim: int) -> Column:
     return F.concat(*bits)
 
 
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, probe only
+    the ``n_probe`` nearest cells per query, exact cosine within them.
+
+    Centroid selection is DETERMINISTIC (the corpus vectors with the
+    smallest md5-derived id hash — a seedless reservoir); on a real corpus
+    replace with k-means|| trained offline, the serving plan is identical:
+    broadcast centroids → one argmax expression per row → equi-join on
+    cell id → per-cell exact scoring. One shuffle, no crossJoin — the same
+    shape IVF indexes give you in a vector database."""
+    from pyspark.sql import functions as _F
+
+    from ocr_model_spark.operators.dedup import stable_hash
+
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("_h", stable_hash(F.col("cid").cast("string")))
+        .orderBy("_h", "cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_arrays = [
+        (i, F.array(*[F.lit(float(x)) for x in row["cv"]])) for i, row in enumerate(cents)
+    ]
+
+    def cell_scores(vec: Column) -> Column:
+        # array of struct(sim, cell) — array_sort orders lexicographically,
+        # so sim-first structs sort by similarity with cell id tiebreak
+        return F.array(
+            *[
+                F.struct(
+                    F.round(cosine(vec, cv), 8).alias("sim"), F.lit(i).alias("cell")
+                )
+                for i, cv in cent_arrays
+            ]
+        )
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.element_at(F.array_sort(cell_scores(F.col(vec_col)), _desc_sim), 1)["cell"].alias(
+            "cell"
+        ),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.slice(F.array_sort(cell_scores(F.col(vec_col)), _desc_sim), 1, n_probe).alias(
+            "_cells"
+        ),
+    ).select(
+        "query_id", "qv", F.explode(F.transform("_cells", lambda c: c["cell"])).alias("cell")
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), round_to).alias("sim"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "sim", "rank")
+
+
+def _desc_sim(a: Column, b: Column) -> Column:
+    """Comparator: descending by sim, ascending cell id for ties."""
+    return (
+        F.when(a["sim"] > b["sim"], -1)
+        .when(a["sim"] < b["sim"], 1)
+        .when(a["cell"] < b["cell"], -1)
+        .when(a["cell"] > b["cell"], 1)
+        .otherwise(0)
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -110,6 +110,37 @@ def run_extraction(
     }
 
 
+def run_versioned(
+    spark: SparkSession,
+    pages_path: str,
+    base: str,
+    params: dict | None = None,
+    num_partitions: int | None = None,
+) -> int | None:
+    """Extraction with the versioned-manifest snapshot protocol
+    (sources/snapshots.py): resume keyed on (url, content hash, params
+    fingerprint), atomic manifest commit, lineage embedded in the manifest.
+    Returns the committed version, or None when nothing new to process."""
+    import hashlib
+    import json as _json
+
+    from ocr_model_spark.sources.snapshots import commit_version, resume_against_snapshot
+
+    fp = hashlib.sha256(
+        _json.dumps(params or {}, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    pages = read_pages(spark, pages_path).withColumn("input_file", F.input_file_name())
+    pages = resume_against_snapshot(pages, spark, base, fp)
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    pages = salted_repartition(pages, num_partitions)
+    docs = extract_pages(pages).withColumn("params_fingerprint", F.lit(fp))
+    lineage = partition_lineage(docs)
+    if docs.limit(1).count() == 0:
+        return None
+    return commit_version(docs.drop("regions"), lineage, base, fp)
+
+
 def commit_snapshot(results: dict[str, DataFrame], out_dir: str) -> None:
     """Commit docs + lineage for resume. The FIRST commit creates the
     snapshot; later commits APPEND their delta (a resumed run processes only
