@@ -164,7 +164,14 @@ FROM events GROUP BY 1 ORDER BY bucket
 
 
 def q_user_sessions(spark, sf_dir):
-    e = _t(spark, sf_dir, "events").withColumn("sec", F.col("ts").cast("timestamp_ltz").cast("double"))
+    # microseconds since a fixed NTZ epoch: session-timezone-INDEPENDENT
+    # (an ltz cast would shift with the driver's session TZ and diverge from
+    # the DuckDB oracle)
+    e = _t(spark, sf_dir, "events").withColumn(
+        "sec",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+        / 1000000.0,
+    )
     s = W.sessionize(e, ["user_id"], "sec", 1800.0)
     return (
         s.groupBy("user_id")
@@ -176,8 +183,9 @@ def q_user_sessions(spark, sf_dir):
 _SQL_USER_SESSIONS = """
 WITH e AS (
     SELECT user_id,
-           CAST(epoch(ts) AS DOUBLE) AS sec,
-           LAG(CAST(epoch(ts) AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS DOUBLE)) AS prev
+           date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 1000000.0 AS sec,
+           LAG(date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 1000000.0)
+               OVER (PARTITION BY user_id ORDER BY ts) AS prev
     FROM events
 )
 SELECT user_id,

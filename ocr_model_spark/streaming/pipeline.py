@@ -38,6 +38,12 @@ def streaming_windowed_counts(
     sum_value)."""
     import os
 
+    # window() computes over TIMESTAMP (ltz): pin the session TZ to UTC for
+    # the duration so the NTZ→LTZ casts are value-preserving regardless of
+    # the caller's session configuration (oracle comparisons depend on it)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     schema = spark.read.parquet(events_path).schema
     name = f"win_counts_{uuid.uuid4().hex[:8]}"  # sink name only, not data
     # the file stream source requires a directory: stream the parent dir
@@ -60,15 +66,18 @@ def streaming_windowed_counts(
             "sum_value",
         )
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    try:
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 def streaming_extraction(
