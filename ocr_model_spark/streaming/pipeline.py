@@ -94,9 +94,16 @@ def streaming_extraction(
             {"docs": docs, "lineage": partition_lineage(docs)}, out_dir
         )
 
+    import os
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if os.path.isfile(pages_path):
+        # the file stream source requires a directory
+        parent, base_name = os.path.split(pages_path.rstrip("/"))
+        reader = reader.option("pathGlobFilter", base_name)
+        pages_path = parent
     q = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .parquet(pages_path)
+        reader.parquet(pages_path)
         .writeStream.foreachBatch(sink)
         .trigger(availableNow=True)
         # sibling dir: the snapshot writer owns out_dir and would clobber a
