@@ -459,6 +459,31 @@ ORDER BY nation, segment
 """
 
 
+def q_daily_type_pivot(spark, sf_dir):
+    """Pivot: one column per event_type, counts per day (fixed column set so
+    the schema is data-independent — required at scale AND for the oracle)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "login", "purchase", "view"]
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+_SQL_DAILY_TYPE_PIVOT = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'login') AS login,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
 # =====================================================================
 # layout queries over derived tokens (W1/W2/J3, P4/J2)
 # =====================================================================
@@ -856,6 +881,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "pagination": (q_pagination, _SQL_PAGINATION),
     "set_intersect_except": (q_set_intersect_except, _SQL_SET_INTERSECT_EXCEPT),
     "revenue_rollup": (q_revenue_rollup, _SQL_REVENUE_ROLLUP),
+    "daily_type_pivot": (q_daily_type_pivot, _SQL_DAILY_TYPE_PIVOT),
     "token_layout_cells": (q_token_layout_cells, _SQL_TOKEN_LAYOUT_CELLS),
     "spatial_join": (q_spatial_join, _SQL_SPATIAL_JOIN),
     "exact_dup_groups": (q_exact_dup_groups, _SQL_EXACT_DUP_GROUPS),
