@@ -41,8 +41,13 @@ def main() -> None:
     spark = get_spark(app_name="ocr_model_spark_bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # synthesize (cached) the pages table OUTSIDE the timed section
-    pages_path = pages_for(sf_dir)
+    # synthesize (cached) the pages table OUTSIDE the timed section; at
+    # bench scale use a corpus big enough that fixed job overhead (~1.5s)
+    # doesn't dominate the throughput number
+    n_pages = int(os.environ.get("BENCH_PAGES", "40000")) if sf_dir.rstrip("/").endswith(
+        "sf0.1"
+    ) else None
+    pages_path = pages_for(sf_dir, n_pages=n_pages)
     n_pages = spark.read.parquet(pages_path).count()
 
     # warm up the python worker pool + JIT with a slice of the real job so

@@ -200,11 +200,19 @@ def _fast_build(raw: str) -> _Node:
         if lt < 0:
             chunk = raw[pos:]
             if chunk:
-                stack[-1].children.append(unescape(chunk) if "&" in chunk else chunk)
+                if chunk.isspace():
+                    stack[-1].children.append(" ")  # normalization-equivalent
+                else:
+                    stack[-1].children.append(unescape(chunk) if "&" in chunk else chunk)
             break
         if lt > pos:
             chunk = raw[pos:lt]
-            stack[-1].children.append(unescape(chunk) if "&" in chunk else chunk)
+            # whitespace-only runs collapse to a shared one-space constant
+            # (identical after normalization; avoids per-chunk allocations)
+            if chunk.isspace():
+                stack[-1].children.append(" ")
+            else:
+                stack[-1].children.append(unescape(chunk) if "&" in chunk else chunk)
         m = _FAST_TAG_RE.match(raw, lt)
         if not m:
             stack[-1].children.append("<")

@@ -86,21 +86,33 @@ def run_extraction(
     pages_path: str,
     snapshot_dir: str | None = None,
     num_partitions: int | None = None,
+    salt: bool = False,
 ) -> dict[str, DataFrame]:
-    """Build the full lazy plan. Returns {'docs','rows','summary','lineage'}."""
+    """Build the full lazy plan. Returns {'docs','rows','summary','lineage'}.
+
+    **Payloads never shuffle.** The extraction kernel runs on SCAN
+    partitions: per-document cost is uniform, so scan splits are already
+    balanced and shuffling the fat ``html`` bytes first would bottleneck on
+    shuffle bandwidth, not CPU (measured: at 400k docs the pre-extraction
+    shuffle capped 4→16-core scaling at 0.58; scan-partitioned extraction
+    restores it). Downstream aggregations shuffle only map-side partials.
+
+    ``salt=True`` applies the deterministic (url_host, salt) repartition to
+    the PAGES when a consumer genuinely needs host-keyed row-level work
+    colocated (per-host sessionization etc.); skewed hosts then spread over
+    salt buckets. ``num_partitions`` forces a pre-UDF width only for
+    pathological inputs (one giant unsplittable file)."""
     pages = read_pages(spark, pages_path)
-    # capture scan-time lineage before any shuffle destroys it
+    # capture scan-time lineage before anything else
     pages = pages.withColumn("input_file", F.input_file_name())
     prev = None
     if snapshot_dir and os.path.exists(os.path.join(snapshot_dir, "_SUCCESS")):
         prev = spark.read.parquet(snapshot_dir)
     pages = resume_filter(pages, prev)
-    if num_partitions is None:
-        # pin the partition count: AQE would coalesce a small shuffle to ~1
-        # partition and serialize the (CPU-bound) extraction UDF stage; the
-        # pandas-UDF stage must always span the worker pool
-        num_partitions = spark.sparkContext.defaultParallelism * 2
-    pages = salted_repartition(pages, num_partitions)
+    if salt:
+        pages = salted_repartition(pages, num_partitions)
+    elif num_partitions is not None:
+        pages = pages.repartition(num_partitions)
     docs = extract_pages(pages)
     return {
         "docs": docs,
@@ -131,9 +143,10 @@ def run_versioned(
     ).hexdigest()[:16]
     pages = read_pages(spark, pages_path).withColumn("input_file", F.input_file_name())
     pages = resume_against_snapshot(pages, spark, base, fp)
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 2
-    pages = salted_repartition(pages, num_partitions)
+    if num_partitions is not None:
+        pages = pages.repartition(num_partitions)
+    # extraction runs on scan partitions — payloads never shuffle (see
+    # run_extraction docstring)
     docs = extract_pages(pages).withColumn("params_fingerprint", F.lit(fp))
     lineage = partition_lineage(docs)
     if docs.limit(1).count() == 0:

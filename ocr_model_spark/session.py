@@ -4,8 +4,10 @@ Tuned for the target workload (fat ``html BINARY`` rows through Arrow-batched
 pandas UDFs, skewed url-host key space, 100 TB-class scans):
 
   * AQE on (+ skew-join + partition coalescing) — runtime re-planning;
-  * Arrow enabled with a SMALL ``maxRecordsPerBatch`` because html payloads
-    are kilobytes-to-megabytes each (SURVEY.md §4: 64–256 rows/batch);
+  * Arrow ``maxRecordsPerBatch`` sized for the payload: 512 rows is the
+    measured optimum for few-KB pages (14k vs 9.9k docs/sec at 128); drop to
+    64–128 when pages run to megabytes (SURVEY.md §4) — batch bytes, not
+    batch rows, are what must fit comfortably in the python worker;
   * shuffle partitions sized to cores locally — on a real cluster this is
     set to ~2-3× total executor cores via spark-submit conf;
   * UTC session timezone so DuckDB-oracle comparisons are stable;
@@ -23,7 +25,7 @@ def get_spark(
     app_name: str = "ocr_model_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 128,
+    arrow_batch_rows: int = 512,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
