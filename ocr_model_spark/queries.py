@@ -860,6 +860,75 @@ FROM words ORDER BY doc_id
 """
 
 
+def q_corpus_filter_verdict(spark, sf_dir):
+    """The composed training-data filter a webtext pipeline actually ships:
+    keep a document iff quality ≥ 0.3 AND it is not the dropped side of a
+    near-duplicate pair (LSH candidates; keep the smaller doc_id — the
+    standard deterministic tie-break). One relational plan composing the
+    quality scorer and the MinHash-LSH candidate generator."""
+    d = _t(spark, sf_dir, "documents")
+    quality = d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+    losers = (
+        D.minhash_candidates(d, "doc_id", "text")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup_loser", F.lit(True))
+    )
+    return (
+        quality.join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce("near_dup_loser", F.lit(False)).alias("near_dup_loser"),
+            F.when(
+                (F.col("quality") >= 0.3) & ~F.coalesce("near_dup_loser", F.lit(False)),
+                F.lit("keep"),
+            )
+            .otherwise(F.lit("drop"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_filter_sql() -> str:
+    # compose the candidate SQL (strip its trailing ORDER BY) with the
+    # quality CTEs — same building blocks, one statement
+    candidates = _minhash_candidates_sql().strip().rstrip().removesuffix("ORDER BY id_a, id_b")
+    return f"""
+WITH cand AS ({candidates}),
+losers AS (SELECT DISTINCT id_b AS doc_id, TRUE AS near_dup_loser FROM cand),
+feat AS (
+    SELECT doc_id,
+           LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS length_f,
+           CASE WHEN length(text) > 0
+                THEN ROUND(CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                           / length(text), 6)
+                ELSE 0.0 END AS punct_ratio,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+), scored AS (
+    SELECT doc_id,
+           ROUND(GREATEST(0.0,
+               length_f * (CASE WHEN (CASE WHEN len(w) > 0
+                    THEN ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6)
+                    ELSE 0.0 END) >= 3.0
+                AND (CASE WHEN len(w) > 0
+                    THEN ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6)
+                    ELSE 0.0 END) <= 10.0 THEN 1.0 ELSE 0.5 END)
+               - LEAST(0.5, 2.0 * punct_ratio)), 6) AS quality
+    FROM feat
+)
+SELECT s.doc_id, s.quality,
+       COALESCE(l.near_dup_loser, FALSE) AS near_dup_loser,
+       CASE WHEN s.quality >= 0.3 AND NOT COALESCE(l.near_dup_loser, FALSE)
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM scored s LEFT JOIN losers l ON s.doc_id = l.doc_id
+ORDER BY s.doc_id
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -893,4 +962,5 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "text_profile": (q_text_profile, _SQL_TEXT_PROFILE),
     "quality_scores": (q_quality_scores, _SQL_QUALITY_SCORES),
     "doc_fingerprints": (q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
+    "corpus_filter_verdict": (q_corpus_filter_verdict, _corpus_filter_sql()),
 }
