@@ -62,9 +62,12 @@ def main() -> None:
     # ~10× more than recomputing the (cheap, warm) extraction per consumer
     res = run_extraction(spark, pages_path)
     n_docs = res["docs"].count()  # cheap: UDF pruned for a bare count
-    t0 = time.perf_counter()
-    _consume(res["docs"])
-    extract_sec = time.perf_counter() - t0
+    extract_sec = None
+    for _ in range(2):  # best-of-2: steady-state throughput, not first-run jit
+        t0 = time.perf_counter()
+        _consume(res["docs"])
+        dt = time.perf_counter() - t0
+        extract_sec = dt if extract_sec is None else min(extract_sec, dt)
     timings["extraction_docs"] = round(extract_sec, 3)
     for part in ("rows", "lineage"):
         t0 = time.perf_counter()

@@ -222,9 +222,14 @@ def _fast_build(raw: str) -> _Node:
         slash, tag, blob, selfclose = m.group(1, 2, 3, 4)
         if tag is None:
             continue  # comment / doctype / PI
-        tag = tag.lower()
+        if not tag.islower():
+            tag = tag.lower()
         if slash:  # end tag
-            _close_tag(stack, tag)
+            # inline the overwhelmingly-common immediate-match close
+            if stack[-1].tag == tag and len(stack) > 1:
+                stack.pop()
+            else:
+                _close_tag(stack, tag)
             continue
         blob = blob or ""
         attrs: dict[str, str] = {}
