@@ -860,6 +860,35 @@ FROM words ORDER BY doc_id
 """
 
 
+def q_json_props_stats(spark, sf_dir):
+    """JSON scalar family (§2.8): schema-on-read over the props column —
+    the reference's results-JSON probing (results.py:361-394) as relational
+    extraction + aggregation."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.round(F.avg("k") + 1e-9, 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_JSON_PROPS_STATS = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 4) AS avg_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_corpus_filter_verdict(spark, sf_dir):
     """The composed training-data filter a webtext pipeline actually ships:
     keep a document iff quality ≥ 0.3 AND it is not the dropped side of a
@@ -963,4 +992,5 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "quality_scores": (q_quality_scores, _SQL_QUALITY_SCORES),
     "doc_fingerprints": (q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
     "corpus_filter_verdict": (q_corpus_filter_verdict, _corpus_filter_sql()),
+    "json_props_stats": (q_json_props_stats, _SQL_JSON_PROPS_STATS),
 }
