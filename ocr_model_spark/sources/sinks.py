@@ -18,7 +18,7 @@ Excel (K3) / XML (K4) / annotated-PDF (K5) are non-goals at 10^12 rows
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,6 +65,37 @@ def render_txt(rows: DataFrame) -> DataFrame:
             ),
             "\n\n",
         ).alias("rendered")
+    )
+
+
+def render_ascii_tables(cells: DataFrame) -> DataFrame:
+    """Reference TXT-export table rendering (``document_processor.py:
+    1085-1103``): per table, column widths = max cell width per column,
+    cells left-justified and ``|``-joined, one line per row.
+
+    Pure expression/window code: widths via a max window over (table, col),
+    padding via rpad, assembly via ordered collect."""
+    w_col = Window.partitionBy("url", "page_num", "region_id", "col_idx")
+    padded = cells.withColumn(
+        "_w", F.max(F.length("cell_text")).over(w_col)
+    ).withColumn("_cell", F.expr("rpad(cell_text, CAST(_w AS INT), ' ')"))
+    rows = padded.groupBy("url", "page_num", "region_id", "row_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("col_idx", "_cell"))),
+                lambda x: x["_cell"],
+            ),
+            " | ",
+        ).alias("_line")
+    )
+    return rows.groupBy("url", "page_num", "region_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("row_idx", "_line"))),
+                lambda x: x["_line"],
+            ),
+            "\n",
+        ).alias("rendered_table")
     )
 
 

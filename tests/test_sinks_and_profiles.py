@@ -56,3 +56,25 @@ def test_profiles_compose_lazily(spark, pages_path):
     assert "quality_bucket" in qual.columns
     with pytest.raises(KeyError):
         build_pipeline("default", ["nonexistent_stage"])
+
+
+def test_ascii_table_rendering(spark):
+    from ocr_model_spark.operators.tables_grouped import reconstruct_tables
+    from ocr_model_spark.sources.sinks import render_ascii_tables
+
+    rows = []
+    grid = {(0, 0): "a", (0, 1): "long cell", (1, 0): "bb", (1, 1): "c"}
+    idx = 0
+    for (r, c), txt in grid.items():
+        rows.append(("u", 1, "t", idx, txt, 50.0 + 200 * c, 100.0 + 40 * r,
+                     60.0 + 200 * c, 112.0 + 40 * r, 0.9))
+        idx += 1
+    tokens = spark.createDataFrame(
+        rows,
+        "url string, page_num int, region_id string, token_idx int, text string, "
+        "x1 double, y1 double, x2 double, y2 double, confidence double",
+    )
+    out = render_ascii_tables(reconstruct_tables(tokens)).first()
+    lines = out["rendered_table"].split("\n")
+    # ljust to the widest cell per column, '|'-joined (reference TXT export)
+    assert lines == ["a  | long cell", "bb | c        "]
