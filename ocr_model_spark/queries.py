@@ -889,6 +889,26 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_distinct_prop_keys(spark, sf_dir):
+    """U3 + map family: union of distinct keys across schemaless props maps
+    (the reference's CSV-header derivation, results.py:185-190)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(F.explode(F.map_keys(m)).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .orderBy("key")
+    )
+
+
+_SQL_DISTINCT_PROP_KEYS = """
+SELECT key, COUNT(*) AS n
+FROM (SELECT unnest(json_keys(props)) AS key FROM events)
+GROUP BY key ORDER BY key
+"""
+
+
 def q_corpus_filter_verdict(spark, sf_dir):
     """The composed training-data filter a webtext pipeline actually ships:
     keep a document iff quality ≥ 0.3 AND it is not the dropped side of a
@@ -993,4 +1013,5 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "doc_fingerprints": (q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
     "corpus_filter_verdict": (q_corpus_filter_verdict, _corpus_filter_sql()),
     "json_props_stats": (q_json_props_stats, _SQL_JSON_PROPS_STATS),
+    "distinct_prop_keys": (q_distinct_prop_keys, _SQL_DISTINCT_PROP_KEYS),
 }
