@@ -139,10 +139,10 @@ def q_doc_summary_by_source(spark, sf_dir):
 
 
 _SQL_DOC_SUMMARY = """
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        ROUND(AVG(n_chars) + 1e-9, 4) AS avg_chars,
-       SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_words
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_words
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -189,7 +189,7 @@ WITH e AS (
     FROM events
 )
 SELECT user_id,
-       SUM(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM e GROUP BY user_id ORDER BY user_id
 """
@@ -229,8 +229,8 @@ WITH d AS (
     FROM events GROUP BY 1, 2
 )
 SELECT event_type, day, n,
-       SUM(n) OVER (PARTITION BY event_type ORDER BY day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
 FROM d ORDER BY event_type, day
 """
 
@@ -356,10 +356,10 @@ def q_corpus_span_offsets(spark, sf_dir):
 
 _SQL_CORPUS_SPAN_OFFSETS = """
 SELECT doc_id, source,
-       COALESCE(SUM(n_chars + 2) OVER (PARTITION BY source ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS span_start,
-       COALESCE(SUM(n_chars + 2) OVER (PARTITION BY source ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_chars AS span_end
+       CAST(COALESCE(SUM(n_chars + 2) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS span_start,
+       CAST(COALESCE(SUM(n_chars + 2) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_chars AS BIGINT) AS span_end
 FROM documents ORDER BY doc_id
 """
 
@@ -511,8 +511,8 @@ _SQL_TOKEN_LAYOUT_CELLS = (
     + """
 , rowed AS (
     SELECT *,
-           SUM(CASE WHEN prev_cy IS NULL OR cy - prev_cy > 12.0 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY url, page_num ORDER BY cy) AS row_id
+           CAST(SUM(CASE WHEN prev_cy IS NULL OR cy - prev_cy > 12.0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY url, page_num ORDER BY cy) AS BIGINT) AS row_id
     FROM (
         SELECT *, (y1 + y2) / 2 AS cy,
                LAG((y1 + y2) / 2) OVER (PARTITION BY url, page_num ORDER BY (y1 + y2) / 2) AS prev_cy
@@ -520,8 +520,8 @@ _SQL_TOKEN_LAYOUT_CELLS = (
     )
 ), coled AS (
     SELECT *,
-           SUM(CASE WHEN prev_cx IS NULL OR cx - prev_cx > col_gap THEN 1 ELSE 0 END)
-               OVER (PARTITION BY url, page_num ORDER BY cx) AS col_id
+           CAST(SUM(CASE WHEN prev_cx IS NULL OR cx - prev_cx > col_gap THEN 1 ELSE 0 END)
+               OVER (PARTITION BY url, page_num ORDER BY cx) AS BIGINT) AS col_id
     FROM (
         SELECT *, (x1 + x2) / 2 AS cx,
                LAG((x1 + x2) / 2) OVER (PARTITION BY url, page_num ORDER BY (x1 + x2) / 2) AS prev_cx,
@@ -718,7 +718,7 @@ WITH words AS (
     FROM hashed, generate_series(0, {D.SIMHASH_BITS - 1}) AS g(bit)
     GROUP BY doc_id, g.bit
 )
-SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc_id ORDER BY doc_id
 """
 

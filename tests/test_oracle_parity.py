@@ -21,31 +21,46 @@ def duck():
     return con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _normalize(df: pd.DataFrame):
+    """Returns (normalized_df, per-column type-kind map).
+
+    The kind map is compared strictly between Spark and DuckDB: a DuckDB
+    HUGEINT (arriving as float64/object) vs a Spark BIGINT must FAIL here,
+    because the driver's value-hash gate sees them as different — the oracle
+    SQL must CAST integer SUMs to BIGINT (CORRECTNESS_r01 regression)."""
     df = df[sorted(df.columns)].copy()
+    kinds = {}
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_bool_dtype(s):
             df[c] = s.astype(bool)
+            kinds[c] = "bool"
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
+            kinds[c] = "int"
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
+            kinds[c] = "float"
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).dt.tz_localize(None)
+            kinds[c] = "datetime"
         elif s.dtype == object and len(s) and not isinstance(s.iloc[0], str):
             try:
                 df[c] = pd.to_datetime(s)
+                kinds[c] = "datetime"
             except (ValueError, TypeError):
-                pass
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+                kinds[c] = "object"
+        else:
+            kinds[c] = "object"
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True), kinds
 
 
 @pytest.mark.parametrize("name", list(SQL_QUERIES))
 def test_query_matches_oracle(name, spark, duck):
     fn, sql = SQL_QUERIES[name]
-    got = _normalize(fn(spark, SF_DIR).toPandas())
-    want = _normalize(duck.execute(sql).df())
+    got, got_kinds = _normalize(fn(spark, SF_DIR).toPandas())
+    want, want_kinds = _normalize(duck.execute(sql).df())
     assert list(got.columns) == list(want.columns), f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
+    assert got_kinds == want_kinds, f"{name}: dtype kinds diverge {got_kinds} vs {want_kinds}"
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=name)
