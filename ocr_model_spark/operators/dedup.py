@@ -106,15 +106,28 @@ def shingle_frame(
         "id",
         F.explode(F.array_distinct(shingles_of(F.col("w"), n))).alias("shingle"),
     )
+    # (id, shingle) rows are already unique — the array was array_distinct'd
+    # per document before explode — so no .distinct() here: it would be a
+    # full exchange+agg of the entire shingle frame for nothing (measured as
+    # the dominant cost of minhash_candidates). With hashed=True a 32-bit
+    # collision can duplicate an (id, sh) row, but every consumer (min() in
+    # minhash, band-key concat) is insensitive to duplicates.
     if hashed:
         out = out.select("id", stable_hash(F.col("shingle")).alias("sh"))
-    return out.distinct()
+    return out
 
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition a narrow frame to the pool width so per-row
-    CPU work parallelizes even from a one-partition scan."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    CPU work parallelizes even from a one-partition scan.
+
+    Gated: at real scale the scan is already thousands of splits and this
+    would be a pointless full-corpus shuffle — only repartition when the
+    scan is narrower than the pool."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
 
 
 def jaccard_pairs(

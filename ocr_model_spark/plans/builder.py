@@ -69,10 +69,16 @@ STAGES: dict[str, StageFn] = {
     "summary": _stage_summary,
 }
 
+# No profile salts before extract: extraction must run on SCAN partitions —
+# a pre-extraction repartition shuffles the fat html payloads and caps
+# 4→16-core scaling at 0.58 (measured; see pipeline.run_extraction).
+# ``salt_repartition`` stays registered as an OPT-IN stage for host-keyed
+# consumers that genuinely need colocated rows (pass via ``extra_stages``
+# on a post-extract frame, or ``salt=True`` on run_extraction).
 PROFILES: dict[str, list[str]] = {
-    "default": ["salt_repartition", "extract", "rows"],
-    "performance": ["salt_repartition", "extract", "summary"],
-    "quality": ["salt_repartition", "extract", "quality"],
+    "default": ["extract", "rows"],
+    "performance": ["extract", "summary"],
+    "quality": ["extract", "quality"],
 }
 
 

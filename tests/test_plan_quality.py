@@ -77,3 +77,35 @@ def test_broadcast_join_chosen_for_small_dims(spark):
     plan = _plan(q_revenue_by_nation(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_default_profile_never_shuffles_payloads(spark, pages_path):
+    """Payloads never shuffle: no Exchange anywhere in the default profile's
+    plan — extraction runs on scan partitions (measured: a pre-extract salt
+    shuffle capped 4→16-core scaling at 0.58)."""
+    from ocr_model_spark.plans.builder import build_pipeline
+
+    for profile in ("default", "quality"):
+        df = build_pipeline(profile)(read_pages(spark, pages_path))
+        plan = _plan(df)
+        assert "Exchange" not in plan, f"{profile} profile shuffles: {plan}"
+        assert "ArrowEvalPython" in plan
+    # performance profile aggregates (summary) — its one Exchange must sit
+    # ABOVE the UDF in the tree (downstream of extraction), never below
+    perf = _plan(build_pipeline("performance")(read_pages(spark, pages_path)))
+    first_udf = perf.index("ArrowEvalPython")
+    assert "Exchange" not in perf[first_udf:], "Exchange feeds the extract UDF"
+
+
+def test_minhash_signature_plan_single_exchange(spark):
+    """The signature pipeline pays exactly ONE shuffle (the groupBy on id):
+    the shingle frame must not re-introduce a .distinct() exchange, and
+    _spread must be a no-op when the input is already pool-wide."""
+    from ocr_model_spark.operators.dedup import minhash_signatures, shingle_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    # input repartition contributes 1 Exchange; shingling adds none
+    assert _plan(shingle_frame(wide, "doc_id", "text")).count("Exchange") == 1
+    # ... and signatures add exactly the groupBy exchange
+    assert _plan(minhash_signatures(wide, "doc_id", "text")).count("Exchange") == 2
