@@ -177,8 +177,11 @@ _FAST_TAG_RE = re.compile(
 _ATTR_RE = re.compile(
     r"(class|id|role)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I
 )
+# only script/style: stdlib html.parser CDATA-modes exactly these two
+# (title/textarea parse normally there, so rawtext-ing them here would
+# diverge from the pinned _TreeBuilder output on nested tags in a title)
 _RAWTEXT_CLOSE = {
-    t: re.compile(f"</{t}[\\s>]", re.I) for t in ("script", "style", "textarea", "title")
+    t: re.compile(f"</{t}[\\s>]", re.I) for t in ("script", "style")
 }
 
 
@@ -233,7 +236,11 @@ def _fast_build(raw: str) -> _Node:
             continue
         blob = blob or ""
         attrs: dict[str, str] = {}
-        if blob and ("class" in blob or "id" in blob or "role" in blob or "Class" in blob or "ID" in blob):
+        # case-insensitive guard (CLASS=/Id=/ROLE= are valid HTML); _ATTR_RE
+        # is re.I so the guard only needs to not miss, never to be exact
+        if blob and (
+            (lb := blob.lower()) and ("class" in lb or "id" in lb or "role" in lb)
+        ):
             for am in _ATTR_RE.finditer(blob):
                 val = am.group(2) or am.group(3) or am.group(4) or ""
                 attrs[am.group(1).lower()] = unescape(val) if "&" in val else val

@@ -31,8 +31,11 @@ def doc_type_col(html: Column) -> Column:
     Mirrors kernels/sniff.py exactly: PDF/PNG/JPEG/GIF/zip magic first, then
     an HTML-looking scan over the (lowercased, left-trimmed) first bytes.
     """
-    head = F.decode(F.substring(html, 1, 256), "ISO-8859-1")
-    low = F.lower(F.ltrim(head))
+    # match kernels/sniff.py exactly: 512-byte window, strip ALL leading
+    # whitespace (Spark ltrim strips only spaces — '\n<div>' would mis-sniff
+    # as text), then the first 256 chars lowercased
+    head = F.decode(F.substring(html, 1, 512), "ISO-8859-1")
+    low = F.lower(F.substring(F.regexp_replace(head, r"^\s+", ""), 1, 256))
     return (
         F.when(html.isNull() | (F.length(html) == 0), F.lit("unknown"))
         .when(_startswith(html, b"%PDF"), F.lit("pdf"))

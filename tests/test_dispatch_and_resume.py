@@ -21,6 +21,28 @@ def test_doc_type_col_matches_python_sniff(spark, pages_path):
         assert row["jvm_type"] == sniff_doc_type(bytes(row["html"])), row["url"]
 
 
+def test_doc_type_col_agrees_on_edge_payloads(spark):
+    """Whitespace-prefixed markup, >256-byte junk prefixes, bare tags: the
+    JVM expression and the Python kernel must classify identically."""
+    payloads = [
+        b"\n<div>whitespace-newline prefix</div>",
+        b"\t\r\n  <html><body>tab/cr prefix</body></html>",
+        b" " * 300 + b"<html>html beyond a 256-space prefix</html>",
+        b"\n\n<HTML><BODY>uppercase</BODY></HTML>",
+        b"plain text, no markup at all",
+        b"x < y and y > z",  # math-y text: '<' not at start
+        b"<not-a-known-tag>custom</not-a-known-tag>",
+        b"",
+        b"\xff\xfeBOM-ish binary junk",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i INT, html BINARY"
+    ).select("i", doc_type_col(F.col("html")).alias("jvm_type"))
+    got = {r["i"]: r["jvm_type"] for r in df.collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == sniff_doc_type(p), p[:40]
+
+
 def test_resume_skips_committed_work(spark, pages_path, tmp_path):
     snap = str(tmp_path / "snapshot")
     res = run_extraction(spark, pages_path, snapshot_dir=snap)

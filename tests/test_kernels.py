@@ -166,3 +166,60 @@ def test_fast_scanner_matches_stdlib_parser():
         assert extract_with(hx._fast_build(raw)) == extract_with(builder.root)
         checked += 1
     assert checked > 100
+
+
+ADVERSARIAL_HTML = [
+    # case-variant boilerplate attributes must still be parsed (CLASS= was
+    # once skipped by a case-sensitive guard → footer leaked into content)
+    '<html><body><div CLASS="footer">skip this boilerplate text entirely</div>'
+    "<p>The real article body text goes here and is long enough to keep.</p></body></html>",
+    '<div Class="sidebar"><p>navigation links and junk text here</p></div>'
+    "<p>Actual content paragraph with sufficient length to pass the filter.</p>",
+    '<div ROLE="navigation"><p>menu menu menu menu menu menu menu</p></div>'
+    "<p>Another acceptable content paragraph with plenty of characters.</p>",
+    '<div Id="comments"><p>troll comment troll comment troll comment</p></div>'
+    "<p>Body paragraph that should be the only surviving region here.</p>",
+    # nested tags inside <title>: stdlib parses them as elements, so the
+    # fast path must too (rawtext-mode title once yielded 'My <b>Site</b>')
+    "<html><head><title>My <b>Site</b></title></head>"
+    "<body><p>Content paragraph long enough for the minimum length cut.</p></body></html>",
+    "<title>Plain title</title><p>Content paragraph long enough for the minimum cut.</p>",
+    # textarea parses normally (stdlib only CDATA-modes script/style)
+    "<form><textarea><p>typed text</p></textarea></form>"
+    "<p>Visible paragraph content that is long enough to be extracted.</p>",
+    # script/style stay rawtext on both paths
+    '<script>if (a < b) { document.write("<div>x</div>"); }</script>'
+    "<p>Paragraph after a script containing angle brackets and markup.</p>",
+]
+
+
+def test_fast_scanner_matches_stdlib_on_adversarial_markup():
+    """Case-variant attributes, nested-tag titles, textarea contents: the
+    divergences ADVICE.md reproduced must stay pinned to stdlib behavior."""
+    from ocr_model_spark.kernels import html_extract as hx
+
+    def extract_with(root):
+        regs: list = []
+        hx._harvest(root, regs)
+        return regs, hx._find_title(root)
+
+    for raw in ADVERSARIAL_HTML:
+        builder = hx._TreeBuilder()
+        builder.feed(raw)
+        builder.close()
+        assert extract_with(hx._fast_build(raw)) == extract_with(builder.root), raw
+
+
+def test_uppercase_class_suppresses_boilerplate():
+    from ocr_model_spark.kernels.html_extract import extract_html
+
+    out = extract_html(ADVERSARIAL_HTML[0].encode())
+    assert "boilerplate" not in out["text"]
+    assert "real article body" in out["text"]
+
+
+def test_title_with_nested_tags_truncates_like_stdlib():
+    from ocr_model_spark.kernels.html_extract import extract_html
+
+    out = extract_html(ADVERSARIAL_HTML[4].encode())
+    assert out["title"] == "My"

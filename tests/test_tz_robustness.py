@@ -24,8 +24,9 @@ def test_matches_oracle_under_adversarial_session_tz(name, spark):
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")  # +8:45
     try:
-        got = _normalize(fn(spark, SF_DIR).toPandas())
+        got, got_kinds = _normalize(fn(spark, SF_DIR).toPandas())
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
-    want = _normalize(con.execute(sql).df())
+    want, want_kinds = _normalize(con.execute(sql).df())
+    assert got_kinds == want_kinds, f"{name}: dtype kinds diverge {got_kinds} vs {want_kinds}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=name)
