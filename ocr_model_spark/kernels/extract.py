@@ -7,8 +7,10 @@ This is the single pure function the Spark pandas UDF vectorizes
   * HTML → :func:`ocr_model_spark.kernels.html_extract.extract_html`
   * TEXT → verbatim decoded text, confidence 1.0, one region
            (``worker/document_processor.py:502-549``)
-  * IMAGE/DOCX → extraction failure in this build (OCR / python-docx engines
-    optional and absent; mirrors the reference's graceful engine degradation
+  * DOCX → :func:`ocr_model_spark.kernels.docx_extract.extract_docx`
+           (stdlib zipfile+xml; ``worker/document_processor.py:551-604``)
+  * IMAGE → extraction failure in this build (OCR engines optional and
+    absent; mirrors the reference's graceful engine degradation
     ``advanced_ocr.py:39-52``) — counted by the lineage failure counters.
 
 Deterministic: identical bytes → identical result, always.
@@ -17,6 +19,7 @@ Deterministic: identical bytes → identical result, always.
 from __future__ import annotations
 
 from ocr_model_spark.kernels import sniff
+from ocr_model_spark.kernels.docx_extract import extract_docx
 from ocr_model_spark.kernels.encoding import decode_with_fallback
 from ocr_model_spark.kernels.html_extract import extract_html
 from ocr_model_spark.kernels.pdf_extract import extract_pdf
@@ -75,7 +78,9 @@ def extract_document(data: bytes | None, max_pages: int | None = None) -> dict:
         out = extract_html(data)
     elif doc_type == sniff.TEXT:
         out = _extract_text_plain(data)
-    else:  # IMAGE / DOCX / UNKNOWN: engines not present in this build
+    elif doc_type == sniff.DOCX:
+        out = extract_docx(data)
+    else:  # IMAGE / UNKNOWN: engines not present in this build
         out = dict(EMPTY_RESULT, error=f"engine-unavailable:{doc_type}")
     out.setdefault("metadata", {})  # error branches may omit it
     out["doc_type"] = doc_type

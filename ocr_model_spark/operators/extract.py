@@ -93,7 +93,7 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     extraction struct, content hash, and provenance. Drops ``html``
     immediately after the kernel (fat binary must not cross a shuffle).
 
-    The kernel UDF is predicate-gated: image/docx/unknown payloads (which the
+    The kernel UDF is predicate-gated: image/unknown payloads (which the
     engine cannot extract in this build) never reach Python — they are
     finished by a pure-expression branch (``gated_transform``).
     """
@@ -110,7 +110,7 @@ def extract_pages(pages: DataFrame) -> DataFrame:
             F.spark_partition_id().alias("partition_id"),
         ),
     )
-    extractable = F.col("doc_type_sniffed").isin("pdf", "html", "text")
+    extractable = F.col("doc_type_sniffed").isin("pdf", "html", "text", "docx")
 
     def hot(df: DataFrame) -> DataFrame:
         return df.withColumn("extracted", extract_udf(F.col("html")))

@@ -38,6 +38,10 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_sha256", T.StringType()),
+        # sha256 of the UPPERCASE-hex payload encoding: the cross-engine
+        # content id (DuckDB 1.0 cannot hash raw BLOBs, only VARCHAR — so
+        # the oracle computes sha256(hex(blob)) and we match it here)
+        T.StructField("content_fingerprint", T.StringType()),
         T.StructField("decoder", T.StringType()),
     ]
 )
@@ -88,6 +92,9 @@ def media_metadata(media_df: DataFrame, url_col: str = "url", bin_col: str = "ht
                         "height": h,
                         "n_bytes": len(data),
                         "content_sha256": hashlib.sha256(data).hexdigest(),
+                        "content_fingerprint": hashlib.sha256(
+                            data.hex().upper().encode()
+                        ).hexdigest(),
                         "decoder": decoder,
                     }
                 )

@@ -7,13 +7,15 @@ scale yields byte-identical payloads, which is what makes the byte-identity
 pytest replay possible.
 
 Payload mix (fractions of rows, chosen per-row by a seeded RNG):
-  * ~88% HTML: boilerplate shell (nav/header/sidebar/footer with high link
+  * ~86% HTML: boilerplate shell (nav/header/sidebar/footer with high link
     density, short promo blurbs) around main content (h1 + paragraphs + list
     + blockquote with high text density) — exercises the density scorer;
   * ~8% synthetic PDFs (``%PDF`` magic + the ``%%SYNTHPAGE`` content-stream
     subset ``kernels/pdf_extract.py`` parses) — exercises the PDF branch,
     line/block grouping and the multi-page span-offset arithmetic;
   * ~2% plain text — exercises the verbatim-text branch;
+  * ~2% DOCX (real zip + WordprocessingML, fixed zip timestamps) —
+    exercises the stdlib DOCX kernel (paragraph/heading/list/table walk);
   * ~1% truncated HTML — parser tolerance path;
   * ~1% PNG magic bytes — the extraction-failure / lineage-counter path.
 
@@ -35,6 +37,9 @@ import pandas as pd
 
 _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
+# bump when the payload mix / builders change: busts materialize_pages caches
+# (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
+GEN_VERSION = 2
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -123,6 +128,87 @@ def _pdf_page_bytes(page_num: int, rng: random.Random, words: list[str]) -> byte
     return b"".join(out)
 
 
+def _xml_esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+_DOCX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>"
+)
+_DOCX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+    "</Relationships>"
+)
+
+
+def _docx_doc(rng: random.Random, words: list[str]) -> bytes:
+    """Minimal deterministic .docx: heading + paragraphs + a list + a table.
+
+    ZIP_STORED with a FIXED timestamp so the bytes are a pure function of the
+    rng stream (zip headers embed mtimes; wall clock would break
+    byte-identity replays)."""
+    import zipfile
+    from io import BytesIO
+
+    def p(text: str, style: str | None = None, numbered: bool = False) -> str:
+        ppr = ""
+        if style or numbered:
+            ppr = (
+                "<w:pPr>"
+                + (f'<w:pStyle w:val="{style}"/>' if style else "")
+                + ("<w:numPr><w:ilvl w:val=\"0\"/><w:numId w:val=\"1\"/></w:numPr>" if numbered else "")
+                + "</w:pPr>"
+            )
+        return f"<w:p>{ppr}<w:r><w:t>{_xml_esc(text)}</w:t></w:r></w:p>"
+
+    title = " ".join(words[rng.randrange(len(words))] for _ in range(4)).title()
+    paras = [" ".join(_sentences(words, rng, rng.randint(2, 4))) for _ in range(rng.randint(2, 5))]
+    items = [" ".join(_sentences(words, rng, 1)) for _ in range(rng.randint(2, 4))]
+    n_rows, n_cols = rng.randint(2, 4), rng.randint(2, 3)
+    cells = [
+        [" ".join(_sentences(words, rng, 1)) for _ in range(n_cols)] for _ in range(n_rows)
+    ]
+    body = [p(title, style="Heading1")]
+    body += [p(t) for t in paras]
+    body += [p(t, numbered=True) for t in items]
+    body.append(
+        "<w:tbl>"
+        + "".join(
+            "<w:tr>"
+            + "".join(f"<w:tc>{p(c)}</w:tc>" for c in row)
+            + "</w:tr>"
+            for row in cells
+        )
+        + "</w:tbl>"
+    )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:body>" + "".join(body) + "</w:body></w:document>"
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, content in (
+            ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
+            ("_rels/.rels", _DOCX_RELS),
+            ("word/document.xml", document),
+        ):
+            info = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zf.writestr(info, content)
+    return buf.getvalue()
+
+
 def _pdf_doc(rng: random.Random, words: list[str]) -> bytes:
     n_pages = rng.randint(1, 3)
     parts = [b"%PDF-1.4\n%%SYNTHPDF deterministic synthetic subset\n"]
@@ -150,6 +236,8 @@ def build_page_row(seed: int, i: int, base_text: str, base_lang: str) -> dict:
         html = full[: max(64, len(full) * 2 // 3)]  # truncated mid-document
     elif roll < 0.12:
         html = b"\x89PNG\r\n\x1a\n" + bytes(rng.randrange(256) for _ in range(128))
+    elif roll < 0.14:
+        html = _docx_doc(rng, words)
     else:
         accented = rng.random() < 0.03
         if accented:
@@ -191,7 +279,7 @@ def materialize_pages(
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     if n_pages is None:
         n_pages = len(docs)
-    path = os.path.join(out_dir, f"pages_seed{seed}_n{n_pages}.parquet")
+    path = os.path.join(out_dir, f"pages_seed{seed}_n{n_pages}_v{GEN_VERSION}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

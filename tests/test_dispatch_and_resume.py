@@ -70,3 +70,21 @@ def test_lineage_counts_roll_up(spark, pages_path):
     assert (lin["n_ok"] + lin["n_failed"]).equals(lin["n_docs"])
     assert lin["n_failed"].sum() > 0  # image payloads exercise the failure path
     assert (lin["input_file"].str.len() > 0).all()  # scan-time capture worked
+
+
+def test_docx_payloads_extract_with_zero_failures(spark):
+    """S9: docx routes through the kernel — lineage failure counters see no
+    docx rows, and the docx region-rows query yields typed regions."""
+    from ocr_model_spark.entry import q_docx_region_rows
+    from ocr_model_spark.pipeline import run_extraction
+    from ocr_model_spark.sources.synth import materialize_pages
+
+    path = materialize_pages("/root/testdata/sf0.001", "/tmp/docx_t", n_pages=600)
+    docs = run_extraction(spark, path)["docs"]
+    docx = docs.filter(F.col("doc_type") == "docx").toPandas()
+    assert len(docx) > 0
+    assert docx["ok"].all(), docx.loc[~docx["ok"], "error"].tolist()
+    rows = q_docx_region_rows(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(rows) > 0
+    assert set(rows["region_type"]) <= {"heading", "paragraph", "list_item", "table_row"}
+    assert {"heading", "table_row"} <= set(rows["region_type"])

@@ -223,3 +223,128 @@ def test_title_with_nested_tags_truncates_like_stdlib():
 
     out = extract_html(ADVERSARIAL_HTML[4].encode())
     assert out["title"] == "My"
+
+
+# ------------------------------------------------------------------- DOCX
+
+
+def _make_docx(paragraphs=None, table=None, heading=None, numbered=None):
+    """Hand-rolled docx for kernel tests (independent of synth's builder)."""
+    import zipfile
+    from io import BytesIO
+
+    from ocr_model_spark.sources.synth import _DOCX_CONTENT_TYPES, _DOCX_RELS, _xml_esc
+
+    body = []
+    if heading:
+        body.append(
+            f'<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+            f"<w:r><w:t>{_xml_esc(heading)}</w:t></w:r></w:p>"
+        )
+    for t in paragraphs or []:
+        body.append(f"<w:p><w:r><w:t>{_xml_esc(t)}</w:t></w:r></w:p>")
+    for t in numbered or []:
+        body.append(
+            '<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/></w:numPr></w:pPr>'
+            f"<w:r><w:t>{_xml_esc(t)}</w:t></w:r></w:p>"
+        )
+    if table:
+        body.append(
+            "<w:tbl>"
+            + "".join(
+                "<w:tr>"
+                + "".join(
+                    f"<w:tc><w:p><w:r><w:t>{_xml_esc(c)}</w:t></w:r></w:p></w:tc>"
+                    for c in row
+                )
+                + "</w:tr>"
+                for row in table
+            )
+            + "</w:tbl>"
+        )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:body>" + "".join(body) + "</w:body></w:document>"
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, content in (
+            ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
+            ("_rels/.rels", _DOCX_RELS),
+            ("word/document.xml", document),
+        ):
+            zf.writestr(zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0)), content)
+    return buf.getvalue()
+
+
+def test_docx_extract_paragraphs_tables_and_title():
+    from ocr_model_spark.kernels.docx_extract import extract_docx
+
+    data = _make_docx(
+        heading="Quarterly Report",
+        paragraphs=["First paragraph text.", "Second & <escaped> one."],
+        numbered=["alpha item", "beta item"],
+        table=[["h1", "h2"], ["a", "b"]],
+    )
+    out = extract_docx(data)
+    assert out["ok"] and out["error"] is None
+    assert out["title"] == "Quarterly Report"
+    types = [r["type"] for r in out["regions"]]
+    assert types == [
+        "heading", "paragraph", "paragraph", "list_item", "list_item",
+        "table_row", "table_row",
+    ]
+    assert out["regions"][2]["text"] == "Second & <escaped> one."
+    assert out["regions"][5]["text"] == "h1 | h2"
+    assert out["metadata"] == {"n_paragraphs": "5", "n_tables": "1"}
+    # span offsets index into the joined text exactly
+    for r in out["regions"]:
+        assert out["text"][r["span_start"] : r["span_end"]] == r["text"]
+        assert r["confidence"] == 1.0 and not r["needs_review"]
+
+
+def test_docx_malformed_zip_fails_typed():
+    from ocr_model_spark.kernels.docx_extract import extract_docx
+
+    out = extract_docx(b"PK\x03\x04 not actually a zip archive")
+    assert not out["ok"] and out["error"].startswith("docx-parse-failed")
+    assert out["regions"] == []
+
+
+def test_docx_zip_without_document_xml_fails_typed():
+    import zipfile
+    from io import BytesIO
+
+    from ocr_model_spark.kernels.docx_extract import extract_docx
+
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("other.txt", date_time=(2024, 1, 1, 0, 0, 0)), "x")
+    out = extract_docx(buf.getvalue())
+    assert not out["ok"] and "docx-parse-failed" in out["error"]
+
+
+def test_docx_routed_through_unified_kernel():
+    from ocr_model_spark.kernels.extract import extract_document
+
+    data = _make_docx(heading="T", paragraphs=["Body paragraph here."])
+    r = extract_document(data)
+    assert r["doc_type"] == "docx" and r["ok"]
+    assert "Body paragraph here." in r["text"]
+
+
+def test_docx_synth_payloads_are_deterministic_and_extract():
+    import random
+
+    from ocr_model_spark.kernels.docx_extract import extract_docx
+    from ocr_model_spark.sources.synth import _docx_doc
+
+    words = "lorem ipsum dolor sit amet consectetur adipiscing elit".split()
+    a = _docx_doc(random.Random("s:1"), words)
+    b = _docx_doc(random.Random("s:1"), words)
+    assert a == b  # byte-identical across replays (fixed zip timestamps)
+    out = extract_docx(a)
+    assert out["ok"] and out["title"] is not None
+    assert any(r["type"] == "table_row" for r in out["regions"])
+    assert any(r["type"] == "list_item" for r in out["regions"])

@@ -64,3 +64,16 @@ def test_query_matches_oracle(name, spark, duck):
     assert got_kinds == want_kinds, f"{name}: dtype kinds diverge {got_kinds} vs {want_kinds}"
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=name)
+
+
+def test_multimodal_media_meta_matches_oracle(spark, duck):
+    """The mapInPandas decode path vs the DuckDB hex-based oracle — the
+    driver runs this exact pair at its correctness sf."""
+    from ocr_model_spark.entry import multimodal_oracle_sql, q_multimodal_media_meta
+
+    got, got_kinds = _normalize(q_multimodal_media_meta(spark, SF_DIR).toPandas())
+    want, want_kinds = _normalize(duck.execute(multimodal_oracle_sql(SF_DIR)).df())
+    assert list(got.columns) == list(want.columns)
+    assert got_kinds == want_kinds
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
