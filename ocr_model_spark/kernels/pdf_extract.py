@@ -7,19 +7,23 @@ blocks joined with ``" "``; document text = ``page_text + "\\n\\n"`` per page,
 INCLUDING a trailing separator after the last page — we preserve that quirk
 because byte-identity depends on it).
 
-Two engines:
+Three engines, same output shape:
 
   * :func:`_extract_fitz` — real PyMuPDF, used when the ``fitz`` import
     succeeds (not present in this container; gated behind import-try exactly
     like the reference's optional OCR engines, ``advanced_ocr.py:39-52``).
+  * :mod:`ocr_model_spark.kernels.pdf_native` — stdlib real-PDF reader
+    (object scan, FlateDecode via zlib, page tree, Tj/TJ/Td/Tm text
+    operators) used when fitz is absent; covers the classic-PDF subset and
+    fails typed on encrypted / ObjStm / exotic-filter files.
   * :func:`_extract_synth` — a deterministic parser for the content-stream
     subset our synthetic corpus generator emits (``BT/Td/Tf/(…) Tj/ET``).
     This keeps the Spark-side plumbing (schema, batching, span arithmetic,
     line/block grouping) real and fully tested without native deps.
 
-Both produce the same shape: pages of text blocks with bboxes, grouped from
-individual ``Tj`` spans by y-proximity (lines) and inter-line gaps (blocks) —
-the same layout reconstruction the reference performs.
+All three produce pages of text blocks with bboxes, grouped from individual
+spans by y-proximity (lines) and inter-line gaps (blocks) — the same layout
+reconstruction the reference performs.
 """
 
 from __future__ import annotations
@@ -191,15 +195,20 @@ def extract_pdf(data: bytes, max_pages: int | None = None) -> dict:
             pages = _extract_synth(data)
         elif _HAS_FITZ:
             pages = _extract_fitz(data)
-        else:
+        elif b"/Encrypt" in data[-2048:]:
+            # encrypted: typed failure (the native reader can't decrypt)
             return {
                 "text": "",
                 "title": None,
                 "encoding": None,
                 "ok": False,
-                "error": "pdf-engine-unavailable",
+                "error": "pdf-encrypted",
                 "regions": [],
             }
+        else:
+            from ocr_model_spark.kernels.pdf_native import extract_pages_native
+
+            pages = extract_pages_native(data, _group_blocks)
     except Exception as e:
         return {
             "text": "",

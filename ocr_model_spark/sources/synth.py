@@ -39,7 +39,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 2
+GEN_VERSION = 3
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -113,19 +113,79 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
-def _pdf_page_bytes(page_num: int, rng: random.Random, words: list[str]) -> bytes:
-    w, h = 612, 792
-    out = [f"%%SYNTHPAGE {page_num} {w} {h}\n".encode()]
-    y = h - 72  # PDF user space, bottom-up
-    n_blocks = rng.randint(2, 4)
-    for _ in range(n_blocks):
-        n_lines = rng.randint(1, 4)
-        for _ in range(n_lines):
-            text = _pdf_escape(" ".join(_sentences(words, rng, 1)))
-            out.append(f"BT /F1 12 Tf 72 {y} Td ({text}) Tj ET\n".encode())
+def _pdf_page_lines(rng: random.Random, words: list[str]) -> list[tuple[int, str]]:
+    """(y, text) line layout for one page — shared by both PDF emitters."""
+    lines: list[tuple[int, str]] = []
+    y = 792 - 72  # PDF user space, bottom-up
+    for _ in range(rng.randint(2, 4)):
+        for _ in range(rng.randint(1, 4)):
+            lines.append((y, " ".join(_sentences(words, rng, 1))))
             y -= 14  # tight leading: same block
         y -= 30  # block gap
+    return lines
+
+
+def _pdf_page_bytes(page_num: int, rng: random.Random, words: list[str]) -> bytes:
+    out = [f"%%SYNTHPAGE {page_num} 612 792\n".encode()]
+    for y, text in _pdf_page_lines(rng, words):
+        out.append(f"BT /F1 12 Tf 72 {y} Td ({_pdf_escape(text)}) Tj ET\n".encode())
     return b"".join(out)
+
+
+def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
+    """Spec-correct classic PDF (FlateDecode streams, page tree, xref) —
+    exercises the stdlib native reader (kernels/pdf_native.py) end-to-end in
+    the distributed pipeline. Deterministic (zlib of deterministic text)."""
+    import zlib
+
+    n_pages = rng.randint(1, 3)
+    contents = []
+    for _ in range(n_pages):
+        lines = [
+            f"BT /F1 12 Tf 72 {y} Td ({_pdf_escape(t)}) Tj ET\n"
+            for y, t in _pdf_page_lines(rng, words)
+        ]
+        contents.append(zlib.compress("".join(lines).encode("latin-1", "replace")))
+    # object layout: 1 catalog, 2 pages-root, then (page, stream) pairs, font last
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    font_num = 3 + 2 * n_pages
+    objects: list[tuple[int, bytes, bytes | None]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (
+            2,
+            f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} /MediaBox [0 0 612 792] >>".encode(),
+            None,
+        ),
+    ]
+    for i, c in enumerate(contents):
+        pnum, snum = 3 + 2 * i, 4 + 2 * i
+        objects.append(
+            (
+                pnum,
+                f"<< /Type /Page /Parent 2 0 R /Contents {snum} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>".encode(),
+                None,
+            )
+        )
+        objects.append((snum, b"<< /Length %d /Filter /FlateDecode >>" % len(c), c))
+    objects.append((font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None))
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num, dct, stream in objects:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n%s\n" % (num, dct)
+        if stream is not None:
+            out += b"stream\n" + stream + b"\nendstream\n"
+        out += b"endobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
+    for num in range(1, len(objects) + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objects) + 1,
+        xref_at,
+    )
+    return bytes(out)
 
 
 def _xml_esc(s: str) -> str:
@@ -210,6 +270,10 @@ def _docx_doc(rng: random.Random, words: list[str]) -> bytes:
 
 
 def _pdf_doc(rng: random.Random, words: list[str]) -> bytes:
+    # half the PDFs are real classic files (native stdlib reader path),
+    # half the %%SYNTHPAGE subset (deterministic reference grammar)
+    if rng.random() < 0.5:
+        return _real_pdf_doc(rng, words)
     n_pages = rng.randint(1, 3)
     parts = [b"%PDF-1.4\n%%SYNTHPDF deterministic synthetic subset\n"]
     parts += [_pdf_page_bytes(p, rng, words) for p in range(1, n_pages + 1)]

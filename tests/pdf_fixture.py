@@ -1,0 +1,61 @@
+"""Builds a real, spec-correct classic PDF (FlateDecode streams, xref table,
+page tree) for exercising the stdlib native reader — the structure reportlab
+and friends emit, hand-assembled so the fixture is deterministic and
+dependency-free."""
+
+from __future__ import annotations
+
+import zlib
+
+PAGE1_CONTENT = b"""BT /F1 12 Tf 1 0 0 1 72 720 Tm (Alpha line one.) Tj ET
+BT /F1 12 Tf 72 706 Td (Alpha line two.) Tj ET
+BT /F1 12 Tf 72 660 Td [(Beta) -300 (kerned) -300 (block.)] TJ ET
+BT /F1 12 Tf 72 600 Td (Caf\\351 na\\357ve \\(escaped\\)) Tj ET
+"""
+
+PAGE2_CONTENT = b"""BT /F1 10 Tf 14 TL 72 700 Td (Second page first line.) Tj T* (Second page second line.) Tj ET
+BT /F1 10 Tf 72 600 Td <4865782074657874> Tj ET
+"""
+
+
+def build_real_pdf(extra_trailer: bytes = b"") -> bytes:
+    """Two-page classic PDF: compressed streams, inherited MediaBox,
+    array-valued /Contents on page 2, correct xref + trailer."""
+    c1 = zlib.compress(PAGE1_CONTENT)
+    c2 = zlib.compress(PAGE2_CONTENT)
+    objects = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (
+            2,
+            b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 /MediaBox [0 0 612 792] >>",
+            None,
+        ),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 7 0 R >> >> >>",
+            None,
+        ),
+        (4, b"<< /Length %d /Filter /FlateDecode >>" % len(c1), c1),
+        (5, b"<< /Type /Page /Parent 2 0 R /Contents [6 0 R] >>", None),
+        (6, b"<< /Length %d /Filter /FlateDecode >>" % len(c2), c2),
+        (7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None),
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num, dct, stream in objects:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n%s\n" % (num, dct)
+        if stream is not None:
+            out += b"stream\n" + stream + b"\nendstream\n"
+        out += b"endobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, len(objects) + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R %s>>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, extra_trailer, xref_at)
+    )
+    return bytes(out)

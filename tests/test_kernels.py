@@ -348,3 +348,78 @@ def test_docx_synth_payloads_are_deterministic_and_extract():
     assert out["ok"] and out["title"] is not None
     assert any(r["type"] == "table_row" for r in out["regions"])
     assert any(r["type"] == "list_item" for r in out["regions"])
+
+
+# ------------------------------------------------------------- real PDF
+
+
+def test_native_pdf_reader_extracts_real_pdf():
+    """Stdlib reader over a spec-correct classic PDF (FlateDecode, xref,
+    inherited MediaBox, TJ kerning, octal escapes, hex strings, T*/TL)."""
+    from tests.pdf_fixture import build_real_pdf
+
+    r = extract_pdf(build_real_pdf())
+    assert r["ok"], r["error"]
+    assert r["metadata"]["page_count"] == "2"
+    texts = [reg["text"] for reg in r["regions"]]
+    assert texts == [
+        "Alpha line one. Alpha line two.",
+        "Beta kerned block.",
+        "Café naïve (escaped)",
+        "Second page first line. Second page second line.",
+        "Hex text",
+    ]
+    # same join rule as the other engines: spans index the document text
+    for reg in r["regions"]:
+        assert r["text"][reg["span_start"] : reg["span_end"]] == reg["text"]
+        assert reg["confidence"] == 1.0
+
+
+def test_native_pdf_reader_is_deterministic():
+    from tests.pdf_fixture import build_real_pdf
+
+    data = build_real_pdf()
+    assert extract_pdf(data) == extract_pdf(data)
+
+
+def test_native_pdf_max_pages_cap():
+    from tests.pdf_fixture import build_real_pdf
+
+    r = extract_pdf(build_real_pdf(), max_pages=1)
+    assert r["metadata"]["page_count"] == "1"
+    assert all("Second page" not in reg["text"] for reg in r["regions"])
+
+
+def test_encrypted_pdf_fails_typed():
+    from tests.pdf_fixture import build_real_pdf
+
+    data = build_real_pdf(extra_trailer=b"/Encrypt 9 0 R ")
+    r = extract_pdf(data)
+    assert not r["ok"] and r["error"] == "pdf-encrypted"
+
+
+def test_garbage_pdf_fails_typed():
+    r = extract_pdf(b"%PDF-1.7\nthis is not really a pdf at all")
+    assert not r["ok"] and r["error"].startswith("pdf-parse-failed")
+
+
+def test_uncompressed_stream_and_broken_length():
+    """Streams without /Filter, and a wrong /Length that forces the
+    endstream-scan fallback."""
+    from ocr_model_spark.kernels.pdf_native import extract_pages_native
+    from ocr_model_spark.kernels.pdf_extract import _group_blocks
+
+    content = b"BT /F1 12 Tf 72 700 Td (Plain stream text.) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 400 500] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 9999 >> stream\n" + content + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    pages = extract_pages_native(pdf, _group_blocks)
+    assert len(pages) == 1
+    assert pages[0]["width"] == 400 and pages[0]["height"] == 500
+    assert pages[0]["blocks"][0]["text"] == "Plain stream text."
