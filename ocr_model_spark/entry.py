@@ -87,7 +87,9 @@ def q_ann_lsh_topk(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_cosine_topk(queries, emb, k=3, n_planes=6, dim=64).orderBy(
+    # P/L tuned for the sandbox corpus; at real scale P grows with
+    # log2(corpus/target_bucket_size) and L buys recall linearly in cost
+    return lsh_cosine_topk(queries, emb, k=3, n_planes=4, dim=64, n_tables=8).orderBy(
         "query_id", "rank"
     )
 
@@ -156,6 +158,55 @@ def q_docx_region_rows(spark, sf_dir):
     )
 
 
+def _emb_and_queries(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return emb, emb.filter(F.col("vec_id") < 10)
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@3 of the approximate paths vs the exact baseline, computed
+    relationally (no collect): |approx top-3 ∩ exact top-3| / |exact top-3|
+    per method. Deterministic, so the oracle pins the expected values —
+    an ANN-quality regression gate (VERDICT r1 item 7)."""
+    from ocr_model_spark.operators.similarity import cosine_topk
+
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    exact = cosine_topk(queries, emb, k=3).select("query_id", "neighbor_id")
+    ex_n = exact.agg(F.count("*").alias("n_exact"))
+
+    def one(approx_df, name):
+        m = exact.join(
+            approx_df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        ).agg(F.count("*").alias("n_match"))
+        return m.crossJoin(ex_n).select(
+            F.lit(name).alias("method"),
+            F.round(F.col("n_match") / F.col("n_exact") + 1e-9, 4).alias("recall_at_3"),
+        )
+
+    lsh = lsh_cosine_topk(queries, emb, k=3, n_planes=4, dim=64, n_tables=8)
+    ivf = ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=6)
+    return one(lsh, "lsh").unionByName(one(ivf, "ivf")).orderBy("method")
+
+
+# pinned per-sf recall values (deterministic: hash-derived planes/centroids,
+# deterministic tie-breaks). A change here means the ANN quality changed.
+_ANN_RECALL_PINS: dict[str, dict[str, float]] = {
+    "sf0.001": {"ivf": 0.6667, "lsh": 0.6},
+    "sf0.01": {"ivf": 0.7667, "lsh": 0.7333},
+}
+
+
+def ann_recall_oracle_sql(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    pins = _ANN_RECALL_PINS[tag]
+    return (
+        f"SELECT 'ivf' AS method, {pins['ivf']} AS recall_at_3 "
+        f"UNION ALL SELECT 'lsh', {pins['lsh']} ORDER BY method"
+    )
+
+
 def q_streaming_windowed(spark, sf_dir):
     return streaming_windowed_counts(spark, f"{sf_dir}/events.parquet").orderBy(
         "window_start", "event_type"
@@ -190,6 +241,7 @@ def all_queries() -> dict:
     for name, (fn, _sql) in {**SQL_QUERIES, **EXTRA_SQL_QUERIES}.items():
         out[name] = fn
     out["multimodal_media_meta"] = q_multimodal_media_meta
+    out["ann_recall"] = q_ann_recall
     out.update(ROWS_ONLY_QUERIES)
     return out
 
@@ -197,4 +249,5 @@ def all_queries() -> dict:
 def all_oracles() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in {**SQL_QUERIES, **EXTRA_SQL_QUERIES}.items()}
     out["multimodal_media_meta"] = multimodal_oracle_sql(DRIVER_ORACLE_SF)
+    out["ann_recall"] = ann_recall_oracle_sql(DRIVER_ORACLE_SF)
     return out

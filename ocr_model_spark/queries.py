@@ -978,6 +978,55 @@ ORDER BY s.doc_id
 """
 
 
+def q_best_rotation(spark, sf_dir):
+    """A8 best-rotation argmax (reference ``worker/model_manager.py:296-325``):
+    a deterministic 4-rotation candidate frame (simulated per-rotation OCR
+    quality from the stable md5 hash — engines absent) reduced to one argmax
+    row per document with a single ``max_by`` aggregation."""
+    from ocr_model_spark.operators.dedup import stable_hash
+    from ocr_model_spark.operators.rotation import best_rotation
+
+    d = _t(spark, sf_dir, "documents")
+    cands = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(r) for r in (0, 90, 180, 270)])).alias("rotation"),
+    ).select(
+        "doc_id",
+        "rotation",
+        (
+            stable_hash(F.concat_ws(":", F.col("doc_id"), F.col("rotation"), F.lit("conf")))
+            % 1000
+            / 1000.0
+        ).alias("avg_conf"),
+        (
+            stable_hash(F.concat_ws(":", F.col("doc_id"), F.col("rotation"), F.lit("n")))
+            % 200
+            + 5
+        ).alias("n_tokens"),
+    )
+    return best_rotation(cands, ["doc_id"]).orderBy("doc_id")
+
+
+_SQL_BEST_ROTATION = """
+WITH cands AS (
+    SELECT doc_id, r.rotation,
+           CAST(concat('0x', substr(md5(concat(doc_id, ':', r.rotation, ':conf')), 1, 8)) AS BIGINT)
+               % 1000 / 1000.0 AS avg_conf,
+           CAST(concat('0x', substr(md5(concat(doc_id, ':', r.rotation, ':n')), 1, 8)) AS BIGINT)
+               % 200 + 5 AS n_tokens
+    FROM documents, (SELECT unnest([0, 90, 180, 270]) AS rotation) r
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY avg_conf DESC, n_tokens DESC, rotation ASC
+    ) AS rn
+    FROM cands
+)
+SELECT doc_id, rotation AS best_rotation, avg_conf AS best_avg_conf,
+       CAST(n_tokens AS BIGINT) AS best_n_tokens
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1014,4 +1063,5 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "corpus_filter_verdict": (q_corpus_filter_verdict, _corpus_filter_sql()),
     "json_props_stats": (q_json_props_stats, _SQL_JSON_PROPS_STATS),
     "distinct_prop_keys": (q_distinct_prop_keys, _SQL_DISTINCT_PROP_KEYS),
+    "best_rotation": (q_best_rotation, _SQL_BEST_ROTATION),
 }

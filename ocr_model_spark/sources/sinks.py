@@ -10,10 +10,16 @@ equivalents are partitioned table writes:
     ``- `` list items, regions in reading order joined with blank lines
     (mirrors ``_export_txt``'s markdown-ish rendering,
     ``document_processor.py:1044-1112``);
-  * parquet  — the canonical snapshot format (always available).
+  * parquet  — the canonical snapshot format (always available);
+  * K4 XML   — per-document XML rendering (``exporter.py:232-298`` field
+    layout) as a distributed grouped-map stage, written like TXT;
+  * K3 XLSX  — SMALL-EXTRACT workbook writer (``exporter.py:300-367``):
+    one driver-side .xlsx from a capped extract, stdlib zip+XML (the
+    container ships no openpyxl). Deliberately capped — a spreadsheet is a
+    human artifact, not a 10^12-row sink; the CSV/parquet paths carry the
+    full data.
 
-Excel (K3) / XML (K4) / annotated-PDF (K5) are non-goals at 10^12 rows
-(SURVEY.md §2.1); the JSON/CSV paths carry the same information.
+Annotated-PDF (K5) stays a non-goal (visualization layer, SURVEY.md §2.1).
 """
 
 from __future__ import annotations
@@ -104,3 +110,161 @@ def write_docs_txt(rows: DataFrame, out_dir: str) -> None:
     render_txt(rows).select(
         F.concat(F.lit("=== "), F.col("url"), F.lit(" ===\n"), F.col("rendered")).alias("value")
     ).write.mode("overwrite").text(out_dir)
+
+
+# ---------------------------------------------------------------- K4: XML
+
+
+def render_xml(rows: DataFrame) -> DataFrame:
+    """K4: per-document XML (``exporter.py:232-298`` document/regions field
+    layout) via grouped-map pandas — stdlib ElementTree handles escaping.
+    Returns (url, xml)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("xml", T.StringType())]
+    )
+
+    def one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import xml.etree.ElementTree as ET
+
+        pdf = pdf.sort_values("region_idx")
+        url = pdf["url"].iloc[0]
+        doc = ET.Element("document", url=url)
+        regions = ET.SubElement(doc, "regions", count=str(len(pdf)))
+        for _, r in pdf.iterrows():
+            reg = ET.SubElement(
+                regions,
+                "region",
+                idx=str(int(r["region_idx"])),
+                type=str(r["region_type"]),
+                span_start=str(int(r["span_start"])),
+                span_end=str(int(r["span_end"])),
+                confidence=f"{r['confidence']:.6f}",
+                needs_review=str(bool(r["needs_review"])).lower(),
+            )
+            reg.text = str(r["text"])
+        return pd.DataFrame(
+            [{"url": url, "xml": ET.tostring(doc, encoding="unicode")}]
+        )
+
+    cols = [
+        "url",
+        "region_idx",
+        "region_type",
+        "text",
+        "span_start",
+        "span_end",
+        "confidence",
+        "needs_review",
+    ]
+    return rows.select(*cols).groupBy("url").applyInPandas(one_doc, schema)
+
+
+def write_docs_xml(rows: DataFrame, out_dir: str) -> None:
+    """K4 sink: one XML document per row, written distributed."""
+    render_xml(rows).select(F.col("xml").alias("value")).write.mode("overwrite").text(
+        out_dir
+    )
+
+
+# --------------------------------------------------------------- K3: XLSX
+
+XLSX_MAX_ROWS = 10_000  # small-extract cap: spreadsheets are human artifacts
+
+
+def _xlsx_bytes(headers: list[str], data_rows: list[list]) -> bytes:
+    """Minimal valid .xlsx: zip of workbook/worksheet XML with inline
+    strings. Stdlib-only, deterministic (fixed zip timestamps)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+    from io import BytesIO
+
+    def esc(v) -> str:
+        from xml.sax.saxutils import escape
+
+        return escape(str(v))
+
+    rows_xml = []
+    for ri, row in enumerate([headers] + data_rows, start=1):
+        cells = []
+        for ci, v in enumerate(row):
+            col = ""
+            n = ci
+            while True:
+                col = chr(ord("A") + n % 26) + col
+                n = n // 26 - 1
+                if n < 0:
+                    break
+            ref = f"{col}{ri}"
+            if ri > 1 and isinstance(v, (int, float)) and not isinstance(v, bool):
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+            else:
+                cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{esc(v)}</t></is></c>')
+        rows_xml.append(f'<row r="{ri}">' + "".join(cells) + "</row>")
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(rows_xml) + "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="export" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType='
+        '"application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in (
+            ("[Content_Types].xml", content_types),
+            ("_rels/.rels", rels),
+            ("xl/workbook.xml", workbook),
+            ("xl/_rels/workbook.xml.rels", wb_rels),
+            ("xl/worksheets/sheet1.xml", sheet),
+        ):
+            zf.writestr(zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0)), content)
+    ET.fromstring(sheet)  # self-check: malformed sheet XML fails the write
+    return buf.getvalue()
+
+
+def write_rows_xlsx(rows: DataFrame, path: str, max_rows: int = XLSX_MAX_ROWS) -> int:
+    """K3 sink: a capped extract as a real .xlsx workbook. Returns the number
+    of data rows written; raises if the extract exceeds the cap (the caller
+    should filter/limit first — this sink is for human-sized extracts)."""
+    cols = rows.columns
+    collected = rows.limit(max_rows + 1).collect()
+    if len(collected) > max_rows:
+        raise ValueError(
+            f"xlsx extract exceeds {max_rows} rows; filter or raise max_rows"
+        )
+    data = [[row[c] for c in cols] for row in collected]
+    with open(path, "wb") as f:
+        f.write(_xlsx_bytes(list(cols), data))
+    return len(data)

@@ -77,3 +77,15 @@ def test_multimodal_media_meta_matches_oracle(spark, duck):
     assert got_kinds == want_kinds
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_ann_recall_matches_pinned_oracle(spark, duck):
+    """Recall@3 of both ANN paths, verified against the pinned oracle — a
+    regression gate on ANN quality (the values are deterministic)."""
+    from ocr_model_spark.entry import ann_recall_oracle_sql, q_ann_recall
+
+    got, got_kinds = _normalize(q_ann_recall(spark, SF_DIR).toPandas())
+    want, want_kinds = _normalize(duck.execute(ann_recall_oracle_sql(SF_DIR)).df())
+    assert got_kinds == want_kinds
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert (got["recall_at_3"] >= 0.5).all()  # floor: ANN must stay useful

@@ -109,3 +109,21 @@ def test_minhash_signature_plan_single_exchange(spark):
     assert _plan(shingle_frame(wide, "doc_id", "text")).count("Exchange") == 1
     # ... and signatures add exactly the groupBy exchange
     assert _plan(minhash_signatures(wide, "doc_id", "text")).count("Exchange") == 2
+
+
+def test_lsh_plan_size_independent_of_dim(spark):
+    """Hyperplanes travel as broadcast DATA, not inline literals: the plan
+    string must stay O(KB) at dim=1024 (VERDICT r1 item 10)."""
+    from ocr_model_spark.operators.similarity import lsh_cosine_topk
+
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(1024)), lambda i: i.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    plan = _plan(lsh_cosine_topk(q, emb, k=3, n_planes=4, dim=1024, n_tables=8))
+    assert len(plan) < 50_000, f"plan blew up: {len(plan)} chars"
+    # single shuffle on the bucket key (plus the top-k window shuffle)
+    assert "CrossJoin" not in plan.replace("BroadcastNestedLoopJoin", "")

@@ -78,3 +78,65 @@ def test_ascii_table_rendering(spark):
     lines = out["rendered_table"].split("\n")
     # ljust to the widest cell per column, '|'-joined (reference TXT export)
     assert lines == ["a  | long cell", "bb | c        "]
+
+
+def test_xml_sink_well_formed_and_complete(spark, extraction, tmp_path):
+    import xml.etree.ElementTree as ET
+
+    from ocr_model_spark.sources.sinks import render_xml, write_docs_xml
+
+    xml_df = render_xml(extraction["rows"]).toPandas()
+    assert len(xml_df) == extraction["rows"].select("url").distinct().count()
+    total_regions = 0
+    for _, row in xml_df.iterrows():
+        doc = ET.fromstring(row["xml"])  # raises on malformed output
+        assert doc.tag == "document" and doc.get("url") == row["url"]
+        regions = doc.find("regions")
+        kids = list(regions)
+        assert int(regions.get("count")) == len(kids)
+        total_regions += len(kids)
+        for reg in kids:
+            assert reg.get("type") and reg.get("span_start") is not None
+    assert total_regions == extraction["rows"].count()
+
+    write_docs_xml(extraction["rows"], str(tmp_path / "xml"))
+    back = spark.read.text(str(tmp_path / "xml"))
+    assert back.count() == len(xml_df)
+
+
+def test_xlsx_sink_roundtrip(spark, extraction, tmp_path):
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from ocr_model_spark.sources.sinks import write_rows_xlsx
+
+    flat = extraction["rows"].select(
+        "url", "region_type", "text", "span_start", "confidence"
+    ).orderBy("url", "span_start").limit(50)
+    path = str(tmp_path / "extract.xlsx")
+    n = write_rows_xlsx(flat, path)
+    assert n == 50
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml", "xl/worksheets/sheet1.xml"} <= names
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    rows = sheet.findall(f"{ns}sheetData/{ns}row")
+    assert len(rows) == 51  # header + 50
+    header = [t.text for t in rows[0].iter(f"{ns}t")]
+    assert header == ["url", "region_type", "text", "span_start", "confidence"]
+    # numeric cells survive as numbers
+    first_data = rows[1]
+    vals = [c.findtext(f"{ns}v") for c in first_data.findall(f"{ns}c")]
+    assert any(v is not None for v in vals)
+
+
+def test_xlsx_sink_enforces_small_extract_cap(spark, extraction, tmp_path):
+    import pytest as _pytest
+
+    from ocr_model_spark.sources.sinks import write_rows_xlsx
+
+    with _pytest.raises(ValueError, match="exceeds"):
+        write_rows_xlsx(
+            extraction["rows"], str(tmp_path / "too_big.xlsx"), max_rows=10
+        )
