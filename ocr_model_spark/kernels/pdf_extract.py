@@ -218,6 +218,7 @@ def extract_pdf(data: bytes, max_pages: int | None = None) -> dict:
             "error": f"pdf-parse-failed: {type(e).__name__}",
             "regions": [],
         }
+    doc_info = pages[0].pop("doc_info", {}) if pages else {}
     if max_pages is not None:
         pages = pages[:max_pages]  # BASIC-mode page cap (pdf_processor.py:188-192)
 
@@ -248,15 +249,16 @@ def extract_pdf(data: bytes, max_pages: int | None = None) -> dict:
         full.append(" ".join(b["text"] for b in blocks) + "\n\n")
     return {
         "text": "".join(full),
-        "title": None,
+        # S10: /Info title when the document carries one (pdf_processor.py:
+        # 238-274); block text never synthesizes a title
+        "title": doc_info.get("title"),
         "encoding": None,
         "ok": True,
         "error": None,
-        # S10 metadata subset (reference: pdf_processor.py:238-274 extracts
-        # title/author/page_count/has_toc; the synthetic subset carries counts)
         "metadata": {
             "page_count": str(len(pages)),
             "block_count": str(len(regions)),
+            **doc_info,
         },
         "regions": regions,
     }

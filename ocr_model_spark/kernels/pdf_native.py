@@ -468,11 +468,34 @@ def _spans_from_content(content: bytes, height: float) -> list[dict]:
 # ---------------------------------------------------------------- entrypoint
 
 
+def read_doc_info(doc: "_Doc") -> dict[str, str]:
+    """S10 document metadata from the /Info dictionary (reference:
+    ``pdf_processor.py:238-274`` title/author extraction). Returns only
+    string-typed entries, decoded like content strings."""
+    info: dict[str, str] = {}
+    for value, _s in doc.objects.values():
+        if isinstance(value, dict) and (
+            "Title" in value or "Author" in value
+        ) and value.get("Type") is None and "Kids" not in value:
+            for key in ("Title", "Author", "Subject", "Producer", "CreationDate"):
+                v = doc.resolve(value.get(key))
+                if isinstance(v, bytes):
+                    t = _decode_text(v).strip()
+                    if t:
+                        info[key.lower()] = t
+            if info:
+                break
+    return info
+
+
 def extract_pages_native(data: bytes, group_blocks) -> list[dict]:
     """Parse real PDF bytes into the engine-common pages structure.
     ``group_blocks`` is injected (pdf_extract._group_blocks) so the span→
     line→block reconstruction is byte-identical across all three engines.
-    Raises :class:`PdfParseError` on unsupported constructs."""
+    Raises :class:`PdfParseError` on unsupported constructs.
+
+    The document /Info metadata (title/author…) is attached to the FIRST
+    page dict under ``"doc_info"`` so the single return value carries it."""
     doc = _Doc(data)
     page_dicts = doc.pages()
     if not page_dicts:
@@ -503,4 +526,7 @@ def extract_pages_native(data: bytes, group_blocks) -> list[dict]:
                 "blocks": group_blocks(spans),
             }
         )
+    info = read_doc_info(doc)
+    if info:
+        pages[0]["doc_info"] = info
     return pages

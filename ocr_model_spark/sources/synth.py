@@ -39,7 +39,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 3
+GEN_VERSION = 4
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -146,9 +146,13 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
             for y, t in _pdf_page_lines(rng, words)
         ]
         contents.append(zlib.compress("".join(lines).encode("latin-1", "replace")))
-    # object layout: 1 catalog, 2 pages-root, then (page, stream) pairs, font last
+    # object layout: 1 catalog, 2 pages-root, then (page, stream) pairs,
+    # font, then /Info last
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     font_num = 3 + 2 * n_pages
+    title = _pdf_escape(
+        " ".join(words[rng.randrange(len(words))] for _ in range(3)).title()
+    )
     objects: list[tuple[int, bytes, bytes | None]] = [
         (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
         (
@@ -169,6 +173,13 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
         )
         objects.append((snum, b"<< /Length %d /Filter /FlateDecode >>" % len(c), c))
     objects.append((font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None))
+    objects.append(
+        (
+            font_num + 1,
+            f"<< /Title ({title}) /Producer (ocr_model_spark synth) >>".encode("latin-1", "replace"),
+            None,
+        )
+    )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
     for num, dct, stream in objects:
@@ -181,8 +192,9 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
     out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
     for num in range(1, len(objects) + 1):
         out += b"%010d 00000 n \n" % offsets[num]
-    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+    out += b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
         len(objects) + 1,
+        font_num + 1,
         xref_at,
     )
     return bytes(out)

@@ -40,6 +40,7 @@ def build_real_pdf(extra_trailer: bytes = b"") -> bytes:
         (5, b"<< /Type /Page /Parent 2 0 R /Contents [6 0 R] >>", None),
         (6, b"<< /Length %d /Filter /FlateDecode >>" % len(c2), c2),
         (7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None),
+        (8, b"<< /Title (Fixture Title) /Author (Jane Dev) >>", None),
     ]
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
@@ -55,7 +56,7 @@ def build_real_pdf(extra_trailer: bytes = b"") -> bytes:
     for num in range(1, len(objects) + 1):
         out += b"%010d 00000 n \n" % offsets[num]
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R %s>>\nstartxref\n%d\n%%%%EOF\n"
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 8 0 R %s>>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objects) + 1, extra_trailer, xref_at)
     )
     return bytes(out)
