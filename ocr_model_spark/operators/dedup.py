@@ -160,6 +160,41 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for a CANDIDATE pair list (id_a, id_b) — the
+    scale-correct use of exact Jaccard: verify LSH survivors, never
+    all-pairs. The candidate list (small by construction: LSH already
+    pruned) is BROADCAST to prune the shingle frame before the one
+    shuffled join on (id, shingle); candidate pairs sharing no shingle
+    come back with jaccard 0 rather than vanishing."""
+    sh = shingle_frame(df, id_col, text_col, n, hashed=False)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    p = pairs.select("id_a", "id_b")
+    common = (
+        sh.withColumnRenamed("id", "id_a")
+        .join(F.broadcast(p), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        p.join(common, ["id_a", "id_b"], "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+        .join(F.broadcast(sizes).withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(F.broadcast(sizes).withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 

@@ -978,6 +978,51 @@ ORDER BY s.doc_id
 """
 
 
+def q_near_dup_verified(spark, sf_dir):
+    """The full scale-correct near-dup pipeline in one plan: MinHash-LSH
+    candidate generation (one banding shuffle) → exact n-gram Jaccard
+    verification of ONLY those survivors (broadcast-pruned) → verdict.
+    This is how exact Jaccard is meant to be used at 10^12 rows — the
+    all-pairs ``jaccard_pairs`` stays the small-scope correctness baseline."""
+    d = _t(spark, sf_dir, "documents")
+    cands = D.minhash_candidates(d, "doc_id", "text")
+    v = D.jaccard_verify(cands, d, "doc_id", "text")
+    return (
+        v.withColumn("is_near_dup", F.col("jaccard") >= 0.12)
+        .select("id_a", "id_b", "n_common", "jaccard", "is_near_dup")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _near_dup_verified_sql() -> str:
+    candidates = _minhash_candidates_sql().strip().removesuffix("ORDER BY id_a, id_b\n").strip()
+    return (
+        _SQL_SHINGLES_CTE
+        + f""",
+cand AS ({candidates}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - COALESCE(m.n_common, 0)), 6) AS jaccard,
+       ROUND(CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - COALESCE(m.n_common, 0)), 6) >= 0.12 AS is_near_dup
+FROM cand c
+LEFT JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+ORDER BY c.id_a, c.id_b
+"""
+    )
+
+
 def q_best_rotation(spark, sf_dir):
     """A8 best-rotation argmax (reference ``worker/model_manager.py:296-325``):
     a deterministic 4-rotation candidate frame (simulated per-rotation OCR
@@ -1064,4 +1109,5 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "json_props_stats": (q_json_props_stats, _SQL_JSON_PROPS_STATS),
     "distinct_prop_keys": (q_distinct_prop_keys, _SQL_DISTINCT_PROP_KEYS),
     "best_rotation": (q_best_rotation, _SQL_BEST_ROTATION),
+    "near_dup_verified": (q_near_dup_verified, _near_dup_verified_sql()),
 }
