@@ -194,6 +194,66 @@ def ivf_cosine_topk(
     ).select("query_id", "neighbor_id", "sim", "rank")
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (driver-mandated dedup variant):
+    multi-table LSH bucket SELF-join generates candidates (one shuffle on
+    the 't:bits' key — never an all-pairs crossJoin), exact cosine keeps
+    pairs ≥ threshold. Near-identical vectors share every bucket with
+    near-certainty, so at high thresholds the result matches the exact
+    all-pairs answer (the oracle pins exactly that)."""
+    spark = corpus.sparkSession
+    tables = [(t, _planes_rows(n_planes, dim, t)) for t in range(n_tables)]
+    planes = F.broadcast(
+        spark.createDataFrame(
+            [(tables,)],
+            "lsh_tables: array<struct<table_id: int, planes: array<array<double>>>>",
+        )
+    )
+    vec = F.col("v")
+    keys = F.transform(
+        "lsh_tables",
+        lambda tb: F.concat_ws(
+            ":",
+            tb["table_id"].cast("string"),
+            F.array_join(
+                F.transform(
+                    tb["planes"],
+                    lambda pl: F.when(dot(vec, pl) >= 0, F.lit("1")).otherwise(F.lit("0")),
+                ),
+                "",
+            ),
+        ),
+    )
+    keyed = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(planes)
+        .select("id", "v", F.explode(keys).alias("bucket"))
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
 def _desc_sim(a: Column, b: Column) -> Column:
     """Comparator: descending by sim, ascending cell id for ties."""
     return (

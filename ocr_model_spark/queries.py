@@ -747,6 +747,36 @@ ORDER BY query_id, rank
 """
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup detection. The driver corpus is random
+    (max pairwise cosine ≈ 0.51), so near-duplicates are CONSTRUCTED in-plan
+    on both engines: vec_id < 20 gains a shifted copy (id + 100000,
+    components + 0.0005 — same IEEE doubles in Spark and DuckDB). The LSH
+    self-join must then recover exactly the exact-threshold answer."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    aug = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.0005)).alias("embedding"),
+    )
+    corpus = emb.unionByName(aug)
+    return S.embedding_near_dups(corpus, threshold=0.99).orderBy("id_a", "id_b")
+
+
+_SQL_EMBEDDING_NEAR_DUPS = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aug AS (SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.0005) AS v
+        FROM base WHERE vec_id < 20),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM aug)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+ORDER BY id_a, id_b
+"""
+
+
 def q_text_profile(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1110,4 +1140,5 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "distinct_prop_keys": (q_distinct_prop_keys, _SQL_DISTINCT_PROP_KEYS),
     "best_rotation": (q_best_rotation, _SQL_BEST_ROTATION),
     "near_dup_verified": (q_near_dup_verified, _near_dup_verified_sql()),
+    "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),
 }
