@@ -207,6 +207,17 @@ def ann_recall_oracle_sql(sf_dir: str) -> str:
     )
 
 
+def q_pdf_images_meta(spark, sf_dir):
+    """S11 embedded-image export: enumerate image XObjects in the corpus's
+    real PDFs (honest width/height from the image dicts; DCTDecode bytes
+    hashed as the exportable JPEG). PDF rows filtered JVM-side."""
+    from ocr_model_spark.operators.multimodal import pdf_embedded_images
+
+    pages = spark.read.parquet(pages_for(sf_dir))
+    pdfs = pages.filter(F.substring("html", 1, 4) == F.lit(b"%PDF"))
+    return pdf_embedded_images(pdfs).orderBy("url", "image_idx")
+
+
 def q_streaming_windowed(spark, sf_dir):
     return streaming_windowed_counts(spark, f"{sf_dir}/events.parquet").orderBy(
         "window_start", "event_type"
@@ -224,6 +235,7 @@ ROWS_ONLY_QUERIES = {
     "extract_region_rows": q_extract_region_rows,
     "extract_lineage": q_extract_lineage,
     "docx_region_rows": q_docx_region_rows,
+    "pdf_images_meta": q_pdf_images_meta,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }

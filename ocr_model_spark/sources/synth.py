@@ -39,7 +39,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 4
+GEN_VERSION = 5
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -180,6 +180,24 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
             None,
         )
     )
+    # ~40% of real PDFs embed an image XObject (S11 export path): a
+    # deterministic fake JPEG — DCTDecode streams are exported verbatim,
+    # never decoded, so magic bytes + rng body exercise the real plumbing
+    if rng.random() < 0.4:
+        w, h = rng.randint(32, 640), rng.randint(32, 480)
+        jpeg = (
+            b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01"
+            + bytes(rng.randrange(256) for _ in range(rng.randint(64, 256)))
+            + b"\xff\xd9"
+        )
+        objects.append(
+            (
+                font_num + 2,
+                b"<< /Subtype /Image /Width %d /Height %d /ColorSpace /DeviceRGB "
+                b"/BitsPerComponent 8 /Filter /DCTDecode /Length %d >>" % (w, h, len(jpeg)),
+                jpeg,
+            )
+        )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
     for num, dct, stream in objects:

@@ -18,6 +18,36 @@ BT /F1 10 Tf 72 600 Td <4865782074657874> Tj ET
 """
 
 
+def build_objstm_pdf() -> bytes:
+    """PDF-1.5-style file: the catalog, pages root and page dict all live
+    inside a compressed /ObjStm object stream (how modern writers emit
+    them); only the content stream and the ObjStm container are top-level
+    objects."""
+    content = zlib.compress(b"BT /F1 12 Tf 72 700 Td (Objstm page text.) Tj ET")
+    embedded = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+    ]
+    body = bytearray()
+    header = []
+    for num, dct in embedded:
+        header.append(b"%d %d" % (num, len(body)))
+        body += dct + b"\n"
+    head = b" ".join(header) + b"\n"
+    stm = zlib.compress(bytes(head + body))
+    out = bytearray(b"%PDF-1.5\n")
+    out += (
+        b"4 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>\n"
+        b"stream\n" % (len(embedded), len(head), len(stm))
+    ) + stm + b"\nendstream\nendobj\n"
+    out += (
+        b"5 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+    ) + content + b"\nendstream\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
 def build_real_pdf(extra_trailer: bytes = b"") -> bytes:
     """Two-page classic PDF: compressed streams, inherited MediaBox,
     array-valued /Contents on page 2, correct xref + trailer."""

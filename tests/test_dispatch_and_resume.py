@@ -88,3 +88,13 @@ def test_docx_payloads_extract_with_zero_failures(spark):
     assert len(rows) > 0
     assert set(rows["region_type"]) <= {"heading", "paragraph", "list_item", "table_row"}
     assert {"heading", "table_row"} <= set(rows["region_type"])
+
+
+def test_pdf_images_meta_query_distributed(spark):
+    from ocr_model_spark.entry import q_pdf_images_meta
+
+    rows = q_pdf_images_meta(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(rows) > 0
+    assert (rows["format"] == "jpeg").all()
+    assert (rows["width"] >= 32).all() and (rows["n_bytes"] > 0).all()
+    assert rows["content_sha256"].str.len().eq(64).all()
