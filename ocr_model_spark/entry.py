@@ -13,7 +13,10 @@ from ocr_model_spark.operators.similarity import ivf_cosine_topk, lsh_cosine_top
 from ocr_model_spark.pipeline import run_extraction
 from ocr_model_spark.queries import SQL_QUERIES
 from ocr_model_spark.sources.synth import materialize_pages
-from ocr_model_spark.streaming.pipeline import streaming_windowed_counts
+from ocr_model_spark.streaming.pipeline import (
+    streaming_dedup_counts,
+    streaming_windowed_counts,
+)
 
 def _cache_dir() -> str:
     """Writable cache for synthesized pages tables. When the package is
@@ -230,6 +233,16 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
+
+def q_streaming_dedup(spark, sf_dir):
+    return streaming_dedup_counts(spark, f"{sf_dir}/documents.parquet").orderBy("source")
+
+
+_SQL_STREAMING_DEDUP = """
+SELECT source, COUNT(DISTINCT text) AS n_unique_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
 ROWS_ONLY_QUERIES = {
     "extract_doc_summary": q_extract_doc_summary,
     "extract_region_rows": q_extract_region_rows,
@@ -242,6 +255,7 @@ ROWS_ONLY_QUERIES = {
 
 EXTRA_SQL_QUERIES = {
     "streaming_windowed": (q_streaming_windowed, _SQL_STREAMING_WINDOWED),
+    "streaming_dedup": (q_streaming_dedup, _SQL_STREAMING_DEDUP),
 }
 
 # the driver compares Spark vs oracle at this scale (TESTDATA.md)

@@ -80,6 +80,40 @@ def streaming_windowed_counts(
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def streaming_dedup_counts(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Stateful streaming exact-dedup (the training-pipeline pattern: drop
+    re-crawled duplicate documents as they ARRIVE, not in a nightly batch):
+    ``dropDuplicates`` on (source, content-hash) keeps first-seen rows in
+    state, then per-source unique counts. Drained with availableNow; at
+    real scale the state is bounded with ``dropDuplicatesWithinWatermark``
+    once the source carries event time. Keyed per (source, hash) so the
+    result is deterministic regardless of arrival order. Verified against
+    the batch ``COUNT(DISTINCT text)`` oracle."""
+    import os
+
+    schema = spark.read.parquet(docs_path).schema
+    name = f"dedup_counts_{uuid.uuid4().hex[:8]}"  # sink name only, not data
+    parent, base = os.path.split(docs_path.rstrip("/"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", base)
+        .parquet(parent)
+        .select("source", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h"))
+        .dropDuplicates(["source", "h"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_unique_docs"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_extraction(
     spark: SparkSession, pages_path: str, out_dir: str
 ) -> None:

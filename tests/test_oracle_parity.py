@@ -89,3 +89,13 @@ def test_ann_recall_matches_pinned_oracle(spark, duck):
     assert got_kinds == want_kinds
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
     assert (got["recall_at_3"] >= 0.5).all()  # floor: ANN must stay useful
+
+
+def test_streaming_dedup_matches_oracle(spark, duck):
+    """Stateful streaming dropDuplicates vs the batch COUNT(DISTINCT) oracle."""
+    from ocr_model_spark.entry import _SQL_STREAMING_DEDUP, q_streaming_dedup
+
+    got, got_kinds = _normalize(q_streaming_dedup(spark, SF_DIR).toPandas())
+    want, want_kinds = _normalize(duck.execute(_SQL_STREAMING_DEDUP).df())
+    assert got_kinds == want_kinds
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
