@@ -243,6 +243,60 @@ SELECT source, COUNT(DISTINCT text) AS n_unique_docs
 FROM documents GROUP BY source ORDER BY source
 """
 
+
+def q_host_ingest_counters(spark, sf_dir):
+    """The applyInPandasWithState crawl-monitor operator, drained with
+    availableNow: per-host cumulative (docs, failures, bytes). Counters are
+    monotone, so the final value per host is the max across the update-mode
+    emissions — which the batch-aggregate oracle reproduces exactly."""
+    import uuid as _uuid
+
+    from ocr_model_spark.sources.pages import PAGES_SCHEMA
+    from ocr_model_spark.streaming.stateful import host_ingest_counters
+
+    path = pages_for(sf_dir)
+    name = f"hostq_{_uuid.uuid4().hex[:8]}"  # sink name only, not data
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(path)
+    q = (
+        host_ingest_counters(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("url_host")
+        .agg(
+            F.max("total_docs").alias("total_docs"),
+            F.max("total_failed").alias("total_failed"),
+            F.max("total_bytes").alias("total_bytes"),
+        )
+        .orderBy("url_host")
+    )
+
+
+def host_counters_oracle_sql(sf_dir: str) -> str:
+    """Batch twin of the stateful counters over the same pages parquet:
+    failures = empty or image-magic payloads (everything else is an
+    extractable type), hosts via regexp (DuckDB has no parse_url)."""
+    path = pages_for(sf_dir)
+    return f"""
+SELECT regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1) AS url_host,
+       COUNT(*) AS total_docs,
+       CAST(SUM(CASE WHEN octet_length(html) = 0
+                       OR hex(html) LIKE '89504E470D0A1A0A%'
+                       OR hex(html) LIKE 'FFD8FF%'
+                       OR hex(html) LIKE '474946383761%'
+                       OR hex(html) LIKE '474946383961%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS total_failed,
+       CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes
+FROM read_parquet('{path}/*.parquet')
+GROUP BY 1 ORDER BY url_host
+"""
+
 ROWS_ONLY_QUERIES = {
     "extract_doc_summary": q_extract_doc_summary,
     "extract_region_rows": q_extract_region_rows,
@@ -268,6 +322,7 @@ def all_queries() -> dict:
         out[name] = fn
     out["multimodal_media_meta"] = q_multimodal_media_meta
     out["ann_recall"] = q_ann_recall
+    out["host_ingest_counters"] = q_host_ingest_counters
     out.update(ROWS_ONLY_QUERIES)
     return out
 
@@ -276,4 +331,5 @@ def all_oracles() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in {**SQL_QUERIES, **EXTRA_SQL_QUERIES}.items()}
     out["multimodal_media_meta"] = multimodal_oracle_sql(DRIVER_ORACLE_SF)
     out["ann_recall"] = ann_recall_oracle_sql(DRIVER_ORACLE_SF)
+    out["host_ingest_counters"] = host_counters_oracle_sql(DRIVER_ORACLE_SF)
     return out

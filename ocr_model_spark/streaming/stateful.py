@@ -75,7 +75,8 @@ def host_ingest_counters(pages_stream: DataFrame) -> DataFrame:
 
     slim = pages_stream.select(
         F.expr("parse_url(url, 'HOST')").alias("url_host"),
-        doc_type_col(F.col("html")).isin("pdf", "html", "text").alias("ok"),
+        # extractable types (mirrors the gate in operators/extract.py)
+        doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx").alias("ok"),
         F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
     )
     return slim.groupBy("url_host").applyInPandasWithState(

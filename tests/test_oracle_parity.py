@@ -99,3 +99,15 @@ def test_streaming_dedup_matches_oracle(spark, duck):
     want, want_kinds = _normalize(duck.execute(_SQL_STREAMING_DEDUP).df())
     assert got_kinds == want_kinds
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_host_ingest_counters_matches_oracle(spark, duck):
+    """applyInPandasWithState cumulative counters vs the batch oracle over
+    the same pages parquet."""
+    from ocr_model_spark.entry import host_counters_oracle_sql, q_host_ingest_counters
+
+    got, got_kinds = _normalize(q_host_ingest_counters(spark, SF_DIR).toPandas())
+    want, want_kinds = _normalize(duck.execute(host_counters_oracle_sql(SF_DIR)).df())
+    assert got_kinds == want_kinds
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
