@@ -91,8 +91,10 @@ def main() -> None:
         "token_layout_cells",
         "revenue_by_nation",
         "minhash_candidates",
+        "near_dup_verified",
         "simhash",
         "cosine_topk",
+        "embedding_near_dups",
         "quality_scores",
         "doc_fingerprints",
     ]

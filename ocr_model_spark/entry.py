@@ -214,11 +214,14 @@ def q_pdf_images_meta(spark, sf_dir):
     """S11 embedded-image export: enumerate image XObjects in the corpus's
     real PDFs (honest width/height from the image dicts; DCTDecode bytes
     hashed as the exportable JPEG). PDF rows filtered JVM-side."""
-    from ocr_model_spark.operators.multimodal import pdf_embedded_images
+    from ocr_model_spark.operators.multimodal import (
+        image_quality_filter,
+        pdf_embedded_images,
+    )
 
     pages = spark.read.parquet(pages_for(sf_dir))
     pdfs = pages.filter(F.substring("html", 1, 4) == F.lit(b"%PDF"))
-    return pdf_embedded_images(pdfs).orderBy("url", "image_idx")
+    return image_quality_filter(pdf_embedded_images(pdfs)).orderBy("url", "image_idx")
 
 
 def q_streaming_windowed(spark, sf_dir):

@@ -13,9 +13,9 @@ Three engines, same output shape:
     succeeds (not present in this container; gated behind import-try exactly
     like the reference's optional OCR engines, ``advanced_ocr.py:39-52``).
   * :mod:`ocr_model_spark.kernels.pdf_native` — stdlib real-PDF reader
-    (object scan, FlateDecode via zlib, page tree, Tj/TJ/Td/Tm text
-    operators) used when fitz is absent; covers the classic-PDF subset and
-    fails typed on encrypted / ObjStm / exotic-filter files.
+    (object scan, FlateDecode via zlib, ObjStm expansion, page tree,
+    Tj/TJ/Td/Tm text operators) used when fitz is absent; fails typed on
+    encrypted / exotic-filter files.
   * :func:`_extract_synth` — a deterministic parser for the content-stream
     subset our synthetic corpus generator emits (``BT/Td/Tf/(…) Tj/ET``).
     This keeps the Spark-side plumbing (schema, batching, span arithmetic,
@@ -203,6 +203,7 @@ def extract_pdf(data: bytes, max_pages: int | None = None) -> dict:
                 "encoding": None,
                 "ok": False,
                 "error": "pdf-encrypted",
+                "metadata": {},
                 "regions": [],
             }
         else:
@@ -216,6 +217,7 @@ def extract_pdf(data: bytes, max_pages: int | None = None) -> dict:
             "encoding": None,
             "ok": False,
             "error": f"pdf-parse-failed: {type(e).__name__}",
+            "metadata": {},
             "regions": [],
         }
     doc_info = pages[0].pop("doc_info", {}) if pages else {}

@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 try:  # pragma: no cover - not installed in this container
@@ -122,6 +123,30 @@ def pdf_embedded_images(pages_df: DataFrame, url_col: str = "url", bin_col: str 
             yield pd.DataFrame(rows, columns=cols)
 
     return pages_df.select(url_col, bin_col).mapInPandas(batches, PDF_IMAGE_SCHEMA)
+
+
+def image_quality_filter(
+    images: DataFrame,
+    min_width: int = 64,
+    min_height: int = 64,
+    max_aspect: float = 10.0,
+    min_bytes: int = 32,
+) -> DataFrame:
+    """P6/P7: pre-OCR image gating (reference skips tiny / degenerate images
+    before running models). Pure expressions over honest metadata columns —
+    adds ``keep`` plus a ``drop_reason``; downstream OCR stages filter on
+    ``keep`` so model kernels never see junk frames."""
+    w, h = F.col("width"), F.col("height")
+    aspect = F.greatest(w, h) / F.greatest(F.least(w, h), F.lit(1))
+    reason = (
+        F.when((w < min_width) | (h < min_height), F.lit("too-small"))
+        .when(aspect > max_aspect, F.lit("degenerate-aspect"))
+        .when(F.col("n_bytes") < min_bytes, F.lit("too-few-bytes"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return images.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
 
 
 def media_metadata(media_df: DataFrame, url_col: str = "url", bin_col: str = "html") -> DataFrame:

@@ -63,3 +63,29 @@ def test_extract_html_invariants_on_markup_fuzz(pieces):
     assert "\n\n".join(reg["text"] for reg in r["regions"]) == r["text"]
     # region indexes are dense and ordered
     assert [reg["idx"] for reg in r["regions"]] == list(range(len(r["regions"])))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_native_pdf_reader_never_raises_unhandled(data):
+    """Any %PDF-prefixed bytes produce a well-formed result dict — garbage
+    degrades to a typed error, never an exception (the pandas UDF must not
+    die on a malformed crawl payload)."""
+    from ocr_model_spark.kernels.pdf_extract import extract_pdf
+
+    r = extract_pdf(b"%PDF-1.5\n" + data)
+    _check_wellformed(r)
+    assert isinstance(r["ok"], bool)
+    if not r["ok"]:
+        assert r["error"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_docx_kernel_never_raises_unhandled(data):
+    from ocr_model_spark.kernels.docx_extract import extract_docx
+
+    r = extract_docx(b"PK\x03\x04" + data)
+    _check_wellformed(r)
+    if not r["ok"]:
+        assert r["error"].startswith("docx-parse-failed")

@@ -62,3 +62,20 @@ def test_driver_contract(spark):
     assert df.count() > 0
     # stable schema: re-invocation yields the same columns
     assert e.entry(spark).columns == df.columns
+
+
+def test_image_quality_filter_reasons(spark):
+    from ocr_model_spark.operators.multimodal import image_quality_filter
+
+    rows = [
+        ("a", 320, 240, 5000),
+        ("b", 10, 240, 5000),     # too-small width
+        ("c", 2000, 80, 5000),    # degenerate aspect (25:1)
+        ("d", 100, 100, 8),       # too few bytes
+    ]
+    df = spark.createDataFrame(rows, "url STRING, width INT, height INT, n_bytes LONG")
+    out = {r["url"]: (r["keep"], r["drop_reason"]) for r in image_quality_filter(df).collect()}
+    assert out["a"] == (True, None)
+    assert out["b"] == (False, "too-small")
+    assert out["c"] == (False, "degenerate-aspect")
+    assert out["d"] == (False, "too-few-bytes")
