@@ -102,7 +102,11 @@ def q_ann_ivf_topk(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=6).orderBy(
+    # seeded centroids + probe 8: on THIS corpus (isotropic random vectors)
+    # Lloyd refinement balances cells and splits near-neighbors across
+    # boundaries, LOWERING recall (measured 0.80 → 0.73 @sf0.01); on real
+    # clustered embeddings use ivf_train_kmeans and pass centroids=
+    return ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=8).orderBy(
         "query_id", "rank"
     )
 
@@ -189,15 +193,15 @@ def q_ann_recall(spark, sf_dir):
         )
 
     lsh = lsh_cosine_topk(queries, emb, k=3, n_planes=4, dim=64, n_tables=8)
-    ivf = ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=6)
+    ivf = ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=8)
     return one(lsh, "lsh").unionByName(one(ivf, "ivf")).orderBy("method")
 
 
 # pinned per-sf recall values (deterministic: hash-derived planes/centroids,
 # deterministic tie-breaks). A change here means the ANN quality changed.
 _ANN_RECALL_PINS: dict[str, dict[str, float]] = {
-    "sf0.001": {"ivf": 0.6667, "lsh": 0.6},
-    "sf0.01": {"ivf": 0.7667, "lsh": 0.7333},
+    "sf0.001": {"ivf": 0.7667, "lsh": 0.6},
+    "sf0.01": {"ivf": 0.8, "lsh": 0.7333},
 }
 
 

@@ -118,6 +118,92 @@ def with_hyperplane_bucket(
     )
 
 
+def _seed_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic seed centroids: the corpus vectors with the smallest
+    md5-derived id hash (a seedless reservoir)."""
+    from ocr_model_spark.operators.dedup import stable_hash
+
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("_h", stable_hash(F.col("cid").cast("string")))
+        .orderBy("_h", "cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["cv"]] for r in rows]
+
+
+def ivf_train_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd refinement of the seed centroids — DETERMINISTIC:
+    each cell's mean is computed in a grouped-map over members SORTED by id
+    (fixed float-summation order, unlike ``avg()`` whose partial-sum order
+    varies with partitioning). Returns plain lists for broadcasting into
+    the serving plan. At real scale run this on a deterministic sample —
+    the serving plan is unchanged either way.
+
+    When it helps: clustered embedding spaces (real text/image encoders).
+    Measured on the driver's ISOTROPIC random corpus it lowers recall
+    (balanced cells split near-neighbor pairs across boundaries), so the
+    driver queries keep the seed centroids and a higher probe count —
+    pick per-corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = _seed_centroids(corpus, n_centroids, id_col, vec_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        mat = np.stack(pdf["v"].to_numpy())
+        return pd.DataFrame(
+            [{"cell": int(pdf["cell"].iloc[0]), "centroid": (mat.sum(axis=0) / len(mat)).tolist()}]
+        )
+
+    for _ in range(max(0, iters)):
+        cent_arrays = [
+            (i, F.array(*[F.lit(x) for x in c])) for i, c in enumerate(cents)
+        ]
+        assigned = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.element_at(
+                F.array_sort(_cell_score_array(F.col(vec_col), cent_arrays), _desc_sim), 1
+            )["cell"].alias("cell"),
+        )
+        refined = {
+            int(r["cell"]): [float(x) for x in r["centroid"]]
+            for r in assigned.groupBy("cell").applyInPandas(cell_mean, out_schema).collect()
+        }
+        # empty cells keep their previous centroid
+        cents = [refined.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def _cell_score_array(vec: Column, cent_arrays: list) -> Column:
+    """array of struct(sim, cell) — array_sort with _desc_sim orders by
+    similarity with cell-id tiebreak."""
+    return F.array(
+        *[
+            F.struct(F.round(cosine(vec, cv), 8).alias("sim"), F.lit(i).alias("cell"))
+            for i, cv in cent_arrays
+        ]
+    )
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -127,29 +213,20 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells, probe only
     the ``n_probe`` nearest cells per query, exact cosine within them.
 
-    Centroid selection is DETERMINISTIC (the corpus vectors with the
-    smallest md5-derived id hash — a seedless reservoir); on a real corpus
-    replace with k-means|| trained offline, the serving plan is identical:
-    broadcast centroids → one argmax expression per row → equi-join on
+    ``centroids`` defaults to the deterministic md5-reservoir seed; pass
+    :func:`ivf_train_kmeans` output for refined cells. Serving plan either
+    way: broadcast centroids → one argmax expression per row → equi-join on
     cell id → per-cell exact scoring. One shuffle, no crossJoin — the same
     shape IVF indexes give you in a vector database."""
-    from pyspark.sql import functions as _F
-
-    from ocr_model_spark.operators.dedup import stable_hash
-
-    cents = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("_h", stable_hash(F.col("cid").cast("string")))
-        .orderBy("_h", "cid")
-        .limit(n_centroids)
-        .collect()
-    )
+    if centroids is None:
+        centroids = _seed_centroids(corpus, n_centroids, id_col, vec_col)
     cent_arrays = [
-        (i, F.array(*[F.lit(float(x)) for x in row["cv"]])) for i, row in enumerate(cents)
+        (i, F.array(*[F.lit(float(x)) for x in c])) for i, c in enumerate(centroids)
     ]
 
     def cell_scores(vec: Column) -> Column:

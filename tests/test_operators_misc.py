@@ -79,3 +79,20 @@ def test_image_quality_filter_reasons(spark):
     assert out["b"] == (False, "too-small")
     assert out["c"] == (False, "degenerate-aspect")
     assert out["d"] == (False, "too-few-bytes")
+
+
+def test_ivf_kmeans_training_is_deterministic(spark):
+    from ocr_model_spark.operators.similarity import ivf_train_kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS embedding"
+    )
+    a = ivf_train_kmeans(emb, n_centroids=16, iters=1)
+    b = ivf_train_kmeans(emb, n_centroids=16, iters=1)
+    assert a == b  # grouped-map means sum in sorted-id order: bitwise stable
+    assert len(a) == 16 and all(len(c) == 64 for c in a)
+    # refinement actually moves centroids off the seed vectors
+    from ocr_model_spark.operators.similarity import _seed_centroids
+
+    seeds = _seed_centroids(emb, 16, "vec_id", "embedding")
+    assert a != seeds
