@@ -264,3 +264,41 @@ def extract_pdf(data: bytes, max_pages: int | None = None) -> dict:
         },
         "regions": regions,
     }
+
+
+class RasterEngineUnavailable(RuntimeError):
+    """No renderer in this build — callers degrade like the reference's
+    engine-absent OCR path (``advanced_ocr.py:39-52``)."""
+
+
+def rasterize_pages(
+    data: bytes, dpi: int = 150, max_pages: int | None = None
+) -> list[dict]:
+    """S5/S6: render PDF pages to PNG images for the scanned-page OCR path
+    (reference ``pdf_processor.py:78-117``: ``page.get_pixmap`` at a target
+    dpi feeding the OCR models). Requires a renderer (fitz); pure stdlib
+    cannot rasterize, so without it this raises
+    :class:`RasterEngineUnavailable` and the caller counts an engine
+    failure — the images themselves are opaque payloads for the multimodal
+    operators (``operators/multimodal.py``).
+
+    Returns ``[{page_num, width, height, dpi, png}]``.
+    """
+    if not _HAS_FITZ:
+        raise RasterEngineUnavailable("pdf-raster-engine-unavailable (no fitz)")
+    out: list[dict] = []
+    with fitz.open(stream=data, filetype="pdf") as doc:
+        for pno, page in enumerate(doc, start=1):
+            if max_pages is not None and pno > max_pages:
+                break
+            pix = page.get_pixmap(dpi=dpi)
+            out.append(
+                {
+                    "page_num": pno,
+                    "width": int(pix.width),
+                    "height": int(pix.height),
+                    "dpi": dpi,
+                    "png": pix.tobytes("png"),
+                }
+            )
+    return out

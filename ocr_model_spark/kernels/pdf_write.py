@@ -1,0 +1,92 @@
+"""Minimal classic-PDF writer (stdlib): the inverse of pdf_native's reader.
+
+Used by the annotated-PDF sink (K5) — the reference draws token/region
+boxes onto the source pages for review (exporter annotated output); here
+the annotation is a REAL generated PDF with stroked boxes + labels, which
+``pdf_native`` can read back (self-verifying round trip in tests).
+
+Deterministic: fixed object layout, uncompressed content streams, no
+timestamps.
+"""
+
+from __future__ import annotations
+
+
+def escape_pdf_string(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def assemble_pdf(objects: list[tuple[int, bytes, bytes | None]]) -> bytes:
+    """objects: (num, dict-bytes, optional stream-bytes) → full PDF file
+    with a correct xref table and trailer (object 1 must be the catalog)."""
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, dct, stream in objects:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n%s\n" % (num, dct)
+        if stream is not None:
+            out += b"stream\n" + stream + b"\nendstream\n"
+        out += b"endobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
+    for num in sorted(offsets):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objects) + 1,
+        xref_at,
+    )
+    return bytes(out)
+
+
+def build_annotated_pdf(
+    pages: list[dict],
+    page_w: float = 612.0,
+    page_h: float = 792.0,
+    review_threshold: float = 0.7,
+) -> bytes:
+    """``pages``: ``[{page_num, tokens: [{x1,y1,x2,y2,text,confidence}]}]``
+    (top-left coordinates) → a PDF with one page per entry: each token gets
+    a stroked box (red below the review threshold, green otherwise) and its
+    text drawn above the box."""
+    pages = sorted(pages, key=lambda p: p["page_num"])
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    font_num = 3 + 2 * n_pages
+    objects: list[tuple[int, bytes, bytes | None]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (
+            2,
+            b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 %d %d] >>"
+            % (kids.encode(), n_pages, int(page_w), int(page_h)),
+            None,
+        ),
+    ]
+    for i, page in enumerate(pages):
+        ops: list[str] = []
+        for t in sorted(page["tokens"], key=lambda t: (t["y1"], t["x1"])):
+            x, w = t["x1"], t["x2"] - t["x1"]
+            yb = page_h - t["y2"]  # PDF origin is bottom-left
+            h = t["y2"] - t["y1"]
+            needs_review = t.get("confidence", 1.0) < review_threshold
+            color = "1 0 0" if needs_review else "0 0.6 0"
+            ops.append(f"q {color} RG 1 w {x:g} {yb:g} {w:g} {h:g} re S Q\n")
+            label = escape_pdf_string(str(t.get("text", "")))[:80]
+            if label:
+                ops.append(
+                    f"BT /F1 6 Tf {x:g} {page_h - t['y1'] + 2:g} Td ({label}) Tj ET\n"
+                )
+        content = "".join(ops).encode("latin-1", "replace")
+        pnum, snum = 3 + 2 * i, 4 + 2 * i
+        objects.append(
+            (
+                pnum,
+                b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R "
+                b"/Resources << /Font << /F1 %d 0 R >> >> >>" % (snum, font_num),
+                None,
+            )
+        )
+        objects.append((snum, b"<< /Length %d >>" % len(content), content))
+    objects.append(
+        (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None)
+    )
+    return assemble_pdf(objects)

@@ -19,7 +19,10 @@ equivalents are partitioned table writes:
     human artifact, not a 10^12-row sink; the CSV/parquet paths carry the
     full data.
 
-Annotated-PDF (K5) stays a non-goal (visualization layer, SURVEY.md §2.1).
+  * K5 PDF   — SMALL-EXTRACT annotated-PDF sink: a real generated PDF per
+    document with stroked token boxes (red = needs review) + labels, via
+    the stdlib writer in ``kernels/pdf_write.py``; capped like XLSX —
+    review artifacts are for humans, the full data lives in parquet.
 """
 
 from __future__ import annotations
@@ -252,6 +255,63 @@ def _xlsx_bytes(headers: list[str], data_rows: list[list]) -> bytes:
             zf.writestr(zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0)), content)
     ET.fromstring(sheet)  # self-check: malformed sheet XML fails the write
     return buf.getvalue()
+
+
+# ------------------------------------------------------- K5: annotated PDF
+
+ANNOTATE_MAX_DOCS = 50  # small-extract cap: review artifacts are human-sized
+
+
+def write_annotated_pdfs(
+    tokens: DataFrame,
+    out_dir: str,
+    max_docs: int = ANNOTATE_MAX_DOCS,
+    review_threshold: float = 0.7,
+    page_size: tuple[float, float] = (612.0, 792.0),
+) -> int:
+    """K5: one annotated PDF per document from a token frame
+    ``(url, page_num, x1, y1, x2, y2, text, confidence)`` — stroked boxes
+    (red below the review threshold) + labels, re-readable by the engine's
+    own native PDF reader. Raises when the extract exceeds ``max_docs``
+    (filter first; this sink is for review extracts). Returns files written.
+    """
+    import os
+    import re as _re
+
+    from ocr_model_spark.kernels.pdf_write import build_annotated_pdf
+
+    urls = [r["url"] for r in tokens.select("url").distinct().limit(max_docs + 1).collect()]
+    if len(urls) > max_docs:
+        raise ValueError(f"annotated extract exceeds {max_docs} docs; filter or raise max_docs")
+    rows = (
+        tokens.filter(F.col("url").isin(urls))
+        .select("url", "page_num", "x1", "y1", "x2", "y2", "text", "confidence")
+        .collect()
+    )
+    by_doc: dict[str, dict[int, list[dict]]] = {}
+    for r in rows:
+        by_doc.setdefault(r["url"], {}).setdefault(int(r["page_num"]), []).append(
+            {
+                "x1": float(r["x1"]),
+                "y1": float(r["y1"]),
+                "x2": float(r["x2"]),
+                "y2": float(r["y2"]),
+                "text": r["text"],
+                "confidence": float(r["confidence"]),
+            }
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    for url in sorted(by_doc):
+        pages = [
+            {"page_num": pn, "tokens": toks} for pn, toks in sorted(by_doc[url].items())
+        ]
+        data = build_annotated_pdf(
+            pages, page_size[0], page_size[1], review_threshold
+        )
+        safe = _re.sub(r"[^A-Za-z0-9._-]", "_", url)[:120]
+        with open(os.path.join(out_dir, f"{safe}.pdf"), "wb") as f:
+            f.write(data)
+    return len(by_doc)
 
 
 def write_rows_xlsx(rows: DataFrame, path: str, max_rows: int = XLSX_MAX_ROWS) -> int:

@@ -576,3 +576,46 @@ def test_synth_real_pdfs_carry_embedded_images():
             assert im["data"].startswith(b"\xff\xd8\xff")
             found += 1
     assert found > 0
+
+
+def test_rasterize_pages_engine_gated_and_fake_covered(monkeypatch):
+    """S5/S6: rasterize raises typed when no renderer exists; with a (fake)
+    fitz the pixmap mapping is exercised end-to-end."""
+    import pytest as _pytest
+
+    from ocr_model_spark.kernels import pdf_extract as px
+
+    with _pytest.raises(px.RasterEngineUnavailable):
+        px.rasterize_pages(b"%PDF-1.4\n")
+
+    class _Pix:
+        width, height = 1275, 1650
+
+        def tobytes(self, fmt):
+            assert fmt == "png"
+            return b"\x89PNG\r\n\x1a\nfakepixels"
+
+    class _Page:
+        def get_pixmap(self, dpi):
+            assert dpi == 150
+            return _Pix()
+
+    class _Fitz:
+        def open(self, stream=None, filetype=None):
+            import contextlib
+
+            @contextlib.contextmanager
+            def doc():
+                yield [_Page(), _Page(), _Page()]
+
+            return doc()
+
+    monkeypatch.setattr(px, "_HAS_FITZ", True)
+    monkeypatch.setattr(px, "fitz", _Fitz())
+    pages = px.rasterize_pages(b"%PDF-1.4\n", dpi=150, max_pages=2)
+    assert len(pages) == 2
+    assert pages[0]["width"] == 1275 and pages[0]["png"].startswith(b"\x89PNG")
+    # the rasterized output is exactly what the multimodal decode stage eats
+    from ocr_model_spark.operators.multimodal import _sniff_format
+
+    assert _sniff_format(pages[0]["png"]) == "png"

@@ -140,3 +140,47 @@ def test_xlsx_sink_enforces_small_extract_cap(spark, extraction, tmp_path):
         write_rows_xlsx(
             extraction["rows"], str(tmp_path / "too_big.xlsx"), max_rows=10
         )
+
+
+def test_annotated_pdf_sink_roundtrips_through_native_reader(spark, tmp_path):
+    """K5: the annotated PDFs are REAL PDFs — the engine's own stdlib reader
+    re-reads the token labels; box ops are present per token."""
+    import glob as _glob
+    import os
+
+    from ocr_model_spark.kernels.pdf_extract import _group_blocks
+    from ocr_model_spark.kernels.pdf_native import extract_pages_native
+    from ocr_model_spark.queries import derived_tokens
+    from ocr_model_spark.sources.sinks import write_annotated_pdfs
+
+    toks = derived_tokens(spark, "/root/testdata/sf0.001").filter(
+        F.col("url").isin("doc0", "doc1")
+    )
+    n = write_annotated_pdfs(toks, str(tmp_path / "annot"))
+    assert n == 2
+    files = sorted(_glob.glob(str(tmp_path / "annot" / "*.pdf")))
+    assert len(files) == 2
+    with open(files[0], "rb") as f:
+        data = f.read()
+    assert data.startswith(b"%PDF")
+    n_tokens = toks.filter(F.col("url") == "doc0").count()
+    assert data.count(b" re S Q") == n_tokens  # one stroked box per token
+    pages = extract_pages_native(data, _group_blocks)
+    assert len(pages) == toks.filter(F.col("url") == "doc0").select("page_num").distinct().count()
+    page_text = " ".join(b["text"] for p in pages for b in p["blocks"])
+    assert "view" in page_text or "click" in page_text  # event-type labels survive
+    # determinism: same tokens → identical bytes
+    write_annotated_pdfs(toks, str(tmp_path / "annot2"))
+    with open(sorted(_glob.glob(str(tmp_path / "annot2" / "*.pdf")))[0], "rb") as f:
+        assert f.read() == data
+
+
+def test_annotated_pdf_sink_enforces_cap(spark, tmp_path):
+    import pytest as _pytest
+
+    from ocr_model_spark.queries import derived_tokens
+    from ocr_model_spark.sources.sinks import write_annotated_pdfs
+
+    toks = derived_tokens(spark, "/root/testdata/sf0.001")
+    with _pytest.raises(ValueError, match="exceeds"):
+        write_annotated_pdfs(toks, str(tmp_path / "x"), max_docs=3)
