@@ -619,3 +619,44 @@ def test_rasterize_pages_engine_gated_and_fake_covered(monkeypatch):
     from ocr_model_spark.operators.multimodal import _sniff_format
 
     assert _sniff_format(pages[0]["png"]) == "png"
+
+
+def test_ocr_adapters_gated_and_mapping_covered():
+    """M1/M2: engines absent → typed failure; the output-mapping adapters
+    are driven directly with engine-shaped fake data."""
+    import pytest as _pytest
+
+    from ocr_model_spark.kernels import ocr_engines as oe
+
+    assert oe.available_engines() == []
+    with _pytest.raises(oe.OcrEngineUnavailable):
+        oe.ocr_tokens_tesseract(b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(oe.OcrEngineUnavailable):
+        oe.ocr_tokens_paddle(b"\x89PNG\r\n\x1a\n")
+
+    # tesseract TSV-dict mapping: blanks and conf=-1 rows skipped, 0-100 → 0-1
+    data = {
+        "text": ["Hello", "", "world", "noise"],
+        "conf": [96.0, -1.0, 88.5, -1.0],
+        "left": [10, 0, 80, 0],
+        "top": [20, 0, 20, 0],
+        "width": [60, 0, 55, 0],
+        "height": [12, 0, 12, 0],
+    }
+    toks = oe._tesseract_data_to_tokens(data)
+    assert [t["text"] for t in toks] == ["Hello", "world"]
+    assert toks[0] == {
+        "text": "Hello", "x1": 10.0, "y1": 20.0, "x2": 70.0, "y2": 32.0,
+        "confidence": 0.96, "engine": "tesseract",
+    }
+
+    # paddle quad mapping: quad → axis-aligned bbox
+    result = [[
+        ([[5, 8], [100, 10], [99, 25], [4, 24]], ("Line one", 0.91)),
+        ([[0, 0], [1, 0], [1, 1], [0, 1]], ("", 0.5)),  # blank skipped
+    ]]
+    toks = oe._paddle_result_to_tokens(result)
+    assert len(toks) == 1
+    t = toks[0]
+    assert (t["x1"], t["y1"], t["x2"], t["y2"]) == (4.0, 8.0, 100.0, 25.0)
+    assert t["engine"] == "paddle" and t["confidence"] == 0.91
