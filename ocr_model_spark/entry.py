@@ -251,6 +251,41 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_streaming_near_dup(spark, sf_dir):
+    from ocr_model_spark.streaming.neardup import streaming_near_dup_flags
+
+    return streaming_near_dup_flags(spark, f"{sf_dir}/documents.parquet").orderBy(
+        "doc_id"
+    )
+
+
+def _streaming_near_dup_sql() -> str:
+    """Batch twin: a doc is near-dup iff a smaller-id doc shares any LSH
+    band bucket — the same rule the stateful streaming operator applies."""
+    from ocr_model_spark.queries import _minhash_sql
+    from ocr_model_spark.kernels.minhash import N_BANDS, ROWS_PER_BAND
+
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    sig_sql = _minhash_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sig AS ({sig_sql}),
+banded AS ({bands}),
+flagged AS (
+    SELECT DISTINCT b.doc_id
+    FROM banded b JOIN banded a
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT d.doc_id, (f.doc_id IS NOT NULL) AS is_near_dup
+FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_host_ingest_counters(spark, sf_dir):
     """The applyInPandasWithState crawl-monitor operator, drained with
     availableNow: per-host cumulative (docs, failures, bytes). Counters are
@@ -317,6 +352,7 @@ ROWS_ONLY_QUERIES = {
 EXTRA_SQL_QUERIES = {
     "streaming_windowed": (q_streaming_windowed, _SQL_STREAMING_WINDOWED),
     "streaming_dedup": (q_streaming_dedup, _SQL_STREAMING_DEDUP),
+    "streaming_near_dup": (q_streaming_near_dup, _streaming_near_dup_sql()),
 }
 
 # the driver compares Spark vs oracle at this scale (TESTDATA.md)

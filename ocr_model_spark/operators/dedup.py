@@ -21,15 +21,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE31 = 2147483647  # modulus for minhash permutations
-
-# fixed permutation constants (a*x + b) mod P — deterministic, shared with
-# the oracle SQL; 16 hashes → 4 bands × 4 rows
-MINHASH_A = [13, 101, 499, 997, 1499, 1999, 2503, 3001, 3499, 4001, 4507, 5003, 5501, 6007, 6521, 7001]
-MINHASH_B = [7, 97, 397, 797, 1201, 1601, 2003, 2411, 2801, 3203, 3607, 4003, 4409, 4801, 5209, 5641]
-N_BANDS = 4
-ROWS_PER_BAND = 4
-SIMHASH_BITS = 16
+# single source of truth for the minhash constants: the Spark-free kernel
+# twin (kernels/minhash.py) — streaming computes signatures in-row with it,
+# and a test pins kernel == expression pipeline
+from ocr_model_spark.kernels.minhash import (  # noqa: F401  (re-exported)
+    MERSENNE31,
+    MINHASH_A,
+    MINHASH_B,
+    N_BANDS,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+)
 
 
 def stable_hash(col: Column) -> Column:

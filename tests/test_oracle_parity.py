@@ -111,3 +111,34 @@ def test_host_ingest_counters_matches_oracle(spark, duck):
     assert got_kinds == want_kinds
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_minhash_kernel_twin_matches_expression_pipeline(spark):
+    """The pure-Python signature kernel (streaming path) must equal the
+    distributed expression pipeline exactly, doc by doc."""
+    import pandas as pd
+
+    from ocr_model_spark.kernels.minhash import minhash_signature
+    from ocr_model_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text").toPandas().set_index("id")
+    texts = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")["text"]
+    assert len(sigs) == len(texts)
+    for doc_id, row in sigs.iterrows():
+        expected = minhash_signature(texts.loc[doc_id])
+        got = [int(row[f"mh{i}"]) for i in range(16)]
+        assert got == expected, doc_id
+
+
+def test_streaming_near_dup_matches_oracle(spark, duck):
+    """Stateful streaming LSH banding vs the batch smaller-id-bucket-mate
+    oracle: identical flag sets."""
+    from ocr_model_spark.entry import _streaming_near_dup_sql, q_streaming_near_dup
+
+    got, got_kinds = _normalize(q_streaming_near_dup(spark, SF_DIR).toPandas())
+    want, want_kinds = _normalize(duck.execute(_streaming_near_dup_sql()).df())
+    assert got_kinds == want_kinds
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert got["is_near_dup"].any()  # the corpus does contain near-dups
