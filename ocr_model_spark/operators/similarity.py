@@ -310,8 +310,12 @@ def embedding_near_dups(
             ),
         ),
     )
+    from ocr_model_spark.operators.dedup import _spread
+
+    # single-file embedding tables scan as ONE task; the key computation is
+    # CPU-bound (L×P dot products per row) so spread the narrow frame first
     keyed = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        _spread(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
         .crossJoin(planes)
         .select("id", "v", F.explode(keys).alias("bucket"))
     )
@@ -390,8 +394,10 @@ def lsh_cosine_topk(
                 ),
             ),
         )
+        from ocr_model_spark.operators.dedup import _spread
+
         return (
-            df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(f"{idc}_v"))
+            _spread(df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(f"{idc}_v")))
             .crossJoin(planes)  # one broadcast row: duplicates nothing
             .select(idc, f"{idc}_v", F.explode(keys).alias("bucket"))
         )
