@@ -198,27 +198,32 @@ def _fast_build(raw: str) -> _Node:
     pos = 0
     n = len(raw)
     find = raw.find
+    tag_match = _FAST_TAG_RE.match
+    # `cur` mirrors stack[-1]; refreshed after every stack mutation (the
+    # out-of-line _open_tag/_close_tag paths mutate the stack)
+    cur = root
+    cur_children = root.children
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
             chunk = raw[pos:]
             if chunk:
                 if chunk.isspace():
-                    stack[-1].children.append(" ")  # normalization-equivalent
+                    cur_children.append(" ")  # normalization-equivalent
                 else:
-                    stack[-1].children.append(unescape(chunk) if "&" in chunk else chunk)
+                    cur_children.append(unescape(chunk) if "&" in chunk else chunk)
             break
         if lt > pos:
             chunk = raw[pos:lt]
             # whitespace-only runs collapse to a shared one-space constant
             # (identical after normalization; avoids per-chunk allocations)
             if chunk.isspace():
-                stack[-1].children.append(" ")
+                cur_children.append(" ")
             else:
-                stack[-1].children.append(unescape(chunk) if "&" in chunk else chunk)
-        m = _FAST_TAG_RE.match(raw, lt)
+                cur_children.append(unescape(chunk) if "&" in chunk else chunk)
+        m = tag_match(raw, lt)
         if not m:
-            stack[-1].children.append("<")
+            cur_children.append("<")
             pos = lt + 1
             continue
         pos = m.end()
@@ -229,10 +234,12 @@ def _fast_build(raw: str) -> _Node:
             tag = tag.lower()
         if slash:  # end tag
             # inline the overwhelmingly-common immediate-match close
-            if stack[-1].tag == tag and len(stack) > 1:
+            if cur.tag == tag and len(stack) > 1:
                 stack.pop()
             else:
                 _close_tag(stack, tag)
+            cur = stack[-1]
+            cur_children = cur.children
             continue
         blob = blob or ""
         attrs: dict[str, str] = {}
@@ -246,7 +253,7 @@ def _fast_build(raw: str) -> _Node:
                 attrs[am.group(1).lower()] = unescape(val) if "&" in val else val
         if selfclose:
             if tag == "br":
-                stack[-1].children.append(" ")
+                cur_children.append(" ")
             continue
         # raw-text elements: consume to the matching close without tokenizing
         if tag in _RAWTEXT_CLOSE:
@@ -260,14 +267,17 @@ def _fast_build(raw: str) -> _Node:
                 gt = find(">", cm.start())
                 pos = (gt + 1) if gt >= 0 else n
             if content:
-                # title content is real text; script/style bodies are data
-                # too (the tree walk ignores those subtrees)
+                # script/style bodies are data (the tree walk ignores them)
                 stack[-1].children.append(
                     unescape(content) if "&" in content else content
                 )
             _close_tag(stack, tag)
+            cur = stack[-1]
+            cur_children = cur.children
             continue
         _open_tag(stack, tag, attrs)
+        cur = stack[-1]
+        cur_children = cur.children
     return root
 
 
@@ -296,11 +306,13 @@ def _stats(node: _Node) -> tuple[str, int, int, int]:
     # region text: normalize the full concatenation (single canonical spacing)
     text = _norm("".join(f for f, _ in frags))
     # densities: per-fragment normalized lengths so they are insensitive to
-    # how markup splits runs of text
+    # how markup splits runs of text. len(_norm(f)) without building the
+    # string: sum of word lengths + single separators
     total = 0
     link = 0
     for f, is_link in frags:
-        n = len(_norm(f))
+        ws = f.split()
+        n = sum(map(len, ws)) + len(ws) - 1 if ws else 0
         total += n
         if is_link:
             link += n
