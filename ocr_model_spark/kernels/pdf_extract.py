@@ -302,3 +302,56 @@ def rasterize_pages(
                 }
             )
     return out
+
+
+try:  # pragma: no cover - optional dependency (absent in this container)
+    import pdfplumber  # type: ignore
+
+    _HAS_PDFPLUMBER = True
+except Exception:  # pragma: no cover
+    pdfplumber = None
+    _HAS_PDFPLUMBER = False
+
+
+def _pdfplumber_words_to_spans(words: list[dict]) -> list[dict]:
+    """pdfplumber ``extract_words()`` dicts → the engine span shape fed to
+    :func:`_group_blocks` (reference ``text_native.py:16-40`` consumes the
+    same word list). Blank words skipped like the fitz path."""
+    spans = []
+    for w in words:
+        text = (w.get("text") or "").strip()
+        if not text:
+            continue
+        spans.append(
+            {
+                "text": text,
+                "x1": float(w["x0"]),
+                "y1": float(w["top"]),
+                "x2": float(w["x1"]),
+                "y2": float(w["bottom"]),
+                "size": float(w["bottom"]) - float(w["top"]),
+            }
+        )
+    return spans
+
+
+def _extract_pdfplumber(data: bytes) -> list[dict]:
+    """S4: alternative native-text engine via pdfplumber — same pages shape
+    as the other engines, same block grouping."""
+    if not _HAS_PDFPLUMBER:
+        raise RuntimeError("pdfplumber not installed")
+    import io  # pragma: no cover - engine-present path
+
+    pages = []  # pragma: no cover
+    with pdfplumber.open(io.BytesIO(data)) as pdf:  # pragma: no cover
+        for pno, page in enumerate(pdf.pages, start=1):
+            spans = _pdfplumber_words_to_spans(page.extract_words())
+            pages.append(
+                {
+                    "page_num": pno,
+                    "width": int(page.width),
+                    "height": int(page.height),
+                    "blocks": _group_blocks(spans),
+                }
+            )
+    return pages  # pragma: no cover

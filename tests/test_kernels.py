@@ -660,3 +660,23 @@ def test_ocr_adapters_gated_and_mapping_covered():
     t = toks[0]
     assert (t["x1"], t["y1"], t["x2"], t["y2"]) == (4.0, 8.0, 100.0, 25.0)
     assert t["engine"] == "paddle" and t["confidence"] == 0.91
+
+
+def test_pdfplumber_adapter_mapping_covered():
+    """S4: the extract_words → span mapping is real code (fake word dicts);
+    grouped through the same shared block reconstruction."""
+    from ocr_model_spark.kernels.pdf_extract import (
+        _group_blocks,
+        _pdfplumber_words_to_spans,
+    )
+
+    words = [
+        {"text": "Hello", "x0": 72.0, "x1": 110.0, "top": 72.0, "bottom": 84.0},
+        {"text": "world", "x0": 114.0, "x1": 150.0, "top": 72.0, "bottom": 84.0},
+        {"text": "  ", "x0": 0.0, "x1": 1.0, "top": 0.0, "bottom": 1.0},  # blank
+        {"text": "Next", "x0": 72.0, "x1": 100.0, "top": 140.0, "bottom": 152.0},
+    ]
+    spans = _pdfplumber_words_to_spans(words)
+    assert [s["text"] for s in spans] == ["Hello", "world", "Next"]
+    blocks = _group_blocks(spans)
+    assert [b["text"] for b in blocks] == ["Hello world", "Next"]
