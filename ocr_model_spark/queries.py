@@ -1013,7 +1013,13 @@ def q_near_dup_verified(spark, sf_dir):
     candidate generation (one banding shuffle) → exact n-gram Jaccard
     verification of ONLY those survivors (broadcast-pruned) → verdict.
     This is how exact Jaccard is meant to be used at 10^12 rows — the
-    all-pairs ``jaccard_pairs`` stays the small-scope correctness baseline."""
+    all-pairs ``jaccard_pairs`` stays the small-scope correctness baseline.
+
+    Scale note: as ONE lazy plan the shingle frame is recomputed by the
+    signature path and both verify sides; at real corpus size persist the
+    (id, shingle) frame once (e.g. ``localCheckpoint``/parquet — it is
+    flat, so caching it is cheap, unlike nested-struct frames) and feed
+    the stages from it."""
     d = _t(spark, sf_dir, "documents")
     cands = D.minhash_candidates(d, "doc_id", "text")
     v = D.jaccard_verify(cands, d, "doc_id", "text")
