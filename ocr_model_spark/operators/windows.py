@@ -96,3 +96,42 @@ def top_k_per_group(
     """O-family: rank within group and keep the first k."""
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join (the operator Spark lacks natively): each left
+    row gets the latest right values with ``right.time <= left.time`` per
+    ``by`` key — LEFT semantics (no match → nulls).
+
+    NOT a join at all: tag both sides, UNION, and carry the right values
+    forward with one ``last(..., ignorenulls)`` window — a single shuffle
+    on the by-key, no range-explode, no per-row Python. This is the plan
+    that survives 10^12 rows; a SortMergeJoin on an inequality can't.
+
+    Equal timestamps: the right row sorts BEFORE the left row (>= / ASOF
+    semantics — matches DuckDB's ``ASOF LEFT JOIN``). ``right`` must be
+    unique per (by, time) — pre-aggregate duplicates first, or the carried
+    value is ambiguous.
+    """
+    r = right.select(
+        *by_cols, time_col, *value_cols, F.lit(0).alias("_is_left")
+    )
+    l = left.withColumn("_is_left", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(time_col).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in value_cols:
+        u = u.withColumn(
+            v,
+            F.last(F.when(F.col("_is_left") == 0, F.col(v)), ignorenulls=True).over(w),
+        )
+    return u.filter(F.col("_is_left") == 1).drop("_is_left")

@@ -1059,6 +1059,41 @@ ORDER BY c.id_a, c.id_b
     )
 
 
+def q_asof_last_purchase(spark, sf_dir):
+    """As-of join (the custom operator Spark lacks): every event picks up
+    the user's latest purchase value at-or-before its timestamp. One
+    union + window carry-forward — no inequality join. Verified against
+    DuckDB's native ASOF LEFT JOIN."""
+    e = _t(spark, sf_dir, "events")
+    prices = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value") + 1e-9, 4).alias("last_purchase"))
+    )
+    joined = W.asof_join_backward(
+        e.select("event_id", "user_id", "ts", "event_type"),
+        prices,
+        "ts",
+        ["user_id"],
+        ["last_purchase"],
+    )
+    return joined.select("event_id", "user_id", "event_type", "last_purchase").orderBy(
+        "event_id"
+    )
+
+
+_SQL_ASOF_LAST_PURCHASE = """
+WITH prices AS (
+    SELECT user_id, ts, ROUND(MAX(value) + 1e-9, 4) AS last_purchase
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.event_type, p.last_purchase
+FROM events e ASOF LEFT JOIN prices p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+ORDER BY e.event_id
+"""
+
+
 def q_best_rotation(spark, sf_dir):
     """A8 best-rotation argmax (reference ``worker/model_manager.py:296-325``):
     a deterministic 4-rotation candidate frame (simulated per-rotation OCR
@@ -1144,6 +1179,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "corpus_filter_verdict": (q_corpus_filter_verdict, _corpus_filter_sql()),
     "json_props_stats": (q_json_props_stats, _SQL_JSON_PROPS_STATS),
     "distinct_prop_keys": (q_distinct_prop_keys, _SQL_DISTINCT_PROP_KEYS),
+    "asof_last_purchase": (q_asof_last_purchase, _SQL_ASOF_LAST_PURCHASE),
     "best_rotation": (q_best_rotation, _SQL_BEST_ROTATION),
     "near_dup_verified": (q_near_dup_verified, _near_dup_verified_sql()),
     "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),

@@ -35,8 +35,8 @@ def test_entry_schema_is_pinned(spark):
 
 def test_every_query_key_has_stable_callable(spark):
     qs, oracles = e.queries(), e.oracle_sql()
-    assert len(qs) == 47
-    assert len(oracles) == 40
+    assert len(qs) == 48
+    assert len(oracles) == 41
     assert set(oracles) <= set(qs)
     # names are stable identifiers (the driver keys CORRECTNESS on them)
     for name in qs:

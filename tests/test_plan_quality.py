@@ -127,3 +127,15 @@ def test_lsh_plan_size_independent_of_dim(spark):
     assert len(plan) < 50_000, f"plan blew up: {len(plan)} chars"
     # single shuffle on the bucket key (plus the top-k window shuffle)
     assert "CrossJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_asof_join_plan_has_no_join_nodes(spark):
+    """The as-of operator is a union + window, never an inequality join:
+    no Join of any kind in the plan, exactly one window-partition Exchange
+    (AQE may add a union-side exchange pair, but no SortMergeJoin)."""
+    from ocr_model_spark.queries import q_asof_last_purchase
+
+    plan = _plan(q_asof_last_purchase(spark, "/root/testdata/sf0.001"))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, f"{node} leaked into the as-of plan"
+    assert "Window" in plan
