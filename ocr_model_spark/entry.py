@@ -251,6 +251,32 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_warc_ingest_summary(spark, sf_dir):
+    """The WARC ingest path end-to-end: pages → spec-correct .warc.gz
+    shards (cached, deterministic bytes) → binaryFile + record parser →
+    extraction → per-type counts. Demonstrates the crawl-native source
+    format composing with the unchanged pipeline."""
+    import os
+
+    from ocr_model_spark.operators.extract import extract_pages
+    from ocr_model_spark.sources.warc import read_warc, write_warc_files
+
+    pages_path = pages_for(sf_dir)
+    warc_dir = pages_path + "_warc"
+    if not os.path.isdir(warc_dir):
+        write_warc_files(spark.read.parquet(pages_path), warc_dir)
+    docs = extract_pages(read_warc(spark, warc_dir))
+    return (
+        docs.groupBy("doc_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.length("text_extracted")).alias("sum_chars"),
+        )
+        .orderBy("doc_type")
+    )
+
+
 def q_streaming_near_dup(spark, sf_dir):
     from ocr_model_spark.streaming.neardup import streaming_near_dup_flags
 
@@ -345,6 +371,7 @@ ROWS_ONLY_QUERIES = {
     "extract_lineage": q_extract_lineage,
     "docx_region_rows": q_docx_region_rows,
     "pdf_images_meta": q_pdf_images_meta,
+    "warc_ingest_summary": q_warc_ingest_summary,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }

@@ -1,0 +1,162 @@
+"""WARC source: read Common-Crawl-style .warc / .warc.gz into the pages
+schema (SURVEY §2.1 storage sources; the north-rule input is a crawl, and
+WARC is its native interchange format).
+
+Plan shape: ``binaryFile`` scan (one WARC shard per task — exactly how
+crawl archives are laid out: many ~1 GB shards) → ``mapInPandas`` record
+parser (stdlib ``gzip``; WARC .gz files are per-record gzip members, which
+``gzip.decompress`` handles as concatenated streams) → pages rows
+``(url, warc_ts, html, text, lang)``. Payloads stay inside the scan task —
+never shuffled — so extraction composes exactly like the parquet source.
+
+The writer exists for tests and round-tripping: spec-correct WARC/1.0
+response records (deterministic record ids from the payload hash, no
+uuid4/now()).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import hashlib
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ocr_model_spark.sources.pages import PAGES_SCHEMA
+
+_CRLF = b"\r\n"
+
+
+# ------------------------------------------------------------------ writer
+
+
+def build_warc(rows: list[dict], compress: bool = True) -> bytes:
+    """rows: [{url, warc_ts, html}] → WARC/1.0 bytes (one gzip member per
+    record when ``compress`` — the standard .warc.gz layout)."""
+    out = bytearray()
+    for r in rows:
+        payload = bytes(r["html"]) if r["html"] is not None else b""
+        http = (
+            b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: application/octet-stream" + _CRLF
+            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+            + _CRLF
+            + payload
+        )
+        ts = r["warc_ts"]
+        if isinstance(ts, str):
+            date = ts
+        else:
+            date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        rec_id = hashlib.sha256(
+            (r["url"] + ":" + date).encode()
+        ).hexdigest()  # deterministic — never uuid4
+        header = (
+            b"WARC/1.0" + _CRLF
+            + b"WARC-Type: response" + _CRLF
+            + b"WARC-Record-ID: <urn:sha256:" + rec_id.encode() + b">" + _CRLF
+            + b"WARC-Date: " + date.encode() + _CRLF
+            + b"WARC-Target-URI: " + r["url"].encode() + _CRLF
+            + b"Content-Type: application/http; msgtype=response" + _CRLF
+            + b"Content-Length: " + str(len(http)).encode() + _CRLF
+            + _CRLF
+        )
+        record = header + http + _CRLF + _CRLF
+        out += gzip.compress(record, mtime=0) if compress else record
+    return bytes(out)
+
+
+def write_warc_files(
+    pages_df: DataFrame, out_dir: str, rows_per_file: int = 1000
+) -> list[str]:
+    """Small-extract WARC writer (driver-side, test/round-trip tool):
+    chunks rows into .warc.gz shards. Deterministic bytes (gzip mtime=0)."""
+    import os
+
+    rows = pages_df.select("url", "warc_ts", "html").collect()
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(0, len(rows), rows_per_file):
+        chunk = [r.asDict() for r in rows[i : i + rows_per_file]]
+        p = os.path.join(out_dir, f"shard-{i // rows_per_file:05d}.warc.gz")
+        with open(p, "wb") as f:
+            f.write(build_warc(chunk))
+        paths.append(p)
+    return paths
+
+
+# ------------------------------------------------------------------ reader
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse WARC bytes (gzipped members or plain) into
+    [{url, warc_ts, html}] — response records only. Tolerant: short/broken
+    trailing records are dropped, not fatal."""
+    if data[:2] == b"\x1f\x8b":
+        # concatenated gzip members decompress as one stream
+        data = gzip.decompress(data)
+    out: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = data.find(_CRLF + _CRLF, start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[start:head_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        body_start = head_end + 4
+        body = data[body_start : body_start + length]
+        pos = body_start + length
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        date = headers.get("warc-date")
+        if not url or not date:
+            continue
+        # body = HTTP response: payload follows the first blank line
+        sep = body.find(_CRLF + _CRLF)
+        payload = body[sep + 4 :] if sep >= 0 else body
+        try:
+            ts = dt.datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            continue
+        out.append({"url": url, "warc_ts": ts, "html": payload})
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC shards → pages-schema DataFrame. One shard per scan task
+    (binaryFile); parsing happens inside the task, payloads never shuffle."""
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in parse_warc(bytes(content)):
+                    rows.append(
+                        {
+                            "url": rec["url"],
+                            "warc_ts": rec["warc_ts"],
+                            "html": rec["html"],
+                            "text": None,
+                            "lang": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.warc*").load(path)
+    return files.select("content").mapInPandas(parse_files, PAGES_SCHEMA)

@@ -35,7 +35,7 @@ def test_entry_schema_is_pinned(spark):
 
 def test_every_query_key_has_stable_callable(spark):
     qs, oracles = e.queries(), e.oracle_sql()
-    assert len(qs) == 48
+    assert len(qs) == 49
     assert len(oracles) == 41
     assert set(oracles) <= set(qs)
     # names are stable identifiers (the driver keys CORRECTNESS on them)

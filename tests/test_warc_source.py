@@ -1,0 +1,56 @@
+"""WARC source: spec round-trip, tolerance, and pipeline composition."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from ocr_model_spark.operators.extract import extract_pages
+from ocr_model_spark.sources.warc import build_warc, parse_warc, read_warc, write_warc_files
+
+
+def test_warc_roundtrip_byte_identical(spark, pages_path, tmp_path):
+    src = spark.read.parquet(pages_path)
+    paths = write_warc_files(src, str(tmp_path / "warc"), rows_per_file=120)
+    assert len(paths) == 3  # 300 rows / 120
+    back = read_warc(spark, str(tmp_path / "warc"))
+    a = src.select("url", "warc_ts", "html").toPandas().sort_values("url").reset_index(drop=True)
+    b = back.select("url", "warc_ts", "html").toPandas().sort_values("url").reset_index(drop=True)
+    assert len(a) == len(b) == 300
+    assert (a["url"] == b["url"]).all()
+    assert (a["warc_ts"] == b["warc_ts"]).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["html"], b["html"]))
+
+
+def test_warc_feeds_extraction_pipeline(spark, pages_path, tmp_path):
+    src = spark.read.parquet(pages_path)
+    write_warc_files(src, str(tmp_path / "warc"))
+    docs = extract_pages(read_warc(spark, str(tmp_path / "warc")))
+    assert docs.count() == 300
+    assert docs.filter("ok").count() > 280  # only image payloads fail
+
+
+def test_warc_writer_is_deterministic():
+    import datetime as dt
+
+    rows = [
+        {"url": "https://a/x", "warc_ts": dt.datetime(2024, 3, 1), "html": b"<p>hi</p>"},
+        {"url": "https://b/y", "warc_ts": dt.datetime(2024, 3, 2), "html": b"%PDF-1.4"},
+    ]
+    assert build_warc(rows) == build_warc(rows)  # gzip mtime pinned to 0
+
+
+def test_warc_parser_tolerates_junk_and_non_response_records():
+    import datetime as dt
+
+    rows = [{"url": "https://a/x", "warc_ts": dt.datetime(2024, 3, 1), "html": b"payload"}]
+    plain = build_warc(rows, compress=False)
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    recs = parse_warc(warcinfo + plain + b"WARC/1.0\r\ntrunca")  # junk tail
+    assert len(recs) == 1
+    assert recs[0]["url"] == "https://a/x" and recs[0]["html"] == b"payload"
+    # gzipped multi-member stream parses identically
+    assert parse_warc(gzip.compress(warcinfo, mtime=0) + build_warc(rows)) == recs
