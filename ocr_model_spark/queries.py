@@ -1059,6 +1059,70 @@ ORDER BY c.id_a, c.id_b
     )
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations) — §2.4 family."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    return (
+        e.cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_SQL_EVENTS_CUBE = """
+WITH e AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value FROM events)
+SELECT COALESCE(event_type, 'ALL') AS event_type, COALESCE(day, 'ALL') AS day,
+       COUNT(*) AS n, ROUND(SUM(value) + 1e-9, 4) AS sum_value
+FROM e GROUP BY CUBE(event_type, day)
+ORDER BY event_type, day
+"""
+
+
+def q_sliding_window_sum(spark, sf_dir):
+    """RANGE-frame sliding aggregation: per event, the user's value sum over
+    the trailing hour (inclusive). Microseconds from a fixed NTZ epoch keep
+    it session-timezone-independent (same trick as user_sessions)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.withColumn("hour_sum", F.round(F.sum("value").over(w) + 1e-9, 4))
+        .select("event_id", "user_id", "hour_sum")
+        .orderBy("event_id")
+    )
+
+
+_SQL_SLIDING_WINDOW_SUM = """
+WITH e AS (
+    SELECT event_id, user_id, value,
+           date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS us
+    FROM events
+)
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+           PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS hour_sum
+FROM e ORDER BY event_id
+"""
+
+
 def q_asof_last_purchase(spark, sf_dir):
     """As-of join (the custom operator Spark lacks): every event picks up
     the user's latest purchase value at-or-before its timestamp. One
@@ -1180,6 +1244,8 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "json_props_stats": (q_json_props_stats, _SQL_JSON_PROPS_STATS),
     "distinct_prop_keys": (q_distinct_prop_keys, _SQL_DISTINCT_PROP_KEYS),
     "asof_last_purchase": (q_asof_last_purchase, _SQL_ASOF_LAST_PURCHASE),
+    "events_cube": (q_events_cube, _SQL_EVENTS_CUBE),
+    "sliding_window_sum": (q_sliding_window_sum, _SQL_SLIDING_WINDOW_SUM),
     "best_rotation": (q_best_rotation, _SQL_BEST_ROTATION),
     "near_dup_verified": (q_near_dup_verified, _near_dup_verified_sql()),
     "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),

@@ -35,8 +35,8 @@ def test_entry_schema_is_pinned(spark):
 
 def test_every_query_key_has_stable_callable(spark):
     qs, oracles = e.queries(), e.oracle_sql()
-    assert len(qs) == 49
-    assert len(oracles) == 41
+    assert len(qs) == 51
+    assert len(oracles) == 43
     assert set(oracles) <= set(qs)
     # names are stable identifiers (the driver keys CORRECTNESS on them)
     for name in qs:

@@ -12,7 +12,10 @@ from ocr_model_spark.queries import SQL_QUERIES
 from tests.test_oracle_parity import TABLES, _normalize
 
 SF_DIR = "/root/testdata/sf0.001"
-TZ_SENSITIVE = ["user_sessions", "daily_running", "first_events", "event_type_presence", "streaming_windowed", "asof_last_purchase"]
+TZ_SENSITIVE = [
+    "user_sessions", "daily_running", "first_events", "event_type_presence",
+    "streaming_windowed", "asof_last_purchase", "events_cube", "sliding_window_sum",
+]
 
 
 @pytest.mark.parametrize("name", TZ_SENSITIVE)
