@@ -23,6 +23,12 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="ocr_model_spark extraction job")
     p.add_argument("--input", required=True, help="pages table (parquet path or catalog table)")
+    p.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "warc"],
+        help="pages parquet or a directory of .warc/.warc.gz shards",
+    )
     p.add_argument("--output", required=True, help="snapshot base directory")
     p.add_argument("--profile", default="default", choices=["default", "performance", "quality"])
     p.add_argument("--partitions", type=int, default=None, help="extraction stage width")
@@ -44,12 +50,18 @@ def main(argv: list[str] | None = None) -> int:
         from ocr_model_spark.pipeline import run_versioned
         from ocr_model_spark.sources.snapshots import read_manifest, read_snapshot
 
+        pages = None
+        if args.input_format == "warc":
+            from ocr_model_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, args.input)
         version = run_versioned(
             spark,
             args.input,
             args.output,
             params={"profile": args.profile},
             num_partitions=args.partitions,
+            pages=pages,
         )
         snap = read_snapshot(spark, args.output)
         manifest = read_manifest(args.output) or {}

@@ -128,6 +128,7 @@ def run_versioned(
     base: str,
     params: dict | None = None,
     num_partitions: int | None = None,
+    pages: DataFrame | None = None,
 ) -> int | None:
     """Extraction with the versioned-manifest snapshot protocol
     (sources/snapshots.py): resume keyed on (url, content hash, params
@@ -141,7 +142,12 @@ def run_versioned(
     fp = hashlib.sha256(
         _json.dumps(params or {}, sort_keys=True).encode()
     ).hexdigest()[:16]
-    pages = read_pages(spark, pages_path).withColumn("input_file", F.input_file_name())
+    if pages is None:
+        pages = read_pages(spark, pages_path)
+    if "input_file" not in pages.columns:
+        # scan-time capture (sources like WARC pre-populate it — after a
+        # mapInPandas the builtin would return "")
+        pages = pages.withColumn("input_file", F.input_file_name())
     pages = resume_against_snapshot(pages, spark, base, fp)
     if num_partitions is not None:
         pages = pages.repartition(num_partitions)

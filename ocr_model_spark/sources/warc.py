@@ -140,10 +140,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC shards → pages-schema DataFrame. One shard per scan task
     (binaryFile); parsing happens inside the task, payloads never shuffle."""
 
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        PAGES_SCHEMA.fields + [T.StructField("input_file", T.StringType())]
+    )
+
     def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for content in pdf["content"]:
+            for shard, content in zip(pdf["path"], pdf["content"]):
                 for rec in parse_warc(bytes(content)):
                     rows.append(
                         {
@@ -152,11 +158,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             "html": rec["html"],
                             "text": None,
                             "lang": None,
+                            # scan-time lineage: input_file_name() is blank
+                            # after mapInPandas, so carry the shard path
+                            "input_file": shard,
                         }
                     )
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.warc*").load(path)
-    return files.select("content").mapInPandas(parse_files, PAGES_SCHEMA)
+    return files.select("path", "content").mapInPandas(parse_files, out_schema)

@@ -54,3 +54,29 @@ def test_warc_parser_tolerates_junk_and_non_response_records():
     assert recs[0]["url"] == "https://a/x" and recs[0]["html"] == b"payload"
     # gzipped multi-member stream parses identically
     assert parse_warc(gzip.compress(warcinfo, mtime=0) + build_warc(rows)) == recs
+
+
+def test_cli_ingests_warc_with_shard_lineage(spark, pages_path, tmp_path):
+    """main.py --input-format warc: versioned snapshot commit from WARC
+    shards, lineage input_file = shard paths (input_file_name() is blank
+    after mapInPandas, so the source carries it)."""
+    from ocr_model_spark.pipeline import run_versioned
+    from ocr_model_spark.sources.snapshots import read_manifest, read_snapshot
+
+    src = spark.read.parquet(pages_path)
+    write_warc_files(src, str(tmp_path / "warc"), rows_per_file=120)
+    pages = read_warc(spark, str(tmp_path / "warc"))
+    version = run_versioned(
+        spark, str(tmp_path / "warc"), str(tmp_path / "snap"), pages=pages
+    )
+    assert version == 0
+    snap = read_snapshot(spark, str(tmp_path / "snap"))
+    assert snap.count() == 300
+    lineage = (read_manifest(str(tmp_path / "snap")) or {}).get("lineage", [])
+    files = {r["input_file"] for r in lineage}
+    assert files and all(f.endswith(".warc.gz") for f in files)
+    # resume: second run over the same shards commits nothing
+    assert run_versioned(
+        spark, str(tmp_path / "warc"), str(tmp_path / "snap"),
+        pages=read_warc(spark, str(tmp_path / "warc")),
+    ) is None
