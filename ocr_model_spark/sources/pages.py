@@ -38,3 +38,17 @@ def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
         except Exception:
             pass
     return spark.read.schema(PAGES_SCHEMA).parquet(path_or_table)
+
+
+def write_bucketed(
+    df, table: str, keys: list[str], n_buckets: int = 32, sort: bool = True
+) -> None:
+    """Persist a table bucketed (and sorted) on its join keys so repeated
+    joins/aggregations on those keys are EXCHANGE-FREE — the co-location
+    strategy for hot 100 TB join paths (pay one layout shuffle at write
+    time, never again at read time). Plan-pinned by
+    ``tests/test_plan_quality.py::test_bucketed_join_is_exchange_free``."""
+    w = df.write.bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.mode("overwrite").saveAsTable(table)

@@ -139,3 +139,29 @@ def test_asof_join_plan_has_no_join_nodes(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan, f"{node} leaked into the as-of plan"
     assert "Window" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Co-located storage: joining two tables bucketed on the same key must
+    not shuffle either side (the 100 TB hot-join layout)."""
+    from ocr_model_spark.sources.pages import write_bucketed
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    spark.sql("DROP TABLE IF EXISTS _pq_ev_b")
+    spark.sql("DROP TABLE IF EXISTS _pq_us_b")
+    write_bucketed(e, "_pq_ev_b", ["user_id"], 8)
+    write_bucketed(
+        e.groupBy("user_id").agg(F.sum("value").alias("total")), "_pq_us_b", ["user_id"], 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("_pq_ev_b").join(spark.table("_pq_us_b"), "user_id")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == e.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS _pq_ev_b")
+        spark.sql("DROP TABLE IF EXISTS _pq_us_b")
