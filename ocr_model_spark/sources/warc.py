@@ -91,34 +91,34 @@ def write_warc_files(
 # ------------------------------------------------------------------ reader
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """Parse WARC bytes (gzipped members or plain) into
-    [{url, warc_ts, html}] — response records only. Tolerant: short/broken
-    trailing records are dropped, not fatal."""
-    if data[:2] == b"\x1f\x8b":
-        # concatenated gzip members decompress as one stream
-        data = gzip.decompress(data)
-    out: list[dict] = []
-    pos = 0
-    n = len(data)
-    while pos < n:
-        start = data.find(b"WARC/", pos)
-        if start < 0:
-            break
-        head_end = data.find(_CRLF + _CRLF, start)
-        if head_end < 0:
-            break
+def iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
+    """STREAMING record reader over a file-like object: O(one record)
+    memory, so a 1 GB shard never materializes decompressed in the worker.
+    Yields response records {url, warc_ts, html}; tolerant — short/broken
+    trailing records end iteration instead of raising."""
+    while True:
+        # seek the next record header line (skip inter-record CRLFs/junk)
+        line = stream.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            continue
         headers: dict[str, str] = {}
-        for line in data[start:head_end].split(_CRLF)[1:]:
-            k, _, v = line.partition(b":")
+        while True:
+            hline = stream.readline()
+            if not hline:
+                return
+            if hline in (_CRLF, b"\n", b""):
+                break
+            k, _, v = hline.partition(b":")
             headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
-            break
-        body_start = head_end + 4
-        body = data[body_start : body_start + length]
-        pos = body_start + length
+            return
+        body = stream.read(length)
+        if len(body) < length:
+            return  # truncated trailing record
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")
@@ -132,8 +132,15 @@ def parse_warc(data: bytes) -> list[dict]:
             ts = dt.datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
         except ValueError:
             continue
-        out.append({"url": url, "warc_ts": ts, "html": payload})
-    return out
+        yield {"url": url, "warc_ts": ts, "html": payload}
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse WARC bytes (gzipped members or plain) — wraps the streaming
+    reader; gzip multi-member streams read transparently via GzipFile."""
+    raw = io.BytesIO(data)
+    stream = gzip.GzipFile(fileobj=raw) if data[:2] == b"\x1f\x8b" else raw
+    return list(iter_warc_records(io.BufferedReader(stream)))
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
