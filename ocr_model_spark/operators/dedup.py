@@ -279,8 +279,12 @@ def minhash_candidates(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash fingerprint: per word, hash → per bit ±count accumulation →
-    bit set where the sum is positive. Explode words AND bit indexes, one
-    groupBy — all expression code."""
+    bit set where the sum is positive.
+
+    All ``bits`` accumulators run as SEPARATE aggregate expressions in ONE
+    map-side-combining groupBy — no bit-index explode (a ``bits``× row
+    amplification) and no extra shuffle stage (measured: 3 shuffles → 2,
+    and the shuffled frame is ``bits``× smaller)."""
     words = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
         .select("id", F.explode(normalized_words(F.col("t"))).alias("w"))
@@ -288,24 +292,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", stable_hash(F.col("w")))
     )
-    per_bit = (
-        words.select(
-            "id",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            F.col("cnt"),
-            F.col("h"),
-        )
-        .withColumn(
-            "signed",
-            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("cnt")).otherwise(
-                -F.col("cnt")
-            ),
-        )
-        .groupBy("id", "bit")
-        .agg(F.sum("signed").alias("s"))
+    bit_sums = words.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    return per_bit.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0)
-        ).alias("simhash")
-    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("id", sim.cast("long").alias("simhash"))
