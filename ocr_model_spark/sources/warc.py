@@ -135,12 +135,46 @@ def iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
         yield {"url": url, "warc_ts": ts, "html": payload}
 
 
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a multi-member gzip stream member by member: memory is
+    O(one member) — for spec .warc.gz that is one RECORD — and a corrupt
+    or truncated member ends iteration with every prior member intact
+    (GzipFile/BufferedReader would instead fail the whole read: their
+    readahead crosses member boundaries eagerly)."""
+    import zlib
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            return
+        if not d.eof:
+            if chunk:
+                yield chunk  # truncated final member: keep what decoded
+            return
+        yield chunk
+        rest = d.unused_data
+        if not rest:
+            return
+        pos = n - len(rest)
+
+
 def parse_warc(data: bytes) -> list[dict]:
-    """Parse WARC bytes (gzipped members or plain) — wraps the streaming
-    reader; gzip multi-member streams read transparently via GzipFile."""
-    raw = io.BytesIO(data)
-    stream = gzip.GzipFile(fileobj=raw) if data[:2] == b"\x1f\x8b" else raw
-    return list(iter_warc_records(io.BufferedReader(stream)))
+    """Parse WARC bytes (gzipped members or plain). Tolerant: corrupt or
+    truncated members/records yield the records decoded so far — a scan
+    task must not die on one bad shard (the lineage counters surface the
+    shortfall). Records are assumed not to SPAN gzip members (true for
+    spec .warc.gz — one record per member — and trivially for plain or
+    single-member files)."""
+    out: list[dict] = []
+    if data[:2] == b"\x1f\x8b":
+        for member in _iter_gzip_members(data):
+            out.extend(iter_warc_records(io.BufferedReader(io.BytesIO(member))))
+        return out
+    return list(iter_warc_records(io.BufferedReader(io.BytesIO(data))))
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

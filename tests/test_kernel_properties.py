@@ -89,3 +89,37 @@ def test_docx_kernel_never_raises_unhandled(data):
     _check_wellformed(r)
     if not r["ok"]:
         assert r["error"].startswith("docx-parse-failed")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_warc_parser_never_raises(data):
+    """Arbitrary bytes (optionally gzip-wrapped) parse to a list, never an
+    exception — a corrupt crawl shard must not kill the scan task."""
+    import gzip as _gzip
+
+    from ocr_model_spark.sources.warc import parse_warc
+
+    assert isinstance(parse_warc(data), list)
+    assert isinstance(parse_warc(b"WARC/1.0\r\n" + data), list)
+    assert isinstance(parse_warc(_gzip.compress(data, mtime=0)), list)
+
+
+def test_warc_parser_tolerates_corrupt_gzip():
+    import gzip as _gzip
+
+    from ocr_model_spark.sources.warc import build_warc, parse_warc
+    import datetime as dt
+
+    rows = [
+        # record body bigger than the 8 KiB read buffer, so the good member
+        # fully decodes before the reader touches the corrupt tail
+        {"url": "https://a/x", "warc_ts": dt.datetime(2024, 3, 1), "html": b"k" * 20000}
+    ]
+    good = build_warc(rows)
+    # gzip magic + garbage: no exception, zero records
+    assert parse_warc(b"\x1f\x8b\x08garbage-not-gzip" * 4) == []
+    # good member followed by a corrupt one: no exception; the fully
+    # buffered good record survives
+    recs = parse_warc(good + b"\x1f\x8b\x08corrupt")
+    assert len(recs) == 1 and recs[0]["html"] == b"k" * 20000
