@@ -354,7 +354,8 @@ def host_counters_oracle_sql(sf_dir: str) -> str:
     return f"""
 SELECT regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1) AS url_host,
        COUNT(*) AS total_docs,
-       CAST(SUM(CASE WHEN octet_length(html) = 0
+       CAST(SUM(CASE WHEN html IS NULL
+                       OR octet_length(html) = 0
                        OR hex(html) LIKE '89504E470D0A1A0A%'
                        OR hex(html) LIKE 'FFD8FF%'
                        OR hex(html) LIKE '474946383761%'

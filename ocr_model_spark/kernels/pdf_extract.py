@@ -195,21 +195,26 @@ def extract_pdf(data: bytes, max_pages: int | None = None) -> dict:
             pages = _extract_synth(data)
         elif _HAS_FITZ:
             pages = _extract_fitz(data)
-        elif b"/Encrypt" in data[-2048:]:
-            # encrypted: typed failure (the native reader can't decrypt)
-            return {
-                "text": "",
-                "title": None,
-                "encoding": None,
-                "ok": False,
-                "error": "pdf-encrypted",
-                "metadata": {},
-                "regions": [],
-            }
         else:
-            from ocr_model_spark.kernels.pdf_native import extract_pages_native
+            from ocr_model_spark.kernels.pdf_native import (
+                PdfEncryptedError,
+                extract_pages_native,
+            )
 
-            pages = extract_pages_native(data, _group_blocks)
+            try:
+                pages = extract_pages_native(data, _group_blocks)
+            except PdfEncryptedError:
+                # trailer declares /Encrypt: typed failure (a raw substring
+                # check would misfire on PDFs merely CONTAINING the bytes)
+                return {
+                    "text": "",
+                    "title": None,
+                    "encoding": None,
+                    "ok": False,
+                    "error": "pdf-encrypted",
+                    "metadata": {},
+                    "regions": [],
+                }
     except Exception as e:
         return {
             "text": "",

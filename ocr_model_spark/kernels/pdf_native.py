@@ -44,6 +44,10 @@ class PdfParseError(Exception):
     pass
 
 
+class PdfEncryptedError(PdfParseError):
+    """The document declares /Encrypt — the reader cannot decrypt."""
+
+
 # ------------------------------------------------------------ object model
 
 
@@ -255,10 +259,45 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
     return objects
 
 
+_TRAILER_RE = re.compile(rb"trailer\b")
+
+
+def _scan_trailers(data: bytes) -> list[dict]:
+    """Every ``trailer << … >>`` dictionary in the file (one per
+    incremental update), in file order."""
+    out = []
+    for m in _TRAILER_RE.finditer(data):
+        lex = _Lexer(data, m.end())
+        try:
+            v = lex.parse_value()
+        except PdfParseError:
+            continue
+        if isinstance(v, dict):
+            out.append(v)
+    return out
+
+
 class _Doc:
     def __init__(self, data: bytes):
         self.objects = _scan_objects(data)
         self._expand_object_streams()
+        # trailer dicts (classic) + xref-stream dicts (PDF 1.5+) carry
+        # /Root, /Info and /Encrypt
+        self.trailers = _scan_trailers(data) + [
+            v for v, _s in self.objects.values()
+            if isinstance(v, dict) and v.get("Type") == "XRef"
+        ]
+
+    def is_encrypted(self) -> bool:
+        return any("Encrypt" in t for t in self.trailers)
+
+    def info_dict(self) -> dict | None:
+        """The /Info dictionary named by the newest trailer that has one."""
+        for t in reversed(self.trailers):
+            info = self.resolve(t.get("Info"))
+            if isinstance(info, dict):
+                return info
+        return None
 
     def _expand_object_streams(self) -> None:
         """PDF 1.5+ compressed object streams (/Type /ObjStm): page dicts and
@@ -501,21 +540,21 @@ def _spans_from_content(content: bytes, height: float) -> list[dict]:
 
 def read_doc_info(doc: "_Doc") -> dict[str, str]:
     """S10 document metadata from the /Info dictionary (reference:
-    ``pdf_processor.py:238-274`` title/author extraction). Returns only
+    ``pdf_processor.py:238-274`` title/author extraction). The dictionary
+    is resolved through the trailer's /Info reference — never by scanning
+    for Title-bearing dicts, which would match outline (bookmark) items
+    and report a chapter heading as the document title. Returns only
     string-typed entries, decoded like content strings."""
+    value = doc.info_dict()
     info: dict[str, str] = {}
-    for value, _s in doc.objects.values():
-        if isinstance(value, dict) and (
-            "Title" in value or "Author" in value
-        ) and value.get("Type") is None and "Kids" not in value:
-            for key in ("Title", "Author", "Subject", "Producer", "CreationDate"):
-                v = doc.resolve(value.get(key))
-                if isinstance(v, bytes):
-                    t = _decode_text(v).strip()
-                    if t:
-                        info[key.lower()] = t
-            if info:
-                break
+    if value is None:
+        return info
+    for key in ("Title", "Author", "Subject", "Producer", "CreationDate"):
+        v = doc.resolve(value.get(key))
+        if isinstance(v, bytes):
+            t = _decode_text(v).strip()
+            if t:
+                info[key.lower()] = t
     return info
 
 
@@ -575,6 +614,8 @@ def extract_pages_native(data: bytes, group_blocks) -> list[dict]:
     The document /Info metadata (title/author…) is attached to the FIRST
     page dict under ``"doc_info"`` so the single return value carries it."""
     doc = _Doc(data)
+    if doc.is_encrypted():
+        raise PdfEncryptedError("document declares /Encrypt")
     page_dicts = doc.pages()
     if not page_dicts:
         raise PdfParseError("no pages")

@@ -16,9 +16,15 @@ def escape_pdf_string(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
-def assemble_pdf(objects: list[tuple[int, bytes, bytes | None]]) -> bytes:
+def assemble_pdf(
+    objects: list[tuple[int, bytes, bytes | None]], trailer_extra: bytes = b""
+) -> bytes:
     """objects: (num, dict-bytes, optional stream-bytes) → full PDF file
-    with a correct xref table and trailer (object 1 must be the catalog)."""
+    with a correct xref table and trailer (object 1 must be the catalog).
+    ``trailer_extra`` adds entries to the trailer dict (e.g. ``/Info N 0 R``,
+    trailing space included by the caller). The ONE PDF writer in the repo —
+    the synth corpus generator and the annotated sink both assemble
+    through it, so spec fixes land everywhere at once."""
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num, dct, stream in objects:
@@ -31,8 +37,9 @@ def assemble_pdf(objects: list[tuple[int, bytes, bytes | None]]) -> bytes:
     out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
     for num in sorted(offsets):
         out += b"%010d 00000 n \n" % offsets[num]
-    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+    out += b"trailer\n<< /Size %d /Root 1 0 R %s>>\nstartxref\n%d\n%%%%EOF\n" % (
         len(objects) + 1,
+        trailer_extra,
         xref_at,
     )
     return bytes(out)

@@ -171,9 +171,19 @@ def jaccard_verify(
     pruned) is BROADCAST to prune the shingle frame before the one
     shuffled join on (id, shingle); candidate pairs sharing no shingle
     come back with jaccard 0 rather than vanishing."""
-    sh = shingle_frame(df, id_col, text_col, n, hashed=False)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     p = pairs.select("id_a", "id_b")
+    # prune the shingle frame to candidate MEMBERS before anything else:
+    # sizes and the common-shingle join then scale with the candidate set,
+    # not the corpus (the full-corpus groupBy was the scale bug here)
+    member_ids = (
+        p.select(F.col("id_a").alias("id"))
+        .unionByName(p.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = shingle_frame(df, id_col, text_col, n, hashed=False).join(
+        F.broadcast(member_ids), "id"
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     common = (
         sh.withColumnRenamed("id", "id_a")
         .join(F.broadcast(p), "id_a")

@@ -85,36 +85,55 @@ def _planes_rows(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     return [[_plane_component(p, d, table) for d in range(dim)] for p in range(n_planes)]
 
 
-def with_hyperplane_bucket(
-    df: DataFrame, vec_col: str, n_planes: int, dim: int, out: str = "bucket"
+def lsh_keyed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    n_tables: int,
+    id_out: str = "id",
+    vec_out: str = "v",
 ) -> DataFrame:
-    """Add the LSH bucket key: concatenated signs of <vec, plane_p>.
+    """Explode each vector to its ``n_tables`` LSH bucket keys
+    ``"t:bits"`` — the SINGLE keying implementation both ANN top-k and
+    embedding near-dup use (one format, one derivation; a drift between
+    two copies once desynchronized the paths, so don't inline this).
 
-    The planes travel as DATA in a one-row broadcast relation
-    (``array<array<double>>``), not as inline literals — a 1024-dim plane
-    set would otherwise inflate the plan string by n_planes×dim literal
-    nodes (VERDICT r1 item 10). The crossJoin against a single broadcast
-    row duplicates nothing and shuffles nothing."""
+    The plane sets travel as DATA in a one-row broadcast relation — a
+    1024-dim plane set would otherwise inflate the plan by n_tables ×
+    n_planes × dim literal nodes (plan-size test pins this). The narrow
+    (id, vector) projection is spread first: single-file embedding tables
+    scan as ONE task and the keying is CPU-bound."""
+    from ocr_model_spark.operators.dedup import _spread
+
     spark = df.sparkSession
+    tables = [(t, _planes_rows(n_planes, dim, t)) for t in range(n_tables)]
     planes = F.broadcast(
         spark.createDataFrame(
-            [(_planes_rows(n_planes, dim),)], "hyperplanes: array<array<double>>"
+            [(tables,)],
+            "lsh_tables: array<struct<table_id: int, planes: array<array<double>>>>",
         )
     )
-    vec = F.col(vec_col)
-    return (
-        df.crossJoin(planes)
-        .withColumn(
-            out,
+    vec = F.col(vec_out)
+    keys = F.transform(
+        "lsh_tables",
+        lambda tb: F.concat_ws(
+            ":",
+            tb["table_id"].cast("string"),
             F.array_join(
                 F.transform(
-                    "hyperplanes",
+                    tb["planes"],
                     lambda pl: F.when(dot(vec, pl) >= 0, F.lit("1")).otherwise(F.lit("0")),
                 ),
                 "",
             ),
-        )
-        .drop("hyperplanes")
+        ),
+    )
+    return (
+        _spread(df.select(F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out)))
+        .crossJoin(planes)  # one broadcast row: duplicates nothing
+        .select(id_out, vec_out, F.explode(keys).alias("bucket"))
     )
 
 
@@ -287,38 +306,7 @@ def embedding_near_dups(
     pairs ≥ threshold. Near-identical vectors share every bucket with
     near-certainty, so at high thresholds the result matches the exact
     all-pairs answer (the oracle pins exactly that)."""
-    spark = corpus.sparkSession
-    tables = [(t, _planes_rows(n_planes, dim, t)) for t in range(n_tables)]
-    planes = F.broadcast(
-        spark.createDataFrame(
-            [(tables,)],
-            "lsh_tables: array<struct<table_id: int, planes: array<array<double>>>>",
-        )
-    )
-    vec = F.col("v")
-    keys = F.transform(
-        "lsh_tables",
-        lambda tb: F.concat_ws(
-            ":",
-            tb["table_id"].cast("string"),
-            F.array_join(
-                F.transform(
-                    tb["planes"],
-                    lambda pl: F.when(dot(vec, pl) >= 0, F.lit("1")).otherwise(F.lit("0")),
-                ),
-                "",
-            ),
-        ),
-    )
-    from ocr_model_spark.operators.dedup import _spread
-
-    # single-file embedding tables scan as ONE task; the key computation is
-    # CPU-bound (L×P dot products per row) so spread the narrow frame first
-    keyed = (
-        _spread(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
-        .crossJoin(planes)
-        .select("id", "v", F.explode(keys).alias("bucket"))
-    )
+    keyed = lsh_keyed(corpus, id_col, vec_col, n_planes, dim, n_tables)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
@@ -367,43 +355,14 @@ def lsh_cosine_topk(
     exist at 10^12 rows). Duplicate candidates from multi-table collisions
     are deduped AFTER scoring (sim is deterministic, so distinct is exact).
     Queries colliding with nothing return fewer than k rows."""
-    spark = queries.sparkSession
-    tables = [(t, _planes_rows(n_planes, dim, t)) for t in range(n_tables)]
-    planes = F.broadcast(
-        spark.createDataFrame(
-            [(tables,)],
-            "lsh_tables: array<struct<table_id: int, planes: array<array<double>>>>",
-        )
+    q = lsh_keyed(
+        queries, id_col, vec_col, n_planes, dim, n_tables,
+        id_out="query_id", vec_out="query_id_v",
     )
-
-    def keyed(df: DataFrame, idc: str) -> DataFrame:
-        vec = F.col(f"{idc}_v")
-        keys = F.transform(
-            "lsh_tables",
-            lambda tb: F.concat_ws(
-                ":",
-                tb["table_id"].cast("string"),
-                F.array_join(
-                    F.transform(
-                        tb["planes"],
-                        lambda pl: F.when(dot(vec, pl) >= 0, F.lit("1")).otherwise(
-                            F.lit("0")
-                        ),
-                    ),
-                    "",
-                ),
-            ),
-        )
-        from ocr_model_spark.operators.dedup import _spread
-
-        return (
-            _spread(df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(f"{idc}_v")))
-            .crossJoin(planes)  # one broadcast row: duplicates nothing
-            .select(idc, f"{idc}_v", F.explode(keys).alias("bucket"))
-        )
-
-    q = keyed(queries, "query_id")
-    c = keyed(corpus, "neighbor_id")
+    c = lsh_keyed(
+        corpus, id_col, vec_col, n_planes, dim, n_tables,
+        id_out="neighbor_id", vec_out="neighbor_id_v",
+    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

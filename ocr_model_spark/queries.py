@@ -1031,7 +1031,7 @@ def q_near_dup_verified(spark, sf_dir):
 
 
 def _near_dup_verified_sql() -> str:
-    candidates = _minhash_candidates_sql().strip().removesuffix("ORDER BY id_a, id_b\n").strip()
+    candidates = _minhash_candidates_sql().strip().removesuffix("ORDER BY id_a, id_b").strip()
     return (
         _SQL_SHINGLES_CTE
         + f""",

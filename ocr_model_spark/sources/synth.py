@@ -198,24 +198,11 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
                 jpeg,
             )
         )
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = {}
-    for num, dct, stream in objects:
-        offsets[num] = len(out)
-        out += b"%d 0 obj\n%s\n" % (num, dct)
-        if stream is not None:
-            out += b"stream\n" + stream + b"\nendstream\n"
-        out += b"endobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
-    for num in range(1, len(objects) + 1):
-        out += b"%010d 00000 n \n" % offsets[num]
-    out += b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
-        len(objects) + 1,
-        font_num + 1,
-        xref_at,
-    )
-    return bytes(out)
+    from ocr_model_spark.kernels.pdf_write import assemble_pdf
+
+    # byte-identical to the previous inline assembly (pinned by
+    # tests/test_byte_identity.py at GEN_VERSION 5 — no version bump)
+    return assemble_pdf(objects, trailer_extra=b"/Info %d 0 R " % (font_num + 1))
 
 
 def _xml_esc(s: str) -> str:

@@ -33,6 +33,33 @@ _CRLF = b"\r\n"
 # ------------------------------------------------------------------ writer
 
 
+def _format_warc_date(ts) -> str:
+    """UTC 'Z' date string. Aware datetimes convert to UTC; NAIVE ones are
+    taken as UTC wall time (the engine's NTZ convention). Microseconds are
+    kept when present so round-trips are lossless."""
+    if isinstance(ts, str):
+        return ts
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    base = ts.strftime("%Y-%m-%dT%H:%M:%S")
+    if ts.microsecond:
+        return f"{base}.{ts.microsecond:06d}Z"
+    return base + "Z"
+
+
+def _parse_warc_date(s: str) -> dt.datetime | None:
+    """NAIVE UTC-wall datetime from a WARC-Date (with or without fractional
+    seconds). The reader emits TIMESTAMP_NTZ (the engine's wall-clock
+    convention, matching the parquet pages tables), so the value is
+    session-timezone-independent end to end."""
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
 def build_warc(rows: list[dict], compress: bool = True) -> bytes:
     """rows: [{url, warc_ts, html}] → WARC/1.0 bytes (one gzip member per
     record when ``compress`` — the standard .warc.gz layout)."""
@@ -46,11 +73,7 @@ def build_warc(rows: list[dict], compress: bool = True) -> bytes:
             + _CRLF
             + payload
         )
-        ts = r["warc_ts"]
-        if isinstance(ts, str):
-            date = ts
-        else:
-            date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        date = _format_warc_date(r["warc_ts"])
         rec_id = hashlib.sha256(
             (r["url"] + ":" + date).encode()
         ).hexdigest()  # deterministic — never uuid4
@@ -73,14 +96,38 @@ def write_warc_files(
     pages_df: DataFrame, out_dir: str, rows_per_file: int = 1000
 ) -> list[str]:
     """Small-extract WARC writer (driver-side, test/round-trip tool):
-    chunks rows into .warc.gz shards. Deterministic bytes (gzip mtime=0)."""
+    chunks rows into .warc.gz shards. Deterministic bytes (gzip mtime=0),
+    INCLUDING across session timezones: timestamps leave Spark as
+    ``unix_micros`` (an absolute instant) and are formatted in UTC —
+    collecting TimestampType directly would bake the session timezone
+    into the shard bytes."""
     import os
 
-    rows = pages_df.select("url", "warc_ts", "html").collect()
+    from pyspark.sql import functions as F
+
+    ts_type = dict(pages_df.dtypes).get("warc_ts", "timestamp_ntz")
+    if ts_type == "timestamp":
+        # ltz: absolute micros — session-independent by definition
+        us = F.unix_micros("warc_ts")
+    else:
+        # ntz: wall-clock micros from the fixed epoch — session-independent
+        us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', warc_ts)"
+        )
+    rows = pages_df.select("url", us.alias("warc_us"), "html").collect()
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        {
+            "url": r["url"],
+            "warc_ts": epoch + dt.timedelta(microseconds=r["warc_us"]),
+            "html": r["html"],
+        }
+        for r in rows
+    ]
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i in range(0, len(rows), rows_per_file):
-        chunk = [r.asDict() for r in rows[i : i + rows_per_file]]
+        chunk = rows[i : i + rows_per_file]
         p = os.path.join(out_dir, f"shard-{i // rows_per_file:05d}.warc.gz")
         with open(p, "wb") as f:
             f.write(build_warc(chunk))
@@ -111,7 +158,13 @@ def iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
             if hline in (_CRLF, b"\n", b""):
                 break
             k, _, v = hline.partition(b":")
-            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+            # header values are UTF-8 (URIs with non-ASCII chars must
+            # round-trip); latin-1 only as the tolerant fallback
+            try:
+                val = v.strip().decode("utf-8")
+            except UnicodeDecodeError:
+                val = v.strip().decode("latin-1")
+            headers[k.strip().lower().decode("latin-1")] = val
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
@@ -128,9 +181,8 @@ def iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
         # body = HTTP response: payload follows the first blank line
         sep = body.find(_CRLF + _CRLF)
         payload = body[sep + 4 :] if sep >= 0 else body
-        try:
-            ts = dt.datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
-        except ValueError:
+        ts = _parse_warc_date(date)
+        if ts is None:
             continue
         yield {"url": url, "warc_ts": ts, "html": payload}
 
@@ -183,8 +235,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    # warc_ts is TIMESTAMP_NTZ: the WARC date is a UTC wall-clock string,
+    # and NTZ keeps it session-timezone-independent (the parquet pages
+    # tables read as NTZ too)
     out_schema = T.StructType(
-        PAGES_SCHEMA.fields + [T.StructField("input_file", T.StringType())]
+        [
+            f if f.name != "warc_ts" else T.StructField("warc_ts", T.TimestampNTZType())
+            for f in PAGES_SCHEMA.fields
+        ]
+        + [T.StructField("input_file", T.StringType())]
     )
 
     def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -98,7 +98,11 @@ def streaming_dedup_counts(spark: SparkSession, docs_path: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("pathGlobFilter", base)
         .parquet(parent)
-        .select("source", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h"))
+        # NULL text is excluded (not hashed as ''): the batch
+        # COUNT(DISTINCT text) oracle ignores NULLs, and '' must not
+        # collide with missing
+        .filter(F.col("text").isNotNull())
+        .select("source", F.sha2(F.col("text"), 256).alias("h"))
         .dropDuplicates(["source", "h"])
         .groupBy("source")
         .agg(F.count("*").alias("n_unique_docs"))

@@ -680,3 +680,49 @@ def test_pdfplumber_adapter_mapping_covered():
     assert [s["text"] for s in spans] == ["Hello", "world", "Next"]
     blocks = _group_blocks(spans)
     assert [b["text"] for b in blocks] == ["Hello world", "Next"]
+
+
+def test_pdf_containing_encrypt_bytes_is_not_misclassified():
+    """Only a trailer /Encrypt entry means encrypted — a document whose
+    CONTENT mentions '/Encrypt' must still extract (the old substring
+    check misfired on this)."""
+    import zlib as _zlib
+
+    content = _zlib.compress(b"BT /F1 12 Tf 72 700 Td (How /Encrypt works.) Tj ET")
+    length_line = b"4 0 obj << /Length " + str(len(content)).encode() + b" /Filter /FlateDecode >> stream\n"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        + length_line
+        + content
+        + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n"
+        b"% comment mentioning /Encrypt near EOF\n%%EOF\n"
+    )
+    r = extract_pdf(pdf)
+    assert r["ok"], r["error"]
+    assert r["regions"][0]["text"] == "How /Encrypt works."
+
+
+def test_pdf_outline_bookmarks_do_not_hijack_title():
+    """Outline items carry /Title but are NOT the document title; /Info is
+    resolved through the trailer reference only."""
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 48 >> stream\n"
+        b"BT /F1 12 Tf 72 700 Td (Some body text.) Tj ET\n"
+        b"endstream endobj\n"
+        b"5 0 obj << /Type /Outlines /First 6 0 R /Count 1 >> endobj\n"
+        b"6 0 obj << /Title (Chapter 1) /Parent 5 0 R >> endobj\n"  # bookmark, no /Type
+        b"7 0 obj << /Title (Real Document Title) /Author (A. Writer) >> endobj\n"
+        b"trailer << /Root 1 0 R /Info 7 0 R >>\n%%EOF\n"
+    )
+    r = extract_pdf(pdf)
+    assert r["ok"]
+    assert r["title"] == "Real Document Title"
+    assert r["metadata"]["author"] == "A. Writer"

@@ -80,3 +80,44 @@ def test_cli_ingests_warc_with_shard_lineage(spark, pages_path, tmp_path):
         spark, str(tmp_path / "warc"), str(tmp_path / "snap"),
         pages=read_warc(spark, str(tmp_path / "warc")),
     ) is None
+
+
+def test_warc_unicode_urls_and_microseconds_roundtrip(spark, tmp_path):
+    """Non-ASCII URIs and sub-second timestamps must survive the WARC
+    round trip (UTF-8 header values; fractional WARC-Date)."""
+    import datetime as dt
+
+    rows = [
+        ("https://ex.com/añejo/π", dt.datetime(2024, 3, 1, 12, 0, 0, 123456), b"<p>a</p>"),
+        ("https://ex.com/plain", dt.datetime(2024, 3, 1, 12, 0, 1), b"<p>b</p>"),
+    ]
+    src = spark.createDataFrame(
+        rows, "url STRING, warc_ts TIMESTAMP_NTZ, html BINARY"
+    )
+    write_warc_files(src, str(tmp_path / "w"))
+    back = read_warc(spark, str(tmp_path / "w")).orderBy("url").collect()
+    assert back[0]["url"] == "https://ex.com/añejo/π"
+    assert back[0]["warc_ts"] == dt.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    assert back[1]["warc_ts"] == dt.datetime(2024, 3, 1, 12, 0, 1)
+
+
+def test_warc_bytes_are_session_timezone_independent(spark, tmp_path):
+    """Shard bytes must not bake in the session timezone: writing the same
+    frame under two session timezones yields identical files."""
+    import datetime as dt
+
+    src = spark.createDataFrame(
+        [("https://a/x", dt.datetime(2024, 3, 1, 6, 30), b"payload")],
+        "url STRING, warc_ts TIMESTAMP_NTZ, html BINARY",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        write_warc_files(src, str(tmp_path / "utc"))
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+        write_warc_files(src, str(tmp_path / "eucla"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    a = open(str(tmp_path / "utc" / "shard-00000.warc.gz"), "rb").read()
+    b = open(str(tmp_path / "eucla" / "shard-00000.warc.gz"), "rb").read()
+    assert a == b
