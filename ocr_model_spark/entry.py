@@ -246,8 +246,11 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 _SQL_STREAMING_DEDUP = """
+-- NULL-text docs are excluded on BOTH sides (the streaming operator
+-- filters them; without the WHERE an all-NULL source would emit a
+-- (source, 0) row here that the Spark side can't produce)
 SELECT source, COUNT(DISTINCT text) AS n_unique_docs
-FROM documents GROUP BY source ORDER BY source
+FROM documents WHERE text IS NOT NULL GROUP BY source ORDER BY source
 """
 
 

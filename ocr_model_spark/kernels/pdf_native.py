@@ -221,11 +221,16 @@ class _Lexer:
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
-def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
-    """num → (parsed value, raw stream bytes or None). Scan-based (no xref):
-    for incremental updates the LAST definition of an object number wins,
+def _scan_objects(
+    data: bytes,
+) -> tuple[dict[int, tuple[dict | object, bytes | None]], list[tuple[int, int]]]:
+    """num → (parsed value, raw stream bytes or None), plus the byte spans
+    of every stream body (so trailer scanning can skip content that merely
+    CONTAINS PDF-syntax-looking text). Scan-based (no xref): for
+    incremental updates the LAST definition of an object number wins,
     which scanning start-to-end gives for free."""
     objects: dict[int, tuple[object, bytes | None]] = {}
+    spans: list[tuple[int, int]] = []
     for m in _OBJ_HEAD_RE.finditer(data):
         num = int(m.group(1))
         lex = _Lexer(data, m.end())
@@ -253,20 +258,26 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
                 if e < 0:
                     continue
                 stream = data[body_start:e].rstrip(b"\r\n")
+            spans.append((body_start, body_start + len(stream)))
         objects[num] = (value, stream)
     if not objects:
         raise PdfParseError("no objects found")
-    return objects
+    return objects, spans
 
 
 _TRAILER_RE = re.compile(rb"trailer\b")
 
 
-def _scan_trailers(data: bytes) -> list[dict]:
+def _scan_trailers(data: bytes, skip_spans: list[tuple[int, int]]) -> list[dict]:
     """Every ``trailer << … >>`` dictionary in the file (one per
-    incremental update), in file order."""
+    incremental update), in file order — matches INSIDE stream bodies are
+    skipped, so a content stream that happens to contain the text
+    'trailer << /Encrypt … >>' cannot mark a readable file encrypted or
+    hijack /Info."""
     out = []
     for m in _TRAILER_RE.finditer(data):
+        if any(a <= m.start() < b for a, b in skip_spans):
+            continue
         lex = _Lexer(data, m.end())
         try:
             v = lex.parse_value()
@@ -279,11 +290,11 @@ def _scan_trailers(data: bytes) -> list[dict]:
 
 class _Doc:
     def __init__(self, data: bytes):
-        self.objects = _scan_objects(data)
+        self.objects, stream_spans = _scan_objects(data)
         self._expand_object_streams()
         # trailer dicts (classic) + xref-stream dicts (PDF 1.5+) carry
         # /Root, /Info and /Encrypt
-        self.trailers = _scan_trailers(data) + [
+        self.trailers = _scan_trailers(data, stream_spans) + [
             v for v, _s in self.objects.values()
             if isinstance(v, dict) and v.get("Type") == "XRef"
         ]

@@ -726,3 +726,22 @@ def test_pdf_outline_bookmarks_do_not_hijack_title():
     assert r["ok"]
     assert r["title"] == "Real Document Title"
     assert r["metadata"]["author"] == "A. Writer"
+
+
+def test_trailer_text_inside_stream_body_is_ignored():
+    """An UNCOMPRESSED content stream containing 'trailer << /Encrypt … >>'
+    text must not mark the document encrypted (trailer scan skips stream
+    bodies)."""
+    content = b"BT /F1 12 Tf 72 700 Td (See below) Tj ET\ntrailer << /Encrypt 9 0 R >>\n"
+    length = str(len(content)).encode()
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + length + b" >> stream\n" + content + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    r = extract_pdf(pdf)
+    assert r["ok"], r["error"]
+    assert r["regions"][0]["text"] == "See below"

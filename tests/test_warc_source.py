@@ -11,7 +11,11 @@ from ocr_model_spark.sources.warc import build_warc, parse_warc, read_warc, writ
 
 
 def test_warc_roundtrip_byte_identical(spark, pages_path, tmp_path):
-    src = spark.read.parquet(pages_path)
+    # read via read_pages so both sides carry the same TIMESTAMP (ltz)
+    # type — mixed LTZ/NTZ comparisons would be session-tz-dependent
+    from ocr_model_spark.sources.pages import read_pages
+
+    src = read_pages(spark, pages_path)
     paths = write_warc_files(src, str(tmp_path / "warc"), rows_per_file=120)
     assert len(paths) == 3  # 300 rows / 120
     back = read_warc(spark, str(tmp_path / "warc"))
@@ -95,10 +99,16 @@ def test_warc_unicode_urls_and_microseconds_roundtrip(spark, tmp_path):
         rows, "url STRING, warc_ts TIMESTAMP_NTZ, html BINARY"
     )
     write_warc_files(src, str(tmp_path / "w"))
-    back = read_warc(spark, str(tmp_path / "w")).orderBy("url").collect()
-    assert back[0]["url"] == "https://ex.com/añejo/π"
-    assert back[0]["warc_ts"] == dt.datetime(2024, 3, 1, 12, 0, 0, 123456)
-    assert back[1]["warc_ts"] == dt.datetime(2024, 3, 1, 12, 0, 1)
+    got = (
+        read_warc(spark, str(tmp_path / "w"))
+        .selectExpr("url", "unix_micros(warc_ts) AS us")  # instant: tz-independent
+        .orderBy("url")
+        .collect()
+    )
+    epoch = dt.datetime(1970, 1, 1)
+    assert got[0]["url"] == "https://ex.com/añejo/π"
+    assert got[0]["us"] == (dt.datetime(2024, 3, 1, 12, 0, 0, 123456) - epoch) // dt.timedelta(microseconds=1)
+    assert got[1]["us"] == (dt.datetime(2024, 3, 1, 12, 0, 1) - epoch) // dt.timedelta(microseconds=1)
 
 
 def test_warc_bytes_are_session_timezone_independent(spark, tmp_path):
@@ -121,3 +131,29 @@ def test_warc_bytes_are_session_timezone_independent(spark, tmp_path):
     a = open(str(tmp_path / "utc" / "shard-00000.warc.gz"), "rb").read()
     b = open(str(tmp_path / "eucla" / "shard-00000.warc.gz"), "rb").read()
     assert a == b
+
+
+def test_main_cli_warc_end_to_end(spark, pages_path, tmp_path, capsys, monkeypatch):
+    """Drive main() itself with --input-format warc: argparse wiring, the
+    read_warc import, and the pages= plumbing into run_versioned."""
+    import json
+
+    from ocr_model_spark.main import main
+    from ocr_model_spark.sources.pages import read_pages
+
+    # main()'s finally stops the session; getOrCreate hands it OUR fixture
+    # session, so neuter stop() for the duration of this test
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    write_warc_files(read_pages(spark, pages_path), str(tmp_path / "warc"))
+    rc = main(
+        [
+            "--input", str(tmp_path / "warc"),
+            "--input-format", "warc",
+            "--output", str(tmp_path / "snap"),
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "batch" and out["committed_version"] == 0
+    assert out["snapshot_rows"] == 300 and out["delta_docs"] == 300
