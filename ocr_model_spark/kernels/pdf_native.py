@@ -258,7 +258,15 @@ def _scan_objects(
                 if e < 0:
                     continue
                 stream = data[body_start:e].rstrip(b"\r\n")
-            spans.append((body_start, body_start + len(stream)))
+            # the SKIP span for trailer scanning is capped at the first
+            # 'endstream' token: a bogus /Length pointing past the real
+            # trailer to a planted endstream must not swallow it (a scan
+            # over the stream tail is the lesser risk)
+            first_end = data.find(b"endstream", body_start)
+            span_end = body_start + len(stream)
+            if 0 <= first_end < span_end:
+                span_end = first_end
+            spans.append((body_start, span_end))
         objects[num] = (value, stream)
     if not objects:
         raise PdfParseError("no objects found")

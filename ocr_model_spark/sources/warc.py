@@ -199,10 +199,13 @@ def iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
 
 def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a multi-member gzip stream member by member: memory is
-    O(one member) — for spec .warc.gz that is one RECORD — and a corrupt
-    or truncated member ends iteration with every prior member intact
-    (GzipFile/BufferedReader would instead fail the whole read: their
-    readahead crosses member boundaries eagerly).
+    O(one member) — for spec .warc.gz that is one RECORD. A CORRUPT member
+    is dropped and iteration RESYNCHRONIZES at the next gzip magic, so one
+    flipped byte loses only the member it corrupts, not the rest of the
+    shard (GzipFile/BufferedReader would instead fail the whole read:
+    their readahead crosses member boundaries eagerly). A TRUNCATED final
+    member yields what decoded (its tail records are dropped by the
+    record parser anyway).
 
     Feeds the decompressor bounded memoryview chunks: slicing the whole
     remaining buffer per member would copy O(shard) bytes per RECORD —
@@ -215,25 +218,38 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     n = len(data)
     chunk_size = 1 << 16
     while pos < n:
+        member_start = pos
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
         out = bytearray()
         member_done = False
+        corrupt = False
         while pos < n:
             chunk = view[pos : pos + chunk_size]
             try:
                 out += d.decompress(chunk)
             except zlib.error:
-                if out:
-                    yield bytes(out)  # truncated/corrupt: keep what decoded
-                return
+                corrupt = True
+                break
             pos += len(chunk) - len(d.unused_data)
             if d.eof:
                 member_done = True
                 break
-        if member_done or out:
+        if member_done:
             yield bytes(out)
-        if not member_done:
-            return  # input exhausted mid-member
+            continue
+        if corrupt:
+            # drop this member, resync at the next gzip magic (may step
+            # through false magics inside the corrupt bytes — pos strictly
+            # advances, so this terminates)
+            nxt = data.find(b"\x1f\x8b\x08", member_start + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        # input exhausted mid-member: truncated tail
+        if out:
+            yield bytes(out)
+        return
 
 
 def parse_warc(data: bytes) -> list[dict]:

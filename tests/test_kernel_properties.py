@@ -123,3 +123,23 @@ def test_warc_parser_tolerates_corrupt_gzip():
     # buffered good record survives
     recs = parse_warc(good + b"\x1f\x8b\x08corrupt")
     assert len(recs) == 1 and recs[0]["html"] == b"k" * 20000
+
+
+def test_warc_corrupt_member_resync_drops_only_itself():
+    """A flipped byte in one gzip member loses only that member: iteration
+    resynchronizes at the next member's magic."""
+    import datetime as dt
+
+    from ocr_model_spark.sources.warc import build_warc, parse_warc
+
+    def rec(i):
+        return {"url": f"https://a/{i}", "warc_ts": dt.datetime(2024, 3, 1), "html": b"p%d" % i}
+
+    good1 = build_warc([rec(1)])
+    bad = bytearray(build_warc([rec(2)]))
+    bad[len(bad) // 2] ^= 0xFF  # corrupt mid-member
+    good3 = build_warc([rec(3)])
+    recs = parse_warc(good1 + bytes(bad) + good3)
+    urls = [r["url"] for r in recs]
+    assert "https://a/1" in urls and "https://a/3" in urls
+    assert "https://a/2" not in urls

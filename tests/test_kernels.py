@@ -745,3 +745,26 @@ def test_trailer_text_inside_stream_body_is_ignored():
     r = extract_pdf(pdf)
     assert r["ok"], r["error"]
     assert r["regions"][0]["text"] == "See below"
+
+
+def test_bogus_length_cannot_swallow_the_real_trailer():
+    """A stream whose /Length points past the genuine trailer to a planted
+    'endstream' must not hide that trailer (skip spans are capped at the
+    first endstream token), so /Encrypt detection still fires."""
+    body = b"BT /F1 12 Tf 72 700 Td (x) Tj ET\nendstream endobj\n"
+    planted = b"endstream\n"
+    # /Length claims everything up to the PLANTED endstream far below
+    fake_len = len(body) + len(b"trailer << /Root 1 0 R /Encrypt 9 0 R >>\n")
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(fake_len).encode() + b" >> stream\n"
+        + body
+        + b"trailer << /Root 1 0 R /Encrypt 9 0 R >>\n"
+        + planted
+        + b"%%EOF\n"
+    )
+    r = extract_pdf(pdf)
+    assert not r["ok"] and r["error"] == "pdf-encrypted"
