@@ -25,10 +25,13 @@ dicts living inside a FlateDecoded stream of serialized objects are
 expanded into the object table, so modern xref-stream PDFs read fine (the
 xref stream itself is never needed; the scan finds the ObjStm containers).
 
+Also covered: CID/Type0 composite fonts WITH a /ToUnicode CMap (bfchar +
+both bfrange forms) — i.e. how modern writers embed extractable text;
+Type0 text without a ToUnicode map yields empty spans (no mojibake).
+
 Deliberately NOT covered (typed failure instead of wrong text): encrypted
-PDFs and CID/Type0 composite-font glyph remapping. At the corpus layer
-those land in the lineage failure counters exactly like the reference's
-engine-degradation path.
+PDFs. At the corpus layer those land in the lineage failure counters
+exactly like the reference's engine-degradation path.
 """
 
 from __future__ import annotations
@@ -444,20 +447,123 @@ def _decode_text(b: bytes) -> str:
     return b.decode("latin-1")
 
 
-def _spans_from_content(content: bytes, height: float) -> list[dict]:
+# ------------------------------------------------- fonts / ToUnicode CMaps
+
+_HEX_OR_BRACKET_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+_MAX_BFRANGE = 1 << 16  # cap range expansion (malicious CMaps)
+
+
+def _u16(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", errors="replace")
+    except ValueError:
+        return ""
+
+
+def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap → {char code: unicode string}. Covers the two entry
+    forms real writers emit: ``bfchar`` pairs and ``bfrange`` triples
+    (incrementing-destination and explicit-array variants). Composite
+    (Type0/CID) fonts — i.e. most modern PDFs — are unreadable garbage
+    without this: their 2-byte codes are font-internal glyph ids, and the
+    CMap is the only route back to text."""
+    cmap: dict[int, str] = {}
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", sec)
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = _u16(dst)
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        items = _HEX_OR_BRACKET_RE.findall(sec)
+        i = 0
+        while i + 2 < len(items) or (i + 2 == len(items) and items[i][0] and items[i + 1][0]):
+            if not (i + 1 < len(items) and items[i][0] and items[i + 1][0]):
+                break
+            lo, hi = int(items[i][0], 16), int(items[i + 1][0], 16)
+            hi = min(hi, lo + _MAX_BFRANGE)
+            if i + 2 < len(items) and items[i + 2][1]:  # '[' — explicit array
+                j = i + 3
+                code = lo
+                while j < len(items) and not items[j][2]:
+                    if items[j][0]:
+                        cmap[code] = _u16(items[j][0])
+                        code += 1
+                    j += 1
+                i = j + 1
+            elif i + 2 < len(items) and items[i + 2][0]:  # incrementing dest
+                base_hex = items[i + 2][0]
+                width = max(2, len(base_hex) // 2)
+                base = int(base_hex, 16)
+                for c in range(lo, hi + 1):
+                    cmap[c] = _u16(
+                        (base + c - lo).to_bytes(width, "big").hex().encode()
+                    )
+                i += 3
+            else:
+                break
+    return cmap
+
+
+def _page_fonts(doc: "_Doc", page: dict) -> dict[str, tuple[bool, dict | None]]:
+    """font resource name → (is_two_byte, ToUnicode cmap or None), from the
+    page's (possibly inherited) /Resources /Font dictionary."""
+    res = doc.inherited(page, "Resources")
+    fonts = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
+    out: dict[str, tuple[bool, dict | None]] = {}
+    if not isinstance(fonts, dict):
+        return out
+    for name, ref in fonts.items():
+        fobj = doc.resolve(ref)
+        if not isinstance(fobj, dict):
+            continue
+        two_byte = fobj.get("Subtype") == "Type0"
+        cmap = None
+        if fobj.get("ToUnicode") is not None:
+            stream = doc.stream_of(fobj["ToUnicode"])
+            if stream:
+                try:
+                    cmap = parse_tounicode_cmap(stream) or None
+                except Exception:
+                    cmap = None
+        out[str(name)] = (two_byte, cmap)
+    return out
+
+
+def _decode_with_font(raw: bytes, font: tuple[bool, dict | None] | None) -> str:
+    if font is None:
+        return _decode_text(raw)
+    two_byte, cmap = font
+    if cmap is None:
+        # Type0 codes without a ToUnicode map are font-internal glyph ids:
+        # emitting nothing beats emitting latin-1 mojibake
+        return "" if two_byte else _decode_text(raw)
+    if two_byte:
+        return "".join(
+            cmap.get(raw[i] << 8 | raw[i + 1], "") for i in range(0, len(raw) - 1, 2)
+        )
+    return "".join(cmap.get(b, "") for b in raw)
+
+
+def _spans_from_content(
+    content: bytes, height: float, fonts: dict | None = None
+) -> list[dict]:
     """Interpret text-showing operators into spans (top-left-normalized),
-    the shape :func:`pdf_extract._group_blocks` consumes."""
+    the shape :func:`pdf_extract._group_blocks` consumes. ``fonts`` maps
+    resource names to decode info (see :func:`_page_fonts`); text shown
+    with a ToUnicode-equipped font decodes through its CMap."""
     spans: list[dict] = []
     size = 12.0
     leading = 0.0
     line_x = line_y = 0.0
     cur_x = cur_y = 0.0
     scale = 1.0
+    cur_font: str | None = None
     stack: list = []
 
     def show(raw):
         nonlocal cur_x
-        text = _decode_text(raw)
+        text = _decode_with_font(
+            raw, fonts.get(cur_font) if fonts and cur_font else None
+        )
         if text.strip():
             eff = size * scale
             y = height - cur_y
@@ -511,6 +617,12 @@ def _spans_from_content(content: bytes, height: float) -> list[dict]:
                 scale = 1.0
             elif op == b"Tf" and len(stack) >= 1 and isinstance(stack[-1], float):
                 size = stack[-1]
+                if (
+                    len(stack) >= 2
+                    and isinstance(stack[-2], bytes)
+                    and stack[-2][:1] == b"/"
+                ):
+                    cur_font = stack[-2][1:].decode("latin-1")
             elif op == b"TL" and stack and isinstance(stack[-1], float):
                 leading = stack[-1]
             elif op in (b"Td", b"TD") and len(stack) >= 2:
@@ -655,7 +767,11 @@ def extract_pages_native(data: bytes, group_blocks) -> list[dict]:
             s = doc.stream_of(refs)
             if s:
                 chunks.append(s)
-        spans = _spans_from_content(b"\n".join(chunks), height) if chunks else []
+        spans = (
+            _spans_from_content(b"\n".join(chunks), height, _page_fonts(doc, page))
+            if chunks
+            else []
+        )
         pages.append(
             {
                 "page_num": pno,

@@ -768,3 +768,59 @@ def test_bogus_length_cannot_swallow_the_real_trailer():
     )
     r = extract_pdf(pdf)
     assert not r["ok"] and r["error"] == "pdf-encrypted"
+
+
+def test_type0_cid_font_text_via_tounicode_cmap():
+    """Composite (Type0/Identity-H) fonts: 2-byte glyph codes decode
+    through the ToUnicode CMap — without it, most modern PDFs read as
+    garbage. Covers bfchar, incrementing bfrange, and array bfrange."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"2 beginbfchar\n"
+        b"<0001> <0048>\n"          # H
+        b"<0002> <00E9>\n"          # e-acute
+        b"endbfchar\n"
+        b"1 beginbfrange\n"
+        b"<0010> <0012> <006C>\n"   # l, m, n (incrementing)
+        b"endbfrange\n"
+        b"1 beginbfrange\n"
+        b"<0020> <0021> [<006F> <0021>]\n"  # o, !
+        b"endbfrange\n"
+        b"endcmap end\n"
+    )
+    # codes: H é l l o !  → <0001 0002 0010 0010 0020 0021>
+    content = b"BT /F1 12 Tf 72 700 Td <000100020010001000200021> Tj ET"
+    objs = []
+    objs.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    objs.append(b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >> endobj\n")
+    objs.append(
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+    )
+    objs.append(
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >> stream\n"
+        + content + b"\nendstream endobj\n"
+    )
+    objs.append(
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n"
+    )
+    objs.append(
+        b"6 0 obj << /Length " + str(len(cmap)).encode() + b" >> stream\n"
+        + cmap + b"\nendstream endobj\n"
+    )
+    pdf = b"%PDF-1.5\n" + b"".join(objs) + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    r = extract_pdf(pdf)
+    assert r["ok"], r["error"]
+    assert [reg["text"] for reg in r["regions"]] == ["Héllo!"]
+
+
+def test_simple_fonts_without_tounicode_keep_latin1_path():
+    """Fonts without a ToUnicode CMap fall back to the latin-1 decode —
+    the fixture PDFs (Type1 Helvetica) must extract exactly as before."""
+    from tests.pdf_fixture import build_real_pdf
+
+    r = extract_pdf(build_real_pdf())
+    assert r["ok"]
+    assert r["regions"][2]["text"] == "Café naïve (escaped)"
