@@ -5,9 +5,12 @@ semantics of the reference's PyMuPDF path (``worker/pipeline/processors/
 pdf_processor.py:49-76``: blocks→lines→spans of native text, blanks skipped,
 confidence 1.0):
 
-  * object scan (``N G obj … endobj``) with ``stream``/``endstream`` bodies —
-    tolerant, no xref needed (works on linearized and incrementally-updated
-    files; xref parsing adds nothing for read-only text extraction);
+  * xref-first object location: the ``startxref`` chain (classic tables,
+    xref streams with PNG predictors, hybrid ``/XRefStm``) is parsed and
+    objects are read at their recorded offsets — newest section wins, freed
+    objects stay dead, and parse cost is O(live objects) not O(file); a
+    full tolerant scan (``N G obj … endobj``, last definition wins, stream
+    bodies skipped) remains the fallback for damaged or xref-less files;
   * FlateDecode via ``zlib`` (the only filter classic text PDFs use; any
     other filter fails typed, caught by the caller);
   * page tree walk (``/Catalog → /Pages → /Kids``) with attribute
@@ -224,68 +227,91 @@ class _Lexer:
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
+def _read_stream_body(
+    data: bytes, value, lex_pos: int
+) -> tuple[bytes | None, tuple[int, int] | None]:
+    """If a ``stream`` keyword follows the object value at ``lex_pos``,
+    return (body bytes, skip-span). /Length is trusted only when
+    ``endstream`` actually follows it; the skip span is capped at the first
+    ``endstream`` token so a bogus /Length pointing past the real trailer
+    to a planted endstream cannot swallow it (a scan over the stream tail
+    is the lesser risk)."""
+    rest = data[lex_pos : lex_pos + 20]
+    if not rest.lstrip(b"\r\n \t").startswith(b"stream"):
+        return None, None
+    s = data.find(b"stream", lex_pos)
+    body_start = s + len(b"stream")
+    if data[body_start : body_start + 2] == b"\r\n":
+        body_start += 2
+    elif data[body_start : body_start + 1] == b"\n":
+        body_start += 1
+    stream: bytes | None = None
+    length = value.get("Length") if isinstance(value, dict) else None
+    if isinstance(length, int):
+        body_end = body_start + length
+        if data[body_end : body_end + 20].lstrip(b"\r\n \t").startswith(b"endstream"):
+            stream = data[body_start:body_end]
+    if stream is None:
+        e = data.find(b"endstream", body_start)
+        if e < 0:
+            return None, None
+        stream = data[body_start:e].rstrip(b"\r\n")
+    first_end = data.find(b"endstream", body_start)
+    span_end = body_start + len(stream)
+    if 0 <= first_end < span_end:
+        span_end = first_end
+    return stream, (body_start, span_end)
+
+
 def _scan_objects(
     data: bytes,
-) -> tuple[dict[int, tuple[dict | object, bytes | None]], list[tuple[int, int]]]:
-    """num → (parsed value, raw stream bytes or None), plus the byte spans
-    of every stream body (so trailer scanning can skip content that merely
-    CONTAINS PDF-syntax-looking text). Scan-based (no xref): for
-    incremental updates the LAST definition of an object number wins,
-    which scanning start-to-end gives for free."""
+) -> tuple[dict[int, tuple[dict | object, bytes | None]], list[tuple[int, int]], dict[int, int]]:
+    """num → (parsed value, raw stream bytes or None), the byte spans of
+    every stream body (so trailer scanning can skip content that merely
+    CONTAINS PDF-syntax-looking text), and num → byte offset of the winning
+    definition. Scan-based fallback (no xref): for incremental updates the
+    LAST definition of an object number wins, which scanning start-to-end
+    gives for free. Object headers whose match starts INSIDE an already
+    recorded stream body are skipped — an uncompressed content stream
+    containing the text ``3 0 obj << … >>`` must not inject or clobber
+    real objects (same rule trailer scanning applies)."""
     objects: dict[int, tuple[object, bytes | None]] = {}
     spans: list[tuple[int, int]] = []
+    offsets: dict[int, int] = {}
+    covered_end = -1  # spans are recorded in increasing file order
     for m in _OBJ_HEAD_RE.finditer(data):
+        if m.start() < covered_end and any(a <= m.start() < b for a, b in spans):
+            continue
         num = int(m.group(1))
         lex = _Lexer(data, m.end())
         try:
             value = lex.parse_value()
         except PdfParseError:
             continue
-        stream: bytes | None = None
-        rest = data[lex.pos : lex.pos + 20]
-        if rest.lstrip(b"\r\n \t").startswith(b"stream"):
-            s = data.find(b"stream", lex.pos)
-            body_start = s + len(b"stream")
-            if data[body_start : body_start + 2] == b"\r\n":
-                body_start += 2
-            elif data[body_start : body_start + 1] == b"\n":
-                body_start += 1
-            length = value.get("Length") if isinstance(value, dict) else None
-            if isinstance(length, int):
-                body_end = body_start + length
-                # trust /Length only if endstream actually follows
-                if data[body_end : body_end + 20].lstrip(b"\r\n \t").startswith(b"endstream"):
-                    stream = data[body_start:body_end]
-            if stream is None:
-                e = data.find(b"endstream", body_start)
-                if e < 0:
-                    continue
-                stream = data[body_start:e].rstrip(b"\r\n")
-            # the SKIP span for trailer scanning is capped at the first
-            # 'endstream' token: a bogus /Length pointing past the real
-            # trailer to a planted endstream must not swallow it (a scan
-            # over the stream tail is the lesser risk)
-            first_end = data.find(b"endstream", body_start)
-            span_end = body_start + len(stream)
-            if 0 <= first_end < span_end:
-                span_end = first_end
-            spans.append((body_start, span_end))
+        stream, span = _read_stream_body(data, value, lex.pos)
+        if span is not None:
+            spans.append(span)
+            covered_end = max(covered_end, span[1])
+        elif data[lex.pos : lex.pos + 20].lstrip(b"\r\n \t").startswith(b"stream"):
+            continue  # stream keyword but no endstream: unterminated, skip
         objects[num] = (value, stream)
+        offsets[num] = m.start()
     if not objects:
         raise PdfParseError("no objects found")
-    return objects, spans
+    return objects, spans, offsets
 
 
 _TRAILER_RE = re.compile(rb"trailer\b")
 
 
-def _scan_trailers(data: bytes, skip_spans: list[tuple[int, int]]) -> list[dict]:
-    """Every ``trailer << … >>`` dictionary in the file (one per
-    incremental update), in file order — matches INSIDE stream bodies are
-    skipped, so a content stream that happens to contain the text
-    'trailer << /Encrypt … >>' cannot mark a readable file encrypted or
-    hijack /Info."""
-    out = []
+def _scan_trailers(
+    data: bytes, skip_spans: list[tuple[int, int]]
+) -> list[tuple[int, dict]]:
+    """Every ``trailer << … >>`` dictionary in the file with its byte
+    offset, in file order — matches INSIDE stream bodies are skipped, so a
+    content stream that happens to contain the text 'trailer << /Encrypt …
+    >>' cannot mark a readable file encrypted or hijack /Info."""
+    out: list[tuple[int, dict]] = []
     for m in _TRAILER_RE.finditer(data):
         if any(a <= m.start() < b for a, b in skip_spans):
             continue
@@ -295,20 +321,221 @@ def _scan_trailers(data: bytes, skip_spans: list[tuple[int, int]]) -> list[dict]
         except PdfParseError:
             continue
         if isinstance(v, dict):
-            out.append(v)
+            out.append((m.start(), v))
     return out
+
+
+# ----------------------------------------------------------- xref parsing
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_XREF_KW_RE = re.compile(rb"\s*xref\b")
+_SUBSEC_RE = re.compile(rb"\s*(\d+)\s+(\d+)[ \t]*\r?\n?")
+_XENTRY_RE = re.compile(rb"\s*(\d{10})\s+(\d{5})\s+([nf])")
+_TRAILER_KW_RE = re.compile(rb"\s*trailer\b")
+
+
+def _png_unpredict(body: bytes, columns: int) -> bytes:
+    """Undo PNG row predictors (sub/up/avg/paeth) on a byte-per-component
+    stream — /DecodeParms /Predictor >= 10, ubiquitous in xref streams.
+    Row layout: 1 filter-type byte + ``columns`` data bytes."""
+    if columns <= 0:
+        raise PdfParseError("bad predictor columns")
+    out = bytearray()
+    prev = bytearray(columns)
+    for base in range(0, len(body) - columns, columns + 1):
+        ft = body[base]
+        row = bytearray(body[base + 1 : base + 1 + columns])
+        if ft == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfParseError(f"unknown png filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _parse_classic_xref(data: bytes, pos: int):
+    """Classic ``xref`` table section → (entries, trailer, xrefstm, prev).
+    entries: num → (type, offset) with type 1 = in use, 0 = free."""
+    m = _XREF_KW_RE.match(data, pos)
+    if not m:
+        raise PdfParseError("not a classic xref")
+    p = m.end()
+    entries: dict[int, tuple[int, int]] = {}
+    while True:
+        ms = _SUBSEC_RE.match(data, p)
+        if not ms:
+            break
+        start, count = int(ms.group(1)), int(ms.group(2))
+        if count > 5_000_000:
+            raise PdfParseError("xref subsection too large")
+        p = ms.end()
+        for i in range(count):
+            me = _XENTRY_RE.match(data, p)
+            if not me:
+                raise PdfParseError("short xref subsection")
+            entries[start + i] = (
+                1 if me.group(3) == b"n" else 0,
+                int(me.group(1)),
+            )
+            p = me.end()
+    mt = _TRAILER_KW_RE.match(data, p)
+    if not mt:
+        raise PdfParseError("classic xref without trailer")
+    trailer = _Lexer(data, mt.end()).parse_value()
+    if not isinstance(trailer, dict):
+        raise PdfParseError("bad trailer dict")
+    return entries, trailer, trailer.get("XRefStm"), trailer.get("Prev")
+
+
+def _parse_xref_stream(data: bytes, pos: int):
+    """Xref stream (/Type /XRef) section → (entries, trailer, None, prev).
+    entries: num → (type, field2); type 0 free, 1 offset, 2 in-ObjStm
+    (field2 = container object number — recovered by ObjStm expansion)."""
+    m = _OBJ_HEAD_RE.search(data, pos, pos + 64)
+    if not m:
+        raise PdfParseError("no object at xref-stream offset")
+    lex = _Lexer(data, m.end())
+    value = lex.parse_value()
+    if not (isinstance(value, dict) and value.get("Type") == "XRef"):
+        raise PdfParseError("object at startxref is not /Type /XRef")
+    raw, _span = _read_stream_body(data, value, lex.pos)
+    if raw is None:
+        raise PdfParseError("xref stream without body")
+    body = _decode_raw_stream(value, raw)
+    w = value.get("W")
+    if not (isinstance(w, list) and len(w) >= 3):
+        raise PdfParseError("xref stream missing /W")
+    w0, w1, w2 = (int(x) for x in w[:3])
+    rw = w0 + w1 + w2
+    if rw <= 0 or rw > 32:
+        raise PdfParseError("bad /W widths")
+    size = int(value.get("Size") or 0)
+    index = value.get("Index") or [0, size]
+    entries: dict[int, tuple[int, int]] = {}
+    bpos = 0
+    for k in range(0, len(index) - 1, 2):
+        start, count = int(index[k]), int(index[k + 1])
+        for i in range(count):
+            rec = body[bpos : bpos + rw]
+            bpos += rw
+            if len(rec) < rw:
+                raise PdfParseError("short xref stream")
+            typ = int.from_bytes(rec[:w0], "big") if w0 else 1
+            f2 = int.from_bytes(rec[w0 : w0 + w1], "big")
+            entries[start + i] = (typ, f2)
+    return entries, value, None, value.get("Prev")
+
+
+def _load_via_xref(data: bytes, dead: set[int]):
+    """Primary object locator: follow the ``startxref`` chain (newest
+    section first; hybrid /XRefStm consulted before its classic section,
+    per spec) and parse objects only at live recorded offsets. Newest
+    entry per object number wins; objects freed by a newer section stay
+    dead even if an older section still lists them. Returns
+    (objects, trailer dicts newest-first). Raises on anything suspicious —
+    the caller falls back to the tolerant full scan."""
+    tail = data[-2048:]
+    last = None
+    for last in _STARTXREF_RE.finditer(tail):
+        pass
+    if last is None:
+        raise PdfParseError("no startxref")
+    offsets: dict[int, int] = {}
+    trailers: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(pos: int, depth: int) -> None:
+        if depth > 64 or pos in seen or not (0 <= pos < len(data)):
+            return
+        seen.add(pos)
+        if _XREF_KW_RE.match(data, pos):
+            entries, trailer, xrefstm, prev = _parse_classic_xref(data, pos)
+        else:
+            entries, trailer, xrefstm, prev = _parse_xref_stream(data, pos)
+        trailers.append(trailer)
+        if xrefstm is not None:
+            walk(int(xrefstm), depth + 1)
+        for num, (typ, f2) in entries.items():
+            if num in offsets or num in dead or num == 0:
+                continue
+            if typ == 0:
+                dead.add(num)
+            elif typ == 1:
+                offsets[num] = f2
+            # typ 2: lives in ObjStm f2 — the container has its own
+            # type-1 entry and generic ObjStm expansion recovers it
+        if prev is not None:
+            walk(int(prev), depth + 1)
+
+    walk(int(last.group(1)), 0)
+    objects: dict[int, tuple[object, bytes | None]] = {}
+    for num, off in offsets.items():
+        m = _OBJ_HEAD_RE.match(data, off) or _OBJ_HEAD_RE.search(data, off, off + 64)
+        if not m or int(m.group(1)) != num:
+            continue  # stale offset: tolerate, object just stays missing
+        lex = _Lexer(data, m.end())
+        try:
+            value = lex.parse_value()
+        except PdfParseError:
+            continue
+        stream, _span = _read_stream_body(data, value, lex.pos)
+        objects[num] = (value, stream)
+    if not objects:
+        raise PdfParseError("xref chain resolved no objects")
+    return objects, trailers
 
 
 class _Doc:
     def __init__(self, data: bytes):
-        self.objects, stream_spans = _scan_objects(data)
-        self._expand_object_streams()
-        # trailer dicts (classic) + xref-stream dicts (PDF 1.5+) carry
-        # /Root, /Info and /Encrypt
-        self.trailers = _scan_trailers(data, stream_spans) + [
-            v for v, _s in self.objects.values()
-            if isinstance(v, dict) and v.get("Type") == "XRef"
-        ]
+        # xref-first: O(live objects) instead of O(file), freed objects
+        # stay dead, incremental updates resolve to the section the chain
+        # actually references. Any parse trouble → tolerant full scan.
+        self._dead: set[int] = set()
+        loaded = False
+        try:
+            self.objects, newest_first = _load_via_xref(data, self._dead)
+            # stored oldest-first so info_dict()'s reversed() scan sees the
+            # newest trailer first, same convention as the scan path
+            self.trailers = list(reversed(newest_first))
+            self._expand_object_streams()
+            loaded = any(
+                isinstance(v, dict) and v.get("Type") == "Catalog"
+                for v, _s in self.objects.values()
+            )
+        except Exception:
+            loaded = False
+        if not loaded:
+            self._dead = set()
+            self.objects, stream_spans, obj_offsets = _scan_objects(data)
+            self._expand_object_streams()
+            # trailer dicts (classic) + xref-stream dicts (PDF 1.5+) carry
+            # /Root, /Info and /Encrypt — ordered by BYTE OFFSET so an
+            # incremental update's newer classic trailer outranks an older
+            # xref-stream dict (and vice versa)
+            dated = _scan_trailers(data, stream_spans) + [
+                (obj_offsets.get(num, 0), v)
+                for num, (v, _s) in self.objects.items()
+                if isinstance(v, dict) and v.get("Type") == "XRef"
+            ]
+            self.trailers = [t for _off, t in sorted(dated, key=lambda p: p[0])]
 
     def is_encrypted(self) -> bool:
         return any("Encrypt" in t for t in self.trailers)
@@ -340,7 +567,7 @@ class _Doc:
                 for i in range(n):
                     onum = int(header[2 * i])
                     off = int(header[2 * i + 1])
-                    if onum in self.objects:
+                    if onum in self.objects or onum in self._dead:
                         continue
                     lex = _Lexer(body, first + off)
                     self.objects[onum] = (lex.parse_value(), None)
@@ -412,19 +639,71 @@ class _Doc:
         return None
 
 
+def _apply_decode_parms(out: bytes, parms) -> bytes:
+    """Post-filter predictor step (/DecodeParms): PNG predictors 10–15
+    (per-row, see :func:`_png_unpredict`) and TIFF predictor 2 are the two
+    the spec defines for Flate/LZW; predictor 1 / absent = identity."""
+    if not isinstance(parms, dict):
+        return out
+    pred = parms.get("Predictor")
+    if not isinstance(pred, int) or pred <= 1:
+        return out
+    columns = int(parms.get("Columns") or 1)
+    colors = int(parms.get("Colors") or 1)
+    bpc = int(parms.get("BitsPerComponent") or 8)
+    rowbytes = (columns * colors * bpc + 7) // 8
+    if pred >= 10:
+        return _png_unpredict(out, rowbytes)
+    if pred == 2:
+        if bpc != 8:
+            raise PdfParseError("tiff predictor only for 8-bit components")
+        buf = bytearray(out)
+        for base in range(0, len(buf) - rowbytes + 1, rowbytes):
+            for i in range(colors, rowbytes):
+                buf[base + i] = (buf[base + i] + buf[base + i - colors]) & 0xFF
+        return bytes(buf)
+    raise PdfParseError(f"unsupported predictor {pred}")
+
+
+def _decode_filters(filters: list, parms_list: list, raw: bytes, resolve) -> bytes:
+    out = raw
+    for f, p in zip(filters, parms_list):
+        f = resolve(f)
+        if f == "FlateDecode":
+            out = _apply_decode_parms(zlib.decompress(out), resolve(p))
+        else:
+            raise PdfParseError(f"unsupported filter {f}")
+    return out
+
+
+def _normalize_filter_chain(filt, parms) -> tuple[list, list]:
+    filters = filt if isinstance(filt, list) else [filt]
+    if isinstance(parms, list):
+        parms_list = parms + [None] * (len(filters) - len(parms))
+    else:
+        parms_list = [parms] + [None] * (len(filters) - 1)
+    return filters, parms_list
+
+
 def _decode_stream(doc: _Doc, sdict: dict, raw: bytes) -> bytes:
     filt = doc.resolve(sdict.get("Filter"))
     if filt is None:
         return raw
-    filters = filt if isinstance(filt, list) else [filt]
-    out = raw
-    for f in filters:
-        f = doc.resolve(f)
-        if f == "FlateDecode":
-            out = zlib.decompress(out)
-        else:
-            raise PdfParseError(f"unsupported filter {f}")
-    return out
+    parms = doc.resolve(sdict.get("DecodeParms") or sdict.get("DP"))
+    filters, parms_list = _normalize_filter_chain(filt, parms)
+    return _decode_filters(filters, parms_list, raw, doc.resolve)
+
+
+def _decode_raw_stream(sdict: dict, raw: bytes) -> bytes:
+    """Doc-free decode for xref streams, whose dict entries are required
+    by spec to be direct (no indirect references to chase)."""
+    filt = sdict.get("Filter")
+    if filt is None:
+        return raw
+    filters, parms_list = _normalize_filter_chain(
+        filt, sdict.get("DecodeParms") or sdict.get("DP")
+    )
+    return _decode_filters(filters, parms_list, raw, lambda v: v)
 
 
 # ------------------------------------------------- content-stream interpreter
@@ -503,12 +782,13 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     return cmap
 
 
-def _page_fonts(doc: "_Doc", page: dict) -> dict[str, tuple[bool, dict | None]]:
-    """font resource name → (is_two_byte, ToUnicode cmap or None), from the
-    page's (possibly inherited) /Resources /Font dictionary."""
+def _page_fonts(doc: "_Doc", page: dict) -> dict[str, tuple[bool, dict | None, bool]]:
+    """font resource name → (is_two_byte, ToUnicode cmap or None,
+    is_identity_encoding), from the page's (possibly inherited)
+    /Resources /Font dictionary."""
     res = doc.inherited(page, "Resources")
     fonts = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
-    out: dict[str, tuple[bool, dict | None]] = {}
+    out: dict[str, tuple[bool, dict | None, bool]] = {}
     if not isinstance(fonts, dict):
         return out
     for name, ref in fonts.items():
@@ -516,6 +796,8 @@ def _page_fonts(doc: "_Doc", page: dict) -> dict[str, tuple[bool, dict | None]]:
         if not isinstance(fobj, dict):
             continue
         two_byte = fobj.get("Subtype") == "Type0"
+        enc = doc.resolve(fobj.get("Encoding"))
+        identity = isinstance(enc, str) and enc in ("Identity-H", "Identity-V")
         cmap = None
         if fobj.get("ToUnicode") is not None:
             stream = doc.stream_of(fobj["ToUnicode"])
@@ -524,15 +806,39 @@ def _page_fonts(doc: "_Doc", page: dict) -> dict[str, tuple[bool, dict | None]]:
                     cmap = parse_tounicode_cmap(stream) or None
                 except Exception:
                     cmap = None
-        out[str(name)] = (two_byte, cmap)
+        out[str(name)] = (two_byte, cmap, identity)
     return out
 
 
-def _decode_with_font(raw: bytes, font: tuple[bool, dict | None] | None) -> str:
+def _identity_cid_text(raw: bytes) -> str:
+    """Identity-H Type0 WITHOUT a ToUnicode map: the cid-is-unicode
+    heuristic. Many generators emit Identity-encoded fonts whose CIDs ARE
+    Unicode code points; subset fonts with reordered glyph ids instead
+    yield mostly control-range codes. Decode 2-byte codes as code points,
+    then keep the string only if it reads like text (≥2/3 printable) —
+    recovering the common case while refusing to emit mojibake."""
+    chars = []
+    for i in range(0, len(raw) - 1, 2):
+        code = raw[i] << 8 | raw[i + 1]
+        if 0x20 <= code <= 0xFFFD and not (0xD800 <= code <= 0xDFFF):
+            chars.append(chr(code))
+        else:
+            chars.append("\x00")
+    if not chars:
+        return ""
+    ok = sum(1 for c in chars if c.isprintable() or c in " \t")
+    if ok * 3 < len(chars) * 2:
+        return ""
+    return "".join(c for c in chars if c != "\x00")
+
+
+def _decode_with_font(raw: bytes, font: tuple[bool, dict | None, bool] | None) -> str:
     if font is None:
         return _decode_text(raw)
-    two_byte, cmap = font
+    two_byte, cmap, identity = font
     if cmap is None:
+        if two_byte and identity:
+            return _identity_cid_text(raw)
         # Type0 codes without a ToUnicode map are font-internal glyph ids:
         # emitting nothing beats emitting latin-1 mojibake
         return "" if two_byte else _decode_text(raw)

@@ -25,6 +25,13 @@ def assemble_pdf(
     trailing space included by the caller). The ONE PDF writer in the repo —
     the synth corpus generator and the annotated sink both assemble
     through it, so spec fixes land everywhere at once."""
+    nums = sorted(num for num, _d, _s in objects)
+    # the xref subsection header claims objects 0..N contiguously — emitting
+    # entries for any other numbering would silently map numbers to wrong
+    # offsets for strict external readers
+    assert nums == list(range(1, len(objects) + 1)), (
+        f"assemble_pdf requires contiguous object numbers 1..N, got {nums}"
+    )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num, dct, stream in objects:

@@ -150,9 +150,12 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # no broadcast hint on `sizes`: it is a full-corpus per-doc aggregate
+    # (billions of rows at crawl scale) — a shuffle join is the safe shape,
+    # and AQE will still pick broadcast when the frame is genuinely small
     return (
-        common.join(F.broadcast(sizes).withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(F.broadcast(sizes).withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),

@@ -10,9 +10,10 @@ composes exactly like the parquet source.
 
 Decompression is member-by-member (``_iter_gzip_members``): spec .warc.gz
 puts one RECORD per gzip member, so worker memory stays O(record) and a
-corrupt/truncated member drops only itself. Records are assumed not to
-span members (true for spec files; a whole-file-gzipped WARC is one big
-member and also works).
+corrupt/truncated member drops only itself. Members chain into one
+continuous byte stream (``_ChainedMemberStream``), so a record that SPANS
+gzip members (re-packed archives) still parses; a whole-file-gzipped WARC
+is one big member and also works.
 
 Timestamps: WARC-Date strings are UTC; the reader emits them as the same
 UTC instants ``read_pages`` produces for the parquet tables (TIMESTAMP,
@@ -129,7 +130,10 @@ def write_warc_files(
     rows = [
         {
             "url": r["url"],
-            "warc_ts": epoch + dt.timedelta(microseconds=r["warc_us"]),
+            # PAGES_SCHEMA allows NULL warc_ts: substitute the epoch so the
+            # record still ships (WARC-Date is mandatory) instead of
+            # crashing the writer on timedelta(microseconds=None)
+            "warc_ts": epoch + dt.timedelta(microseconds=r["warc_us"] or 0),
             "html": r["html"],
         }
         for r in rows
@@ -175,13 +179,20 @@ def iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
             except UnicodeDecodeError:
                 val = v.strip().decode("latin-1")
             headers[k.strip().lower().decode("latin-1")] = val
+        cl = headers.get("content-length")
         try:
-            length = int(headers.get("content-length", "0"))
+            length = int(cl) if cl is not None else None
         except ValueError:
-            return
+            length = None
+        if length is None or length < 0:
+            # bad/missing Content-Length: RESYNC at the next 'WARC/' header
+            # line (the outer loop skips non-header lines) instead of
+            # abandoning the rest of the stream — one bad record must not
+            # drop everything after it
+            continue
         body = stream.read(length)
         if len(body) < length:
-            return  # truncated trailing record
+            continue  # truncated: next readline hits EOF (or resyncs)
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")
@@ -252,18 +263,43 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
         return
 
 
+class _ChainedMemberStream(io.RawIOBase):
+    """Present the decompressed bytes of successive gzip members as ONE
+    continuous stream, pulled lazily — so a WARC record that spans a
+    member boundary (non-spec but seen in re-packed archives) parses
+    seamlessly, while memory stays bounded by one member."""
+
+    def __init__(self, members: Iterator[bytes]):
+        self._members = members
+        self._buf = b""
+        self._pos = 0
+
+    def readable(self) -> bool:  # pragma: no cover - io protocol
+        return True
+
+    def readinto(self, b) -> int:
+        while self._pos >= len(self._buf):
+            nxt = next(self._members, None)
+            if nxt is None:
+                return 0
+            self._buf = nxt
+            self._pos = 0
+        n = min(len(b), len(self._buf) - self._pos)
+        b[:n] = self._buf[self._pos : self._pos + n]
+        self._pos += n
+        return n
+
+
 def parse_warc(data: bytes) -> list[dict]:
     """Parse WARC bytes (gzipped members or plain). Tolerant: corrupt or
-    truncated members/records yield the records decoded so far — a scan
-    task must not die on one bad shard (the lineage counters surface the
-    shortfall). Records are assumed not to SPAN gzip members (true for
-    spec .warc.gz — one record per member — and trivially for plain or
-    single-member files)."""
-    out: list[dict] = []
+    truncated members/records cost only themselves (plus, worst case, the
+    record straddling a dropped member — the reader resyncs at the next
+    'WARC/' header line); a scan task must not die on one bad shard (the
+    lineage counters surface the shortfall). Records MAY span gzip
+    members: members chain into one continuous stream."""
     if data[:2] == b"\x1f\x8b":
-        for member in _iter_gzip_members(data):
-            out.extend(iter_warc_records(io.BufferedReader(io.BytesIO(member))))
-        return out
+        stream = io.BufferedReader(_ChainedMemberStream(_iter_gzip_members(data)))
+        return list(iter_warc_records(stream))
     return list(iter_warc_records(io.BufferedReader(io.BytesIO(data))))
 
 

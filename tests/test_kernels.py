@@ -824,3 +824,143 @@ def test_simple_fonts_without_tounicode_keep_latin1_path():
     r = extract_pdf(build_real_pdf())
     assert r["ok"]
     assert r["regions"][2]["text"] == "Café naïve (escaped)"
+
+
+# ------------------------------------------------------- xref-first locator
+
+
+def test_xref_stream_pdf_extracts_via_xref_path():
+    """PDF-1.5 file located only by a cross-reference stream (W [1 2 1],
+    PNG /Predictor 12, type-2 entries into an ObjStm): the xref path must
+    decode the predictor, follow type-1 offsets and recover the in-ObjStm
+    page tree."""
+    from ocr_model_spark.kernels.pdf_native import _load_via_xref
+    from tests.pdf_fixture import build_xrefstream_pdf
+
+    data = build_xrefstream_pdf()
+    objects, trailers = _load_via_xref(data, set())
+    assert set(objects) == {4, 5, 6}  # top-level: ObjStm, content, xref stream
+    assert trailers[0].get("Root") is not None
+    r = extract_pdf(data)
+    assert r["ok"], r["error"]
+    assert r["regions"][0]["text"] == "Xref stream page text."
+
+
+def test_classic_xref_chain_is_primary_locator():
+    """build_real_pdf carries a correct classic table: the xref path must
+    resolve every object without falling back to the scan."""
+    from ocr_model_spark.kernels.pdf_native import _load_via_xref
+    from tests.pdf_fixture import build_real_pdf
+
+    objects, trailers = _load_via_xref(build_real_pdf(), set())
+    assert set(objects) == set(range(1, 9))
+    assert trailers[0]["Info"].num == 8
+
+
+def test_incremental_update_resolves_newer_object():
+    import zlib as _zlib
+
+    from tests.pdf_fixture import append_incremental_update, build_real_pdf
+
+    c = _zlib.compress(b"BT /F1 12 Tf 72 700 Td (Replacement text v2.) Tj ET")
+    data = append_incremental_update(
+        build_real_pdf(),
+        [(4, b"<< /Length %d /Filter /FlateDecode >>" % len(c), c)],
+    )
+    r = extract_pdf(data)
+    assert r["ok"], r["error"]
+    texts = [reg["text"] for reg in r["regions"]]
+    assert "Replacement text v2." in texts
+    assert all("Alpha line one." not in t for t in texts)
+
+
+def test_incremental_freed_object_stays_dead():
+    """An update that FREES the /Info object must kill the stale title: a
+    scan-based reader (last definition wins) would still find object 8 in
+    the base section and report 'Fixture Title'."""
+    from tests.pdf_fixture import append_incremental_update, build_real_pdf
+
+    data = append_incremental_update(build_real_pdf(), [], free=[8])
+    r = extract_pdf(data)
+    assert r["ok"], r["error"]
+    assert not r.get("title")
+    # document body still extracts fine
+    assert any("Alpha line one." in reg["text"] for reg in r["regions"])
+
+
+def test_fake_object_header_inside_stream_body_is_ignored():
+    """Scan fallback: an UNCOMPRESSED content stream containing the text
+    '7 0 obj << /Title (Hijacked) >> endobj' must not inject an object —
+    object-header matches inside recorded stream bodies are skipped."""
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (Body here.) Tj ET\n"
+        b"7 0 obj << /Title (Hijacked) >> endobj\n"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >> stream\n"
+        + content + b"endstream endobj\n"
+        b"7 0 obj << /Title (Real Title) /Author (A. Writer) >> endobj\n"
+        b"trailer << /Root 1 0 R /Info 7 0 R >>\n%%EOF\n"
+    )
+    r = extract_pdf(pdf)
+    assert r["ok"], r["error"]
+    assert r["title"] == "Real Title"
+    assert any("Body here." in reg["text"] for reg in r["regions"])
+
+
+def test_png_unpredict_all_filters():
+    from ocr_model_spark.kernels.pdf_native import _png_unpredict
+
+    rows = [bytes([10, 20, 30, 40]), bytes([13, 24, 35, 46]), bytes([5, 6, 7, 8])]
+
+    def encode(rows, ft):
+        out = bytearray()
+        prev = bytes(len(rows[0]))
+        for row in rows:
+            out.append(ft)
+            enc = bytearray()
+            for i, v in enumerate(row):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((v - pred) & 0xFF)
+            out += enc
+            prev = row
+        return bytes(out)
+
+    flat = b"".join(rows)
+    for ft in range(5):
+        assert _png_unpredict(encode(rows, ft), 4) == flat, f"filter {ft}"
+
+
+def test_identity_h_cid_is_unicode_heuristic():
+    """Type0 /Identity-H without ToUnicode: CID-as-code-point decode
+    recovers generators that emit Unicode CIDs; glyph-id subsets (codes in
+    the control range) stay EMPTY rather than mojibake."""
+    from tests.pdf_fixture import build_identity_h_pdf
+
+    good = build_identity_h_pdf("Hello Identity world!".encode("utf-16-be"))
+    r = extract_pdf(good)
+    assert r["ok"], r["error"]
+    assert [reg["text"] for reg in r["regions"]] == ["Hello Identity world!"]
+
+    garbage = build_identity_h_pdf(bytes([0, 1, 0, 2, 0, 3, 0, 4] * 3))
+    r2 = extract_pdf(garbage)
+    assert r2["ok"]
+    assert r2["regions"] == []

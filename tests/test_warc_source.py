@@ -157,3 +157,79 @@ def test_main_cli_warc_end_to_end(spark, pages_path, tmp_path, capsys, monkeypat
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mode"] == "batch" and out["committed_version"] == 0
     assert out["snapshot_rows"] == 300 and out["delta_docs"] == 300
+
+
+def test_warc_record_spanning_gzip_members():
+    """A record whose bytes are split across TWO gzip members (re-packed
+    archive shape) must still parse: members chain into one stream."""
+    import datetime as dt
+    import gzip
+
+    from ocr_model_spark.sources.warc import build_warc, parse_warc
+
+    rows = [
+        {"url": f"https://ex.com/{i}", "warc_ts": dt.datetime(2024, 1, 1, i), "html": b"x" * 50}
+        for i in range(3)
+    ]
+    plain = build_warc(rows, compress=False)
+    # split mid-record-1: three members at arbitrary byte cuts
+    cut1 = len(plain) // 3
+    cut2 = cut1 + 40  # inside record 1's bytes
+    shard = (
+        gzip.compress(plain[:cut1], mtime=0)
+        + gzip.compress(plain[cut1:cut2], mtime=0)
+        + gzip.compress(plain[cut2:], mtime=0)
+    )
+    recs = parse_warc(shard)
+    assert [r["url"] for r in recs] == [r["url"] for r in rows]
+    assert all(r["html"] == b"x" * 50 for r in recs)
+
+
+def test_warc_bad_content_length_resyncs():
+    """A record with an unparsable Content-Length loses itself only —
+    the reader resyncs at the next WARC/ header (was: whole-stream drop)."""
+    import datetime as dt
+
+    from ocr_model_spark.sources.warc import build_warc, parse_warc
+
+    good = lambda i: {
+        "url": f"https://ex.com/{i}",
+        "warc_ts": dt.datetime(2024, 1, 1),
+        "html": b"payload",
+    }
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: NOT_A_NUMBER\r\n\r\n"
+        b"junk body without length\r\n\r\n"
+    )
+    data = (
+        build_warc([good(0)], compress=False)
+        + bad
+        + build_warc([good(1)], compress=False)
+    )
+    recs = parse_warc(data)
+    assert [r["url"] for r in recs] == ["https://ex.com/0", "https://ex.com/1"]
+
+
+def test_warc_writer_handles_null_warc_ts(spark, tmp_path):
+    """PAGES_SCHEMA allows NULL warc_ts: the writer substitutes the epoch
+    instead of crashing (ADVICE r2)."""
+    from pyspark.sql import types as T
+
+    from ocr_model_spark.sources.warc import read_warc, write_warc_files
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([("https://n.example/x", None, b"<p>hi</p>")], schema)
+    out = str(tmp_path / "nullts")
+    write_warc_files(df, out)
+    back = read_warc(spark, out).collect()
+    assert len(back) == 1 and back[0]["url"] == "https://n.example/x"
+    assert back[0]["warc_ts"] is not None  # epoch substituted
