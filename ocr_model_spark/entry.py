@@ -53,13 +53,20 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["summary"].drop("provenance")
 
 
-# ---------------------------------------------------------- rows-only queries
-# (non-SQL-expressible: pandas-UDF extraction, streaming, approximate ANN,
-# multimodal decode — the driver records a rows-only check for these)
+# ------------------------------------------------- snapshot-oracled queries
+# (non-SQL-expressible: pandas-UDF extraction, approximate ANN, WARC parse —
+# their DETERMINISTIC outputs are pinned as committed parquet snapshots the
+# DuckDB oracle reads back; see ocr_model_spark/expected.py. Timestamps are
+# surfaced as unix_micros so the pin is session-timezone-independent.)
 
 
 def q_extract_doc_summary(spark, sf_dir):
-    return flagship(spark, sf_dir).orderBy("url")
+    return (
+        flagship(spark, sf_dir)
+        .withColumn("warc_us", F.unix_micros("warc_ts"))
+        .drop("warc_ts")
+        .orderBy("url")
+    )
 
 
 def q_extract_region_rows(spark, sf_dir):
@@ -81,8 +88,27 @@ def q_extract_region_rows(spark, sf_dir):
 
 
 def q_extract_lineage(spark, sf_dir):
-    res = run_extraction(spark, pages_for(sf_dir), num_partitions=8)
-    return res["lineage"].orderBy("partition_id")
+    # salt=True: hash repartition on (url_host, deterministic salt) — the
+    # partition → row assignment is a pure function of the urls, so the
+    # lineage pin is stable across core counts (round-robin repartition
+    # would depend on scan-split boundaries)
+    res = run_extraction(spark, pages_for(sf_dir), num_partitions=8, salt=True)
+    return (
+        res["lineage"]
+        .select(
+            "partition_id",
+            # basename: the cache directory prefix is environment detail,
+            # the FILE is the lineage fact
+            F.element_at(F.split("input_file", "/"), -1).alias("input_file"),
+            "n_docs",
+            "n_ok",
+            "n_failed",
+            "n_regions",
+            F.unix_micros("max_warc_ts").alias("max_warc_us"),
+            F.unix_micros("min_warc_ts").alias("min_warc_us"),
+        )
+        .orderBy("partition_id", "input_file")
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -369,15 +395,17 @@ FROM read_parquet('{path}/*.parquet')
 GROUP BY 1 ORDER BY url_host
 """
 
-ROWS_ONLY_QUERIES = {
-    "extract_doc_summary": q_extract_doc_summary,
-    "extract_region_rows": q_extract_region_rows,
-    "extract_lineage": q_extract_lineage,
-    "docx_region_rows": q_docx_region_rows,
-    "pdf_images_meta": q_pdf_images_meta,
-    "warc_ingest_summary": q_warc_ingest_summary,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
+# name → (query fn, ORDER BY key for the snapshot oracle — a unique total
+# order both sides sort on). Regenerate pins: python -m tools.make_expected
+SNAPSHOT_QUERIES = {
+    "extract_doc_summary": (q_extract_doc_summary, "url"),
+    "extract_region_rows": (q_extract_region_rows, "url, region_idx"),
+    "extract_lineage": (q_extract_lineage, "partition_id, input_file"),
+    "docx_region_rows": (q_docx_region_rows, "url, region_idx"),
+    "pdf_images_meta": (q_pdf_images_meta, "url, image_idx"),
+    "warc_ingest_summary": (q_warc_ingest_summary, "doc_type"),
+    "ann_lsh_topk": (q_ann_lsh_topk, "query_id, rank"),
+    "ann_ivf_topk": (q_ann_ivf_topk, "query_id, rank"),
 }
 
 EXTRA_SQL_QUERIES = {
@@ -397,13 +425,18 @@ def all_queries() -> dict:
     out["multimodal_media_meta"] = q_multimodal_media_meta
     out["ann_recall"] = q_ann_recall
     out["host_ingest_counters"] = q_host_ingest_counters
-    out.update(ROWS_ONLY_QUERIES)
+    for name, (fn, _order) in SNAPSHOT_QUERIES.items():
+        out[name] = fn
     return out
 
 
 def all_oracles() -> dict[str, str]:
+    from ocr_model_spark.expected import snapshot_oracle_sql
+
     out = {name: sql for name, (_fn, sql) in {**SQL_QUERIES, **EXTRA_SQL_QUERIES}.items()}
     out["multimodal_media_meta"] = multimodal_oracle_sql(DRIVER_ORACLE_SF)
     out["ann_recall"] = ann_recall_oracle_sql(DRIVER_ORACLE_SF)
     out["host_ingest_counters"] = host_counters_oracle_sql(DRIVER_ORACLE_SF)
+    for name, (_fn, order_by) in SNAPSHOT_QUERIES.items():
+        out[name] = snapshot_oracle_sql(name, DRIVER_ORACLE_SF, order_by)
     return out

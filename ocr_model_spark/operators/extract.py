@@ -185,6 +185,11 @@ def doc_summary(docs: DataFrame) -> DataFrame:
         "doc_type",
         "ok",
         "error",
+        # real crawls carry secured PDFs; corpus analytics needs to count
+        # them (the reference surfaces failure modes via job status)
+        F.coalesce(F.col("error") == F.lit("pdf-encrypted"), F.lit(False)).alias(
+            "is_encrypted"
+        ),
         "title",
         "content_sha256",
         F.length(text).alias("char_count"),

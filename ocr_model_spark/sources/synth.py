@@ -10,9 +10,11 @@ Payload mix (fractions of rows, chosen per-row by a seeded RNG):
   * ~86% HTML: boilerplate shell (nav/header/sidebar/footer with high link
     density, short promo blurbs) around main content (h1 + paragraphs + list
     + blockquote with high text density) — exercises the density scorer;
-  * ~8% synthetic PDFs (``%PDF`` magic + the ``%%SYNTHPAGE`` content-stream
-    subset ``kernels/pdf_extract.py`` parses) — exercises the PDF branch,
-    line/block grouping and the multi-page span-offset arithmetic;
+  * ~8% PDFs — half the ``%%SYNTHPAGE`` content-stream subset
+    (``kernels/pdf_extract.py``), half REAL classic PDFs for the stdlib
+    native reader, of which ~15% use Identity-H Type0 fonts (cid-is-unicode
+    recovery) and ~10% declare /Encrypt (typed failure → lineage counters,
+    ``is_encrypted`` summary column);
   * ~2% plain text — exercises the verbatim-text branch;
   * ~2% DOCX (real zip + WordprocessingML, fixed zip timestamps) —
     exercises the stdlib DOCX kernel (paragraph/heading/list/table walk);
@@ -39,7 +41,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 5
+GEN_VERSION = 6
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -135,19 +137,36 @@ def _pdf_page_bytes(page_num: int, rng: random.Random, words: list[str]) -> byte
 def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
     """Spec-correct classic PDF (FlateDecode streams, page tree, xref) —
     exercises the stdlib native reader (kernels/pdf_native.py) end-to-end in
-    the distributed pipeline. Deterministic (zlib of deterministic text)."""
+    the distributed pipeline. Deterministic (zlib of deterministic text).
+
+    Variants (seeded, GEN_VERSION 6+):
+      * ~15% use a Type0 /Identity-H font WITHOUT ToUnicode, showing text as
+        UTF-16BE hex strings — the cid-is-unicode recovery path;
+      * ~10% declare /Encrypt (real crawls carry secured PDFs): the reader
+        fails typed, lineage counts them, doc_summary.is_encrypted is true.
+    """
     import zlib
 
+    identity_font = rng.random() < 0.15
+    encrypted = rng.random() < 0.10
     n_pages = rng.randint(1, 3)
     contents = []
     for _ in range(n_pages):
-        lines = [
-            f"BT /F1 12 Tf 72 {y} Td ({_pdf_escape(t)}) Tj ET\n"
-            for y, t in _pdf_page_lines(rng, words)
-        ]
+        if identity_font:
+            lines = [
+                "BT /F1 12 Tf 72 %d Td <%s> Tj ET\n"
+                % (y, t.encode("utf-16-be", "replace").hex())
+                for y, t in _pdf_page_lines(rng, words)
+            ]
+        else:
+            lines = [
+                f"BT /F1 12 Tf 72 {y} Td ({_pdf_escape(t)}) Tj ET\n"
+                for y, t in _pdf_page_lines(rng, words)
+            ]
         contents.append(zlib.compress("".join(lines).encode("latin-1", "replace")))
     # object layout: 1 catalog, 2 pages-root, then (page, stream) pairs,
-    # font, then /Info last
+    # font [+ descendant], /Info, then optional image / encrypt dict —
+    # contiguous numbering (assemble_pdf asserts it)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     font_num = 3 + 2 * n_pages
     title = _pdf_escape(
@@ -172,14 +191,37 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
             )
         )
         objects.append((snum, b"<< /Length %d /Filter /FlateDecode >>" % len(c), c))
-    objects.append((font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None))
+    if identity_font:
+        objects.append(
+            (
+                font_num,
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity "
+                b"/Encoding /Identity-H /DescendantFonts [%d 0 R] >>" % (font_num + 1),
+                None,
+            )
+        )
+        objects.append(
+            (
+                font_num + 1,
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth-Identity >>",
+                None,
+            )
+        )
+        next_num = font_num + 2
+    else:
+        objects.append(
+            (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None)
+        )
+        next_num = font_num + 1
+    info_num = next_num
     objects.append(
         (
-            font_num + 1,
+            info_num,
             f"<< /Title ({title}) /Producer (ocr_model_spark synth) >>".encode("latin-1", "replace"),
             None,
         )
     )
+    next_num = info_num + 1
     # ~40% of real PDFs embed an image XObject (S11 export path): a
     # deterministic fake JPEG — DCTDecode streams are exported verbatim,
     # never decoded, so magic bytes + rng body exercise the real plumbing
@@ -192,17 +234,28 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
         )
         objects.append(
             (
-                font_num + 2,
+                next_num,
                 b"<< /Subtype /Image /Width %d /Height %d /ColorSpace /DeviceRGB "
                 b"/BitsPerComponent 8 /Filter /DCTDecode /Length %d >>" % (w, h, len(jpeg)),
                 jpeg,
             )
         )
+        next_num += 1
+    trailer_extra = b"/Info %d 0 R " % info_num
+    if encrypted:
+        objects.append(
+            (
+                next_num,
+                b"<< /Filter /Standard /V 1 /R 2 /P -44 "
+                b"/O <0102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f20> "
+                b"/U <000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f> >>",
+                None,
+            )
+        )
+        trailer_extra += b"/Encrypt %d 0 R " % next_num
     from ocr_model_spark.kernels.pdf_write import assemble_pdf
 
-    # byte-identical to the previous inline assembly (pinned by
-    # tests/test_byte_identity.py at GEN_VERSION 5 — no version bump)
-    return assemble_pdf(objects, trailer_extra=b"/Info %d 0 R " % (font_num + 1))
+    return assemble_pdf(objects, trailer_extra=trailer_extra)
 
 
 def _xml_esc(s: str) -> str:
