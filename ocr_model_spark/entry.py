@@ -375,6 +375,17 @@ def q_host_ingest_counters(spark, sf_dir):
     )
 
 
+def q_host_counters_salted(spark, sf_dir):
+    """The same per-host crawl counters through the EXPLICIT two-stage
+    salted aggregation (operators/skew.py) — the skew-defused batch path,
+    verified against the identical DuckDB oracle as the stateful streaming
+    operator."""
+    from ocr_model_spark.operators.skew import host_ingest_counters_batch
+
+    pages = spark.read.parquet(pages_for(sf_dir))
+    return host_ingest_counters_batch(pages).orderBy("url_host")
+
+
 def host_counters_oracle_sql(sf_dir: str) -> str:
     """Batch twin of the stateful counters over the same pages parquet:
     failures = empty or image-magic payloads (everything else is an
@@ -425,6 +436,7 @@ def all_queries() -> dict:
     out["multimodal_media_meta"] = q_multimodal_media_meta
     out["ann_recall"] = q_ann_recall
     out["host_ingest_counters"] = q_host_ingest_counters
+    out["host_counters_salted"] = q_host_counters_salted
     for name, (fn, _order) in SNAPSHOT_QUERIES.items():
         out[name] = fn
     return out
@@ -437,6 +449,7 @@ def all_oracles() -> dict[str, str]:
     out["multimodal_media_meta"] = multimodal_oracle_sql(DRIVER_ORACLE_SF)
     out["ann_recall"] = ann_recall_oracle_sql(DRIVER_ORACLE_SF)
     out["host_ingest_counters"] = host_counters_oracle_sql(DRIVER_ORACLE_SF)
+    out["host_counters_salted"] = host_counters_oracle_sql(DRIVER_ORACLE_SF)
     for name, (_fn, order_by) in SNAPSHOT_QUERIES.items():
         out[name] = snapshot_oracle_sql(name, DRIVER_ORACLE_SF, order_by)
     return out

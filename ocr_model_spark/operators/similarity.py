@@ -212,6 +212,77 @@ def ivf_train_kmeans(
     return cents
 
 
+def ivf_train_kmeans_sampled(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """100-TB-safe IVF trainer: deterministic hash-sample + driver-side
+    spherical k-means (farthest-first seeding, Lloyd refinement).
+
+    The full-corpus Lloyd (:func:`ivf_train_kmeans`) shuffles every vector
+    per iteration — fine at sandbox scale, untenable at 10^12 rows where a
+    sample trains centroids just as well. Here:
+
+      * the sample is the ``sample_cap`` rows with the SMALLEST md5-derived
+        id hash — a seedless uniform reservoir that is a pure function of
+        the ids (same sample at any cluster size / partitioning), fetched
+        with a distributed top-k (``TakeOrderedAndProject``), never a full
+        sort;
+      * seeding is farthest-first traversal (deterministic 2-approx
+        k-center: next center = sample point maximizing distance to its
+        nearest chosen center, row-order tiebreak) — no RNG anywhere;
+      * Lloyd runs on the sample in numpy with FIXED row order (sorted by
+        (hash, id)), so float summation order — and therefore the output —
+        is bitwise reproducible.
+
+    Returns plain lists for ``ivf_cosine_topk(centroids=...)``; the serving
+    plan is unchanged."""
+    import numpy as np
+
+    from ocr_model_spark.operators.dedup import stable_hash
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            stable_hash(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "id")
+        .limit(sample_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    x = np.array([[float(f) for f in r["v"]] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    xn = x / norms[:, None]
+    k = min(n_centroids, len(xn))
+
+    # farthest-first seeding on the unit sphere (distance = 1 - cosine)
+    chosen = [0]
+    min_sim = xn @ xn[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(min_sim))  # farthest point; first index on ties
+        chosen.append(nxt)
+        min_sim = np.maximum(min_sim, xn @ xn[nxt])
+    cents = xn[chosen].copy()
+
+    for _ in range(max(0, iters)):
+        assign = np.argmax(xn @ cents.T, axis=1)  # first-max: deterministic
+        for c in range(k):
+            members = xn[assign == c]
+            if len(members):
+                m = members.sum(axis=0) / len(members)
+                n = np.linalg.norm(m)
+                cents[c] = m / n if n > 0 else cents[c]
+    return [c.tolist() for c in cents]
+
+
 def _cell_score_array(vec: Column, cent_arrays: list) -> Column:
     """array of struct(sim, cell) — array_sort with _desc_sim orders by
     similarity with cell-id tiebreak."""

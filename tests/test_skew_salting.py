@@ -38,3 +38,87 @@ def test_hot_host_spreads_and_layout_is_deterministic(spark, pages_path):
     assert a.sort_values("url").reset_index(drop=True).equals(
         b.sort_values("url").reset_index(drop=True)
     )
+
+
+def test_salted_aggregate_balances_hot_host(spark):
+    """Synthetic 50%-hot-host distribution: after the stage-1 (key, salt)
+    shuffle the max partition row count stays within 2.5x the mean — an
+    unsalted groupBy would put all hot-host rows in ONE partition (16x)."""
+    import pandas as pd
+
+    n = 8000
+    rows = [
+        {
+            "url": (
+                f"https://hot.example.com/p/{i}"
+                if i % 2 == 0
+                else f"https://site{i % 40:03d}.example.com/p/{i}"
+            ),
+            "html": b"<p>x</p>",
+        }
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    host = F.expr("parse_url(url, 'HOST')")
+    salt = F.pmod(F.xxhash64("url"), F.lit(32))
+    n_part = 16
+    dist = (
+        df.repartition(n_part, host, salt)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .toPandas()
+    )
+    mean = n / n_part
+    assert dist["count"].max() <= 2.5 * mean, dist.sort_values("count")
+    # unsalted baseline really is pathological: hot host -> one partition
+    base = (
+        df.repartition(n_part, host)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .toPandas()
+    )
+    assert base["count"].max() >= 0.5 * n
+
+
+def test_salted_aggregate_two_stage_plan_and_values(spark, pages_path):
+    """salted_aggregate: plan shows BOTH exchanges (keys+salt partial,
+    keys final) and values equal the plain single-stage groupBy."""
+    from ocr_model_spark.operators.skew import host_ingest_counters_batch
+
+    pages = spark.read.parquet(pages_path)
+    salted = host_ingest_counters_batch(pages, buckets=8)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "_salt" in plan
+
+    from ocr_model_spark.operators.dispatch import doc_type_col
+
+    plain = (
+        pages.groupBy(F.expr("parse_url(url, 'HOST')").alias("url_host"))
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum(
+                (~doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx")).cast(
+                    "long"
+                )
+            ).alias("total_failed"),
+            F.sum(F.coalesce(F.length("html"), F.lit(0)).cast("long")).alias(
+                "total_bytes"
+            ),
+        )
+    )
+    a = salted.orderBy("url_host").toPandas()
+    b = plain.orderBy("url_host").toPandas()
+    assert a.equals(b)
+
+
+def test_salted_aggregate_rejects_unsupported_ops(spark):
+    import pytest as _pytest
+
+    from ocr_model_spark.operators.skew import salted_aggregate
+
+    df = spark.range(4).withColumnRenamed("id", "url")
+    with _pytest.raises(ValueError, match="unsupported"):
+        salted_aggregate(df, ["url"], [("avg", "url", "x")])
