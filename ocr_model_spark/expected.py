@@ -29,11 +29,28 @@ __all__ = ["expected_dir", "snapshot_path", "snapshot_oracle_sql", "write_snapsh
 
 
 def expected_dir() -> str:
+    """Locate the committed ``expected/`` pin directory. When the package
+    ships as a ``--py-files`` zip, ``__file__`` points INSIDE the archive
+    (not a real directory), so fall through: env override → package-
+    relative → the ``__spark_entry__`` module's directory (the driver
+    imports it from the repo checkout) → cwd."""
     env = os.environ.get("SPARK_GRAFT_EXPECTED")
     if env:
         return env
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(repo, "expected")
+    candidates = [
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ]
+    import sys
+
+    entry = sys.modules.get("__spark_entry__")
+    if entry is not None and getattr(entry, "__file__", None):
+        candidates.append(os.path.dirname(os.path.abspath(entry.__file__)))
+    candidates.append(os.getcwd())
+    for base in candidates:
+        d = os.path.join(base, "expected")
+        if os.path.isdir(d):
+            return d
+    return os.path.join(candidates[0], "expected")
 
 
 def snapshot_path(sf_dir: str, name: str) -> str:

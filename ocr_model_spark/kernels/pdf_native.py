@@ -461,6 +461,7 @@ def _load_via_xref(data: bytes, dead: set[int]):
     offsets: dict[int, int] = {}
     trailers: list[dict] = []
     seen: set[int] = set()
+    claimed: set[int] = set()  # object numbers the NEWEST section decided
 
     def walk(pos: int, depth: int) -> None:
         if depth > 64 or pos in seen or not (0 <= pos < len(data)):
@@ -474,8 +475,13 @@ def _load_via_xref(data: bytes, dead: set[int]):
         if xrefstm is not None:
             walk(int(xrefstm), depth + 1)
         for num, (typ, f2) in entries.items():
-            if num in offsets or num in dead or num == 0:
+            # a newer section's decision — ANY type, including type 2
+            # (in-ObjStm) — shadows older sections: an older type-1 offset
+            # must not resurrect an object the newest xref moved into an
+            # ObjStm or freed
+            if num in claimed or num == 0:
                 continue
+            claimed.add(num)
             if typ == 0:
                 dead.add(num)
             elif typ == 1:
@@ -818,16 +824,25 @@ def _identity_cid_text(raw: bytes) -> str:
     then keep the string only if it reads like text (≥2/3 printable) —
     recovering the common case while refusing to emit mojibake."""
     chars = []
+    n_ok = 0
     for i in range(0, len(raw) - 1, 2):
         code = raw[i] << 8 | raw[i + 1]
-        if 0x20 <= code <= 0xFFFD and not (0xD800 <= code <= 0xDFFF):
-            chars.append(chr(code))
+        if code in (0x09, 0x0A, 0x0D):  # whitespace CIDs keep word breaks
+            chars.append(" ")
+            n_ok += 1
+            continue
+        c = chr(code) if 0x20 <= code <= 0xFFFD and not (0xD800 <= code <= 0xDFFF) else "\x00"
+        # isprintable() also rejects C1 controls, soft hyphen, U+2028/29 —
+        # anything unprintable is both evidence against the heuristic AND
+        # dropped from the output (never emitted)
+        if c != "\x00" and (c.isprintable() or c == " "):
+            chars.append(c)
+            n_ok += 1
         else:
             chars.append("\x00")
     if not chars:
         return ""
-    ok = sum(1 for c in chars if c.isprintable() or c in " \t")
-    if ok * 3 < len(chars) * 2:
+    if n_ok * 3 < len(chars) * 2:
         return ""
     return "".join(c for c in chars if c != "\x00")
 

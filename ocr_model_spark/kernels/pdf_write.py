@@ -28,10 +28,10 @@ def assemble_pdf(
     nums = sorted(num for num, _d, _s in objects)
     # the xref subsection header claims objects 0..N contiguously — emitting
     # entries for any other numbering would silently map numbers to wrong
-    # offsets for strict external readers
-    assert nums == list(range(1, len(objects) + 1)), (
-        f"assemble_pdf requires contiguous object numbers 1..N, got {nums}"
-    )
+    # offsets for strict external readers (raise, not assert: -O must not
+    # compile the check away)
+    if nums != list(range(1, len(objects) + 1)):
+        raise ValueError(f"assemble_pdf requires contiguous object numbers 1..N, got {nums}")
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num, dct, stream in objects:

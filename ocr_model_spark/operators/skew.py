@@ -81,7 +81,9 @@ def host_ingest_counters_batch(pages_df: DataFrame, buckets: int = 16) -> DataFr
         slim,
         ["url_host"],
         [
-            ("count", "url", "total_docs"),
+            # count(1), not count(url): COUNT(*) semantics — a NULL url row
+            # still counts, matching both the oracle and the streaming twin
+            ("count", F.lit(1), "total_docs"),
             ("sum", "failed", "total_failed"),
             ("sum", "n_bytes", "total_bytes"),
         ],

@@ -10,10 +10,11 @@ composes exactly like the parquet source.
 
 Decompression is member-by-member (``_iter_gzip_members``): spec .warc.gz
 puts one RECORD per gzip member, so worker memory stays O(record) and a
-corrupt/truncated member drops only itself. Members chain into one
-continuous byte stream (``_ChainedMemberStream``), so a record that SPANS
-gzip members (re-packed archives) still parses; a whole-file-gzipped WARC
-is one big member and also works.
+corrupt/truncated member drops only itself. Member outputs feed ONE
+incremental record buffer (``_parse_records_buffer``), so a record that
+SPANS gzip members (re-packed archives) still parses; record END
+boundaries are validated against the spec's two-CRLF separator, so a
+corrupt Content-Length cannot silently swallow the records behind it.
 
 Timestamps: WARC-Date strings are UTC; the reader emits them as the same
 UTC instants ``read_pages`` produces for the parquet tables (TIMESTAMP,
@@ -152,60 +153,110 @@ def write_warc_files(
 # ------------------------------------------------------------------ reader
 
 
+def _parse_header_block(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for hline in block.split(b"\n")[1:]:  # line 0 is the WARC/1.x version
+        k, _, v = hline.partition(b":")
+        # header values are UTF-8 (URIs with non-ASCII chars must
+        # round-trip); latin-1 only as the tolerant fallback
+        try:
+            val = v.strip().decode("utf-8")
+        except UnicodeDecodeError:
+            val = v.strip().decode("latin-1")
+        headers[k.strip().lower().decode("latin-1")] = val
+    return headers
+
+
+def _record_from(headers: dict[str, str], body: bytes) -> dict | None:
+    if headers.get("warc-type") != "response":
+        return None
+    url = headers.get("warc-target-uri")
+    date = headers.get("warc-date")
+    if not url or not date:
+        return None
+    ts = _parse_warc_date(date)
+    if ts is None:
+        return None
+    # body = HTTP response: payload follows the first blank line
+    sep = body.find(_CRLF + _CRLF)
+    payload = body[sep + 4 :] if sep >= 0 else body
+    return {"url": url, "warc_ts": ts, "html": payload}
+
+
+def _parse_records_buffer(buf: bytes, final: bool) -> tuple[list[dict], int]:
+    """Parse complete records out of ``buf``; return (records, bytes
+    consumed). With ``final=False`` an INCOMPLETE trailing record is left
+    unconsumed (it may span into the next gzip member); with ``final=True``
+    everything is consumed and salvage-scanning applies.
+
+    The record END is validated: after Content-Length bytes the spec says
+    two CRLFs (EOF and a next header line are tolerated). A record whose
+    claimed length lands anywhere else has a CORRUPT length — the parser
+    resyncs at the next ``WARC/`` magic AFTER the bad header, so the
+    records a too-large length would have swallowed are recovered."""
+    out: list[dict] = []
+    pos = 0
+    n = len(buf)
+    while True:
+        h = buf.find(b"WARC/", pos)
+        if h < 0:
+            # keep a short tail so a header magic split across members
+            # still matches next call
+            return out, (n if final else max(pos, n - 4))
+        he = buf.find(b"\r\n\r\n", h)
+        if he < 0:
+            return out, (n if final else h)  # incomplete header block
+        headers = _parse_header_block(buf[h:he])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            length = None
+        if length is None or length < 0:
+            pos = h + 5  # bad/missing Content-Length: resync at next magic
+            continue
+        body_start = he + 4
+        body_end = body_start + length
+        if body_end > n:
+            if not final:
+                return out, h  # spanning record: wait for the next member
+            pos = h + 5  # truncated at EOF: salvage-scan the claimed body
+            continue
+        after = buf[body_end : body_end + 8]
+        boundary_ok = (
+            body_end == n
+            or after.startswith(_CRLF + _CRLF)
+            or after.lstrip(b"\r\n").startswith(b"WARC/")
+            or after.lstrip(b"\r\n") == b""
+        )
+        if not boundary_ok:
+            pos = h + 5  # corrupt length: recover the swallowed records
+            continue
+        rec = _record_from(headers, buf[body_start:body_end])
+        if rec is not None:
+            out.append(rec)
+        pos = body_end
+
+
+def _iter_records_incremental(chunks: Iterator[bytes]) -> Iterator[dict]:
+    """Drive the buffer parser over a chunk stream: memory is O(largest
+    record) — a record spanning gzip members buffers until complete; only
+    a corrupt mid-stream length can hold the tail until EOF salvage."""
+    buf = b""
+    for chunk in chunks:
+        buf += chunk
+        recs, consumed = _parse_records_buffer(buf, final=False)
+        yield from recs
+        buf = buf[consumed:]
+    recs, _consumed = _parse_records_buffer(buf, final=True)
+    yield from recs
+
+
 def iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
     """STREAMING record reader over a file-like object: O(one record)
     memory, so a 1 GB shard never materializes decompressed in the worker.
-    Yields response records {url, warc_ts, html}; tolerant — short/broken
-    trailing records end iteration instead of raising."""
-    while True:
-        # seek the next record header line (skip inter-record CRLFs/junk)
-        line = stream.readline()
-        if not line:
-            return
-        if not line.startswith(b"WARC/"):
-            continue
-        headers: dict[str, str] = {}
-        while True:
-            hline = stream.readline()
-            if not hline:
-                return
-            if hline in (_CRLF, b"\n", b""):
-                break
-            k, _, v = hline.partition(b":")
-            # header values are UTF-8 (URIs with non-ASCII chars must
-            # round-trip); latin-1 only as the tolerant fallback
-            try:
-                val = v.strip().decode("utf-8")
-            except UnicodeDecodeError:
-                val = v.strip().decode("latin-1")
-            headers[k.strip().lower().decode("latin-1")] = val
-        cl = headers.get("content-length")
-        try:
-            length = int(cl) if cl is not None else None
-        except ValueError:
-            length = None
-        if length is None or length < 0:
-            # bad/missing Content-Length: RESYNC at the next 'WARC/' header
-            # line (the outer loop skips non-header lines) instead of
-            # abandoning the rest of the stream — one bad record must not
-            # drop everything after it
-            continue
-        body = stream.read(length)
-        if len(body) < length:
-            continue  # truncated: next readline hits EOF (or resyncs)
-        if headers.get("warc-type") != "response":
-            continue
-        url = headers.get("warc-target-uri")
-        date = headers.get("warc-date")
-        if not url or not date:
-            continue
-        # body = HTTP response: payload follows the first blank line
-        sep = body.find(_CRLF + _CRLF)
-        payload = body[sep + 4 :] if sep >= 0 else body
-        ts = _parse_warc_date(date)
-        if ts is None:
-            continue
-        yield {"url": url, "warc_ts": ts, "html": payload}
+    Yields response records {url, warc_ts, html}; tolerant — corrupt
+    lengths/headers cost the one record, never the rest of the stream."""
+    return _iter_records_incremental(iter(lambda: stream.read(1 << 16), b""))
 
 
 def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
@@ -263,43 +314,16 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
         return
 
 
-class _ChainedMemberStream(io.RawIOBase):
-    """Present the decompressed bytes of successive gzip members as ONE
-    continuous stream, pulled lazily — so a WARC record that spans a
-    member boundary (non-spec but seen in re-packed archives) parses
-    seamlessly, while memory stays bounded by one member."""
-
-    def __init__(self, members: Iterator[bytes]):
-        self._members = members
-        self._buf = b""
-        self._pos = 0
-
-    def readable(self) -> bool:  # pragma: no cover - io protocol
-        return True
-
-    def readinto(self, b) -> int:
-        while self._pos >= len(self._buf):
-            nxt = next(self._members, None)
-            if nxt is None:
-                return 0
-            self._buf = nxt
-            self._pos = 0
-        n = min(len(b), len(self._buf) - self._pos)
-        b[:n] = self._buf[self._pos : self._pos + n]
-        self._pos += n
-        return n
-
-
 def parse_warc(data: bytes) -> list[dict]:
     """Parse WARC bytes (gzipped members or plain). Tolerant: corrupt or
     truncated members/records cost only themselves (plus, worst case, the
-    record straddling a dropped member — the reader resyncs at the next
-    'WARC/' header line); a scan task must not die on one bad shard (the
-    lineage counters surface the shortfall). Records MAY span gzip
-    members: members chain into one continuous stream."""
+    record straddling a dropped member — the parser resyncs at the next
+    'WARC/' magic, and END-boundary validation recovers records a corrupt
+    Content-Length would otherwise swallow); a scan task must not die on
+    one bad shard (the lineage counters surface the shortfall). Records
+    MAY span gzip members: member outputs feed one incremental buffer."""
     if data[:2] == b"\x1f\x8b":
-        stream = io.BufferedReader(_ChainedMemberStream(_iter_gzip_members(data)))
-        return list(iter_warc_records(stream))
+        return list(_iter_records_incremental(_iter_gzip_members(data)))
     return list(iter_warc_records(io.BufferedReader(io.BytesIO(data))))
 
 

@@ -964,3 +964,49 @@ def test_identity_h_cid_is_unicode_heuristic():
     r2 = extract_pdf(garbage)
     assert r2["ok"]
     assert r2["regions"] == []
+
+
+def test_xref_type2_entry_shadows_older_direct_object():
+    """Incremental update that moves /Info (obj 8) INTO an ObjStm, listed
+    as a type-2 entry in the update's xref stream: the newer in-ObjStm
+    object must win over the base file's direct obj 8 (code-review r3
+    finding: type-2 entries used to record nothing, so the stale type-1
+    offset from the /Prev section was resurrected)."""
+    import re as _re
+    import zlib as _zlib
+
+    from tests.pdf_fixture import build_real_pdf
+
+    base = build_real_pdf()
+    prev_xref = int(_re.findall(rb"startxref\s+(\d+)", base)[-1])
+    out = bytearray(base)
+
+    # ObjStm (obj 9) embedding the NEW obj 8
+    embedded = b"<< /Title (Updated Title) /Author (New Author) >>\n"
+    head = b"8 0\n"
+    stm = _zlib.compress(head + embedded)
+    off9 = len(out)
+    out += (
+        b"9 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (len(head), len(stm))
+    ) + stm + b"\nendstream\nendobj\n"
+
+    # xref stream (obj 10): entries for 8 (type 2 -> in objstm 9), 9, 10
+    off10 = len(out)
+    rows = [
+        bytes([2, 0, 9, 0]),
+        bytes([1, (off9 >> 8) & 0xFF, off9 & 0xFF, 0]),
+        bytes([1, (off10 >> 8) & 0xFF, off10 & 0xFF, 0]),
+    ]
+    xstm = _zlib.compress(b"".join(rows))
+    out += (
+        b"10 0 obj\n<< /Type /XRef /Size 11 /W [1 2 1] /Index [8 3] /Root 1 0 R "
+        b"/Info 8 0 R /Prev %d /Filter /FlateDecode /Length %d >>\nstream\n"
+        % (prev_xref, len(xstm))
+    ) + xstm + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % off10
+
+    r = extract_pdf(bytes(out))
+    assert r["ok"], r["error"]
+    assert r["title"] == "Updated Title"
+    assert r["metadata"]["author"] == "New Author"

@@ -233,3 +233,35 @@ def test_warc_writer_handles_null_warc_ts(spark, tmp_path):
     back = read_warc(spark, out).collect()
     assert len(back) == 1 and back[0]["url"] == "https://n.example/x"
     assert back[0]["warc_ts"] is not None  # epoch substituted
+
+
+def test_warc_inflated_content_length_recovers_following_records():
+    """A record whose Content-Length is corrupted UPWARD must not swallow
+    the records behind it: end-boundary validation resyncs inside the
+    claimed body and recovers them (code-review r3 finding)."""
+    import datetime as dt
+    import gzip as _gzip
+
+    rows = [
+        {"url": f"https://ex.com/{i}", "warc_ts": dt.datetime(2024, 1, 1), "html": b"p" * 30}
+        for i in range(5)
+    ]
+    plain = build_warc(rows, compress=False)
+    # inflate record 0's Content-Length from its true value to a huge one
+    import re
+
+    m = re.search(rb"Content-Length: (\d+)\r\n\r\nHTTP", plain)
+    true_len = m.group(1)
+    corrupted = plain.replace(
+        b"Content-Length: " + true_len + b"\r\n\r\nHTTP",
+        b"Content-Length: 9" + true_len + b"\r\n\r\nHTTP",
+        1,
+    )
+    # plain file AND per-record-gzipped shard both recover records 1..4
+    for data in (corrupted, b"".join(
+        _gzip.compress(corrupted[i : i + 200], mtime=0)
+        for i in range(0, len(corrupted), 200)
+    )):
+        recs = parse_warc(data)
+        urls = [r["url"] for r in recs]
+        assert urls == [f"https://ex.com/{i}" for i in range(1, 5)], urls
