@@ -32,14 +32,20 @@ Also covered: CID/Type0 composite fonts WITH a /ToUnicode CMap (bfchar +
 both bfrange forms) — i.e. how modern writers embed extractable text;
 Type0 text without a ToUnicode map yields empty spans (no mojibake).
 
-Deliberately NOT covered (typed failure instead of wrong text): encrypted
-PDFs. At the corpus layer those land in the lineage failure counters
+Also covered: RC4 standard-security-handler decryption (V 1/2, R 2/3)
+for documents whose USER password is empty — the dominant secured-PDF
+case on the web (owner-password-only restriction flags). The key is
+derived per Algorithm 2, verified against /U, and strings/streams decrypt
+per-object; anything else (AES /V 4+, a real user password) still fails
+typed, and at the corpus layer lands in the lineage failure counters
 exactly like the reference's engine-degradation path.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 
 _WS = b"\x00\t\n\x0c\r "
@@ -509,18 +515,104 @@ def _load_via_xref(data: bytes, dead: set[int]):
     return objects, trailers
 
 
+# ------------------------------------------- standard security handler (RC4)
+
+_STD_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for idx, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[idx] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _standard_handler_key(enc: dict, id0: bytes, password: bytes = b"") -> bytes | None:
+    """Algorithm 2 key derivation for the standard handler, RC4 subset
+    (V 1/2, R 2/3); returns the file key only if ``password`` verifies as
+    the USER password against /U — None means "cannot decrypt"."""
+    r, v = enc.get("R"), enc.get("V", 0)
+    o, u, p = enc.get("O"), enc.get("U"), enc.get("P")
+    if (
+        enc.get("Filter") != "Standard"
+        or v not in (1, 2)
+        or r not in (2, 3)
+        or not isinstance(o, bytes)
+        or not isinstance(u, bytes)
+        or not isinstance(p, int)
+    ):
+        return None
+    n = int(enc.get("Length", 40)) // 8 if r >= 3 else 5
+    if not 5 <= n <= 16:
+        return None
+    h = hashlib.md5(
+        (password + _STD_PAD)[:32] + o[:32] + struct.pack("<I", p & 0xFFFFFFFF) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    if r == 2:
+        ok = _rc4(key, _STD_PAD) == u[:32]
+    else:
+        t = _rc4(key, hashlib.md5(_STD_PAD + id0).digest())
+        for i in range(1, 20):
+            t = _rc4(bytes(b ^ i for b in key), t)
+        ok = t[:16] == u[:16]
+    return key if ok else None
+
+
+def _object_key(file_key: bytes, num: int) -> bytes:
+    # generation 0 assumed (we don't track generations; non-zero gens on
+    # encrypted strings are vanishingly rare in crawl PDFs)
+    d = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+    ).digest()
+    return d[: min(len(file_key) + 5, 16)]
+
+
+def _map_strings(v, f):
+    if isinstance(v, bytes):
+        return f(v)
+    if isinstance(v, dict):
+        return {k: _map_strings(x, f) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_map_strings(x, f) for x in v]
+    return v
+
+
 class _Doc:
     def __init__(self, data: bytes):
         # xref-first: O(live objects) instead of O(file), freed objects
         # stay dead, incremental updates resolve to the section the chain
         # actually references. Any parse trouble → tolerant full scan.
+        # Decryption (when the empty user password verifies) runs BEFORE
+        # ObjStm expansion: the containers themselves are encrypted streams.
         self._dead: set[int] = set()
+        self.decrypted = False
         loaded = False
         try:
             self.objects, newest_first = _load_via_xref(data, self._dead)
             # stored oldest-first so info_dict()'s reversed() scan sees the
             # newest trailer first, same convention as the scan path
             self.trailers = list(reversed(newest_first))
+            self._maybe_decrypt()
             self._expand_object_streams()
             loaded = any(
                 isinstance(v, dict) and v.get("Type") == "Catalog"
@@ -530,8 +622,8 @@ class _Doc:
             loaded = False
         if not loaded:
             self._dead = set()
+            self.decrypted = False
             self.objects, stream_spans, obj_offsets = _scan_objects(data)
-            self._expand_object_streams()
             # trailer dicts (classic) + xref-stream dicts (PDF 1.5+) carry
             # /Root, /Info and /Encrypt — ordered by BYTE OFFSET so an
             # incremental update's newer classic trailer outranks an older
@@ -542,6 +634,45 @@ class _Doc:
                 if isinstance(v, dict) and v.get("Type") == "XRef"
             ]
             self.trailers = [t for _off, t in sorted(dated, key=lambda p: p[0])]
+            self._maybe_decrypt()
+            self._expand_object_streams()
+
+    def _maybe_decrypt(self) -> None:
+        """If the newest trailer declares /Encrypt AND the standard-handler
+        key verifies with the EMPTY user password, decrypt every object's
+        strings and stream in place (RC4, per-object keys). Leaves
+        ``decrypted`` False otherwise — the caller fails typed."""
+        enc_ref = None
+        for t in reversed(self.trailers):
+            if "Encrypt" in t:
+                enc_ref = t["Encrypt"]
+                break
+        if enc_ref is None:
+            return
+        id0 = b""
+        for t in reversed(self.trailers):
+            ids = self.resolve(t.get("ID"))
+            if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                id0 = ids[0]
+                break
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            return
+        key = _standard_handler_key(enc, id0)
+        if key is None:
+            return
+        enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
+        for num in list(self.objects):
+            if num == enc_num:
+                continue
+            value, stream = self.objects[num]
+            if isinstance(value, dict) and value.get("Type") == "XRef":
+                continue  # xref streams are never encrypted
+            okey = _object_key(key, num)
+            new_value = _map_strings(value, lambda b, k=okey: _rc4(k, b))
+            new_stream = _rc4(okey, stream) if stream is not None else None
+            self.objects[num] = (new_value, new_stream)
+        self.decrypted = True
 
     def is_encrypted(self) -> bool:
         return any("Encrypt" in t for t in self.trailers)
@@ -1066,7 +1197,7 @@ def extract_pages_native(data: bytes, group_blocks) -> list[dict]:
     The document /Info metadata (title/author…) is attached to the FIRST
     page dict under ``"doc_info"`` so the single return value carries it."""
     doc = _Doc(data)
-    if doc.is_encrypted():
+    if doc.is_encrypted() and not doc.decrypted:
         raise PdfEncryptedError("document declares /Encrypt")
     page_dicts = doc.pages()
     if not page_dicts:

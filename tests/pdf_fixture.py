@@ -227,3 +227,100 @@ def build_real_pdf(extra_trailer: bytes = b"") -> bytes:
         % (len(objects) + 1, extra_trailer, xref_at)
     )
     return bytes(out)
+
+
+def build_rc4_encrypted_pdf(rev: int = 2) -> bytes:
+    """A REALLY RC4-encrypted one-page PDF (standard handler, empty user
+    password, R2 or R3). The key schedule here is written independently of
+    ocr_model_spark.kernels.pdf_native — both sides implement the spec, so
+    a derivation bug in either cannot self-cancel."""
+    import hashlib
+    import struct
+
+    pad = bytes(
+        [
+            0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+            0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+            0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+            0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+        ]
+    )
+
+    def rc4(key: bytes, data: bytes) -> bytes:
+        s = list(range(256))
+        j = 0
+        for i in range(256):
+            j = (j + s[i] + key[i % len(key)]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+        out = bytearray()
+        i = j = 0
+        for b in data:
+            i = (i + 1) & 0xFF
+            j = (j + s[i]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+            out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+        return bytes(out)
+
+    o_entry = bytes(range(32))  # owner hash: arbitrary (owner pw unused)
+    p = -44
+    id0 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    n = 5 if rev == 2 else 16
+    h = hashlib.md5(pad + o_entry + struct.pack("<i", p) + id0).digest()
+    if rev == 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    if rev == 2:
+        u_entry = rc4(key, pad)
+    else:
+        t = rc4(key, hashlib.md5(pad + id0).digest())
+        for i in range(1, 20):
+            t = rc4(bytes(b ^ i for b in key), t)
+        u_entry = t + bytes(16)
+
+    def okey(num: int) -> bytes:
+        d = hashlib.md5(key + num.to_bytes(3, "little") + b"\x00\x00").digest()
+        return d[: min(n + 5, 16)]
+
+    content = b"BT /F1 12 Tf 72 700 Td (Secret but readable.) Tj ET"
+    enc_content = rc4(okey(4), content)
+    title = rc4(okey(6), b"Secret Title")
+    length_entry = b"/Length 128 " if rev == 3 else b""
+    objects = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>", None),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+        (4, b"<< /Length %d >>" % len(enc_content), enc_content),
+        (
+            5,
+            b"<< /Filter /Standard /V %d /R %d %s/P %d /O <%s> /U <%s> >>"
+            % (
+                1 if rev == 2 else 2,
+                rev,
+                length_entry,
+                p,
+                o_entry.hex().encode(),
+                u_entry.hex().encode(),
+            ),
+            None,
+        ),
+        (6, b"<< /Title <%s> >>" % title.hex().encode(), None),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num, dct, stream in objects:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n%s\n" % (num, dct)
+        if stream is not None:
+            out += b"stream\n" + stream + b"\nendstream\n"
+        out += b"endobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
+    for num in range(1, len(objects) + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R /Encrypt 5 0 R "
+        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, id0.hex().encode(), id0.hex().encode(), xref_at)
+    )
+    return bytes(out)

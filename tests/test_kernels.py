@@ -1010,3 +1010,33 @@ def test_xref_type2_entry_shadows_older_direct_object():
     assert r["ok"], r["error"]
     assert r["title"] == "Updated Title"
     assert r["metadata"]["author"] == "New Author"
+
+
+def test_rc4_encrypted_pdf_with_empty_user_password_decrypts():
+    """Standard-handler RC4 (V1/R2 and V2/R3/128-bit) with an EMPTY user
+    password — owner-restriction-only files, the dominant secured-PDF case
+    on the web — must extract text and metadata; the fixture's key
+    schedule is an independent spec implementation."""
+    from tests.pdf_fixture import build_rc4_encrypted_pdf
+
+    for rev in (2, 3):
+        r = extract_pdf(build_rc4_encrypted_pdf(rev))
+        assert r["ok"], (rev, r["error"])
+        assert [reg["text"] for reg in r["regions"]] == ["Secret but readable."], rev
+        assert r["title"] == "Secret Title", rev
+
+
+def test_encrypted_pdf_with_real_user_password_still_fails_typed():
+    """A /U entry that does NOT verify against the empty password (i.e. a
+    real user password) must keep the typed pdf-encrypted failure."""
+    from tests.pdf_fixture import build_rc4_encrypted_pdf
+
+    data = build_rc4_encrypted_pdf(2)
+    # corrupt /U so the empty-password check fails
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]{64})>", data)
+    bad_u = (b"ff" * 32)
+    data = data.replace(m.group(1), bad_u)
+    r = extract_pdf(data)
+    assert not r["ok"] and r["error"] == "pdf-encrypted"
