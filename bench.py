@@ -97,6 +97,8 @@ def main() -> None:
         "embedding_near_dups",
         "quality_scores",
         "doc_fingerprints",
+        "doc_chunks",
+        "near_dup_clusters",
     ]
     for name in headline:
         fn, _sql = SQL_QUERIES[name]

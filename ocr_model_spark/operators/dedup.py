@@ -320,3 +320,54 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return bit_sums.select("id", sim.cast("long").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs → clusters: (id, cluster_id) for every vertex, where
+    cluster_id = the MIN id in the connected component. The step real dedup
+    pipelines need between pair generation and "keep one per cluster".
+
+    Min-label propagation: each iteration joins the narrow (id, label)
+    frame with the symmetrized edge list and takes the min over neighbors;
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow (dup chains, not paths), so a handful of rounds closes them.
+    Each round ends in ``localCheckpoint`` so the plan stays O(1) deep
+    instead of doubling per iteration, and the convergence check is an
+    aggregate on the checkpointed frame (no recomputation). Deterministic:
+    integer mins only. At 10^12-edge scale swap the inner step for
+    large-star/small-star (CC-MR) — the output contract is identical."""
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter("_changed").limit(1).count()
+        labels = stepped.drop("_changed")
+        if changed == 0:
+            break
+    return labels

@@ -110,3 +110,31 @@ def doc_fingerprint(text: Column) -> Column:
     return F.when(F.size(words) > 0, F.aggregate(
         weighted, F.lit(0).cast("long"), lambda acc, x: F.pmod(acc + x, F.lit(FINGERPRINT_MOD))
     )).otherwise(F.lit(0).cast("long"))
+
+
+# --------------------------------------------------------------- PII scrub
+
+# conservative patterns valid (and identical in behavior) in BOTH Java
+# regex and RE2 — the oracle runs them in DuckDB verbatim
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then IPv4 literals (training corpora must not leak
+    contact data). Order matters and is part of the contract: the email
+    pattern can consume dotted-quad-looking hosts, so it runs first."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_ips) match counts per row."""
+    emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    ips = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), F.lit(IPV4_RE), F.lit(0)
+        )
+    )
+    return emails, ips

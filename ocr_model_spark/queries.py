@@ -695,6 +695,131 @@ ORDER BY id_a, id_b
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Training-data chunking: 64-token windows, 8-token overlap, pure
+    JVM expressions (operators/chunking.py)."""
+    from ocr_model_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+_SQL_DOC_CHUNKS = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), st AS (
+    SELECT doc_id, t, unnest(range(0, len(t), 56)) AS s FROM toks
+)
+SELECT doc_id,
+       CAST(s // 56 AS INT) AS chunk_idx,
+       array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text,
+       CAST(LEAST(64, len(t) - s) AS INT) AS n_tokens
+FROM st ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_pii_scrub_stats(spark, sf_dir):
+    """PII scrubbing gate: deterministic pii-bearing text is CONSTRUCTED
+    in-plan on both engines (the synthetic corpus carries no real PII, and
+    must not), then redacted; the oracle pins match counts and a
+    fingerprint of the scrubbed text — verifying the actual redaction."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    made = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user-"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+            F.lit("@example.com from "),
+            (F.col("doc_id") % 223).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 251).cast("string"),
+            F.lit(".0.1 today."),
+        ).alias("t"),
+    )
+    emails, ips = X.pii_counts(F.col("t"))
+    return (
+        made.select(
+            "source",
+            emails.alias("ne"),
+            ips.alias("ni"),
+            D.stable_hash(X.scrub_pii(F.col("t"))).alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("ni").alias("n_ips"),
+            F.expr("bit_xor(h)").alias("scrub_fingerprint"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from ocr_model_spark.operators.textstats import EMAIL_RE, IPV4_RE
+
+    email = EMAIL_RE.replace("'", "''")
+    ip = IPV4_RE.replace("'", "''")
+    return f"""
+WITH made AS (
+    SELECT source,
+           text || ' Contact user-' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                || '@example.com from ' || CAST(doc_id % 223 AS VARCHAR) || '.'
+                || CAST((doc_id * 7) % 251 AS VARCHAR) || '.0.1 today.' AS t
+    FROM documents WHERE text IS NOT NULL
+), s AS (
+    SELECT source,
+           len(regexp_extract_all(t, '{email}')) AS ne,
+           len(regexp_extract_all(regexp_replace(t, '{email}', '<EMAIL>', 'g'), '{ip}')) AS ni,
+           CAST(concat('0x', substr(md5(
+               regexp_replace(regexp_replace(t, '{email}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g')
+           ), 1, 8)) AS BIGINT) AS h
+    FROM made
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(ni) AS BIGINT) AS n_ips,
+       CAST(bit_xor(h) AS BIGINT) AS scrub_fingerprint
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """LSH candidate pairs → connected components: (doc_id, cluster_id)
+    with cluster_id = min doc id in the component — the grouping step
+    between pair generation and keep-one-per-cluster."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_candidates(d, "doc_id", "text")
+    comp = D.connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _near_dup_clusters_sql() -> str:
+    candidates = _minhash_candidates_sql().strip().removesuffix("ORDER BY id_a, id_b").strip()
+    return f"""
+WITH RECURSIVE cand AS ({candidates}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM cand
+    UNION ALL
+    SELECT id_b, id_a FROM cand
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.simhash(d, "doc_id", "text").withColumnRenamed("id", "doc_id").orderBy("doc_id")
@@ -1235,6 +1360,9 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD_PAIRS),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
     "minhash_candidates": (q_minhash_candidates, _minhash_candidates_sql()),
+    "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
+    "pii_scrub_stats": (q_pii_scrub_stats, _pii_scrub_sql()),
+    "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "cosine_topk": (q_cosine_topk, _SQL_COSINE_TOPK),
     "text_profile": (q_text_profile, _SQL_TEXT_PROFILE),

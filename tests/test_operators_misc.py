@@ -153,3 +153,84 @@ def test_ivf_sampled_trainer_deterministic_and_recall_on_clustered_corpus(spark)
     r_seed = recall(_seed_centroids(emb, 8, "vec_id", "embedding"))
     assert r_trained >= 0.9, (r_trained, r_seed)
     assert r_trained >= r_seed, (r_trained, r_seed)
+
+
+def test_chunk_documents_edges(spark):
+    import pandas as pd
+
+    from ocr_model_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(130))},
+                {"doc_id": 2, "text": "one two"},
+                {"doc_id": 3, "text": "   "},
+                {"doc_id": 4, "text": None},
+                {"doc_id": 5, "text": " ".join(f"w{i}" for i in range(56))},
+            ]
+        )
+    )
+    out = chunk_documents(docs, chunk_tokens=64, overlap=8).orderBy("doc_id", "chunk_idx")
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 130 tokens, step 56: starts 0,56,112 -> 64,64,18 tokens
+    assert [r["n_tokens"] for r in by_doc[1]] == [64, 64, 18]
+    assert by_doc[1][1]["chunk_text"].split()[0] == "w56"  # overlap window
+    assert by_doc[1][0]["chunk_text"].split()[-1] == "w63"
+    assert [r["n_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc and 4 not in by_doc  # blank/NULL: no rows
+    assert [r["n_tokens"] for r in by_doc[5]] == [56]  # exactly one chunk
+
+    with __import__("pytest").raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and a singleton-free isolated pair: labels converge to
+    the component minimum; vertices only ever appear via edges."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"id_a": 1, "id_b": 2},
+                {"id_a": 2, "id_b": 3},
+                {"id_a": 3, "id_b": 4},  # chain 1-2-3-4
+                {"id_a": 10, "id_b": 11},  # pair
+                {"id_a": 20, "id_b": 21},
+                {"id_a": 22, "id_b": 21},  # chain 20-21-22
+            ]
+        )
+    )
+    got = {
+        r["id"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_pii_scrub_expressions(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.textstats import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"t": "mail a.b+c@ex-ample.org and 192.168.0.1 plus 1.2 not ip"},
+                {"t": "no pii here, just 3.14159 and version 1.2.3"},
+            ]
+        )
+    )
+    emails, ips = pii_counts(F.col("t"))
+    out = df.select(scrub_pii(F.col("t")).alias("s"), emails.alias("ne"), ips.alias("ni")).collect()
+    assert out[0]["s"] == "mail <EMAIL> and <IP> plus 1.2 not ip"
+    assert (out[0]["ne"], out[0]["ni"]) == (1, 1)
+    assert (out[1]["ne"], out[1]["ni"]) == (0, 0)
+    assert out[1]["s"] == "no pii here, just 3.14159 and version 1.2.3"
