@@ -32,13 +32,15 @@ Also covered: CID/Type0 composite fonts WITH a /ToUnicode CMap (bfchar +
 both bfrange forms) — i.e. how modern writers embed extractable text;
 Type0 text without a ToUnicode map yields empty spans (no mojibake).
 
-Also covered: RC4 standard-security-handler decryption (V 1/2, R 2/3)
-for documents whose USER password is empty — the dominant secured-PDF
-case on the web (owner-password-only restriction flags). The key is
-derived per Algorithm 2, verified against /U, and strings/streams decrypt
-per-object; anything else (AES /V 4+, a real user password) still fails
-typed, and at the corpus layer lands in the lineage failure counters
-exactly like the reference's engine-degradation path.
+Also covered: standard-security-handler decryption for documents whose
+USER password is empty — the dominant secured-PDF case on the web
+(owner-password-only restriction flags): RC4 (V 1/2, R 2/3; Algorithm 2
+key + /U verification), /AESV2 crypt filters (V4/R4, AES-128-CBC with the
+sAlT object-key extension) and /AESV3 (V5, R5/R6 — AES-256 with the
+Algorithm-2.B hardened hash), via the stdlib AES in ``kernels/aes.py``.
+A real user password or an unknown /V still fails typed, and at the
+corpus layer lands in the lineage failure counters exactly like the
+reference's engine-degradation path.
 """
 
 from __future__ import annotations
@@ -543,27 +545,19 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _standard_handler_key(enc: dict, id0: bytes, password: bytes = b"") -> bytes | None:
-    """Algorithm 2 key derivation for the standard handler, RC4 subset
-    (V 1/2, R 2/3); returns the file key only if ``password`` verifies as
-    the USER password against /U — None means "cannot decrypt"."""
-    r, v = enc.get("R"), enc.get("V", 0)
+def _rc4_era_key(enc: dict, id0: bytes, r: int, n: int, password: bytes = b"") -> bytes | None:
+    """Algorithm 2 (MD5) file-key derivation + /U verification for
+    revisions 2–4; returns the key only if ``password`` verifies as the
+    USER password — None means "cannot decrypt"."""
     o, u, p = enc.get("O"), enc.get("U"), enc.get("P")
-    if (
-        enc.get("Filter") != "Standard"
-        or v not in (1, 2)
-        or r not in (2, 3)
-        or not isinstance(o, bytes)
-        or not isinstance(u, bytes)
-        or not isinstance(p, int)
-    ):
+    if not isinstance(o, bytes) or not isinstance(u, bytes) or not isinstance(p, int):
         return None
-    n = int(enc.get("Length", 40)) // 8 if r >= 3 else 5
     if not 5 <= n <= 16:
         return None
-    h = hashlib.md5(
-        (password + _STD_PAD)[:32] + o[:32] + struct.pack("<I", p & 0xFFFFFFFF) + id0
-    ).digest()
+    md5_input = (password + _STD_PAD)[:32] + o[:32] + struct.pack("<I", p & 0xFFFFFFFF) + id0
+    if r >= 4 and enc.get("EncryptMetadata") is False:
+        md5_input += b"\xff\xff\xff\xff"
+    h = hashlib.md5(md5_input).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
@@ -578,11 +572,81 @@ def _standard_handler_key(enc: dict, id0: bytes, password: bytes = b"") -> bytes
     return key if ok else None
 
 
-def _object_key(file_key: bytes, num: int) -> bytes:
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (R6)."""
+    from ocr_model_spark.kernels.aes import cbc_encrypt
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    count = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        count += 1
+        if count >= 64 and e[-1] <= count - 32:
+            return k[:32]
+
+
+def _v5_file_key(enc: dict) -> bytes | None:
+    """AESV3 (V5, R5/R6) empty-USER-password validation + file key from /UE."""
+    from ocr_model_spark.kernels.aes import cbc_decrypt
+
+    u, ue, r = enc.get("U"), enc.get("UE"), enc.get("R")
+    if not isinstance(u, bytes) or len(u) < 48 or not isinstance(ue, bytes) or len(ue) < 32:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        if _hash_2b(b"", vsalt, b"") != u[:32]:
+            return None
+        ik = _hash_2b(b"", ksalt, b"")
+    elif r == 5:  # deprecated Adobe extension: plain SHA-256
+        if hashlib.sha256(vsalt).digest() != u[:32]:
+            return None
+        ik = hashlib.sha256(ksalt).digest()
+    else:
+        return None
+    return cbc_decrypt(ik, bytes(16), ue[:32], unpad=False)
+
+
+def _security_handler_key(enc: dict, id0: bytes) -> tuple[bytes, str] | None:
+    """(file key, method) for the standard handler with an EMPTY user
+    password; method ∈ {rc4, aesv2, aesv3}. None = cannot decrypt (AES
+    with a real password, unknown /V, non-standard handlers, …)."""
+    if enc.get("Filter") != "Standard":
+        return None
+    v, r = enc.get("V", 0), enc.get("R")
+    if v in (1, 2) and r in (2, 3):
+        key = _rc4_era_key(enc, id0, r, int(enc.get("Length", 40)) // 8 if r >= 3 else 5)
+        return (key, "rc4") if key else None
+    if v == 4 and r == 4:
+        cf = enc.get("CF")
+        stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
+        cfm = stdcf.get("CFM") if isinstance(stdcf, dict) else None
+        if cfm not in ("AESV2", "V2"):
+            return None
+        # crypt-filter /Length is BYTES per spec, but many writers emit
+        # bits — normalize; default 16 for AESV2
+        raw_len = stdcf.get("Length") if isinstance(stdcf, dict) else None
+        if isinstance(raw_len, int):
+            n = raw_len if raw_len <= 32 else raw_len // 8
+        else:
+            n = int(enc.get("Length", 128)) // 8
+        key = _rc4_era_key(enc, id0, 4, n)
+        return (key, "aesv2" if cfm == "AESV2" else "rc4") if key else None
+    if v == 5 and r in (5, 6):
+        key = _v5_file_key(enc)
+        return (key, "aesv3") if key else None
+    return None
+
+
+def _object_key(file_key: bytes, num: int, aes: bool = False) -> bytes:
     # generation 0 assumed (we don't track generations; non-zero gens on
     # encrypted strings are vanishingly rare in crawl PDFs)
     d = hashlib.md5(
-        file_key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        file_key
+        + num.to_bytes(3, "little")
+        + (0).to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return d[: min(len(file_key) + 5, 16)]
 
@@ -658,9 +722,26 @@ class _Doc:
         enc = self.resolve(enc_ref)
         if not isinstance(enc, dict):
             return
-        key = _standard_handler_key(enc, id0)
-        if key is None:
+        # crypt-filter dicts may hide behind indirect refs
+        enc = dict(enc)
+        cf = self.resolve(enc.get("CF"))
+        if isinstance(cf, dict):
+            enc["CF"] = {k: self.resolve(v) for k, v in cf.items()}
+        got = _security_handler_key(enc, id0)
+        if got is None:
             return
+        key, method = got
+
+        def dec(num: int, data: bytes) -> bytes:
+            if method == "rc4":
+                return _rc4(_object_key(key, num), data)
+            from ocr_model_spark.kernels.aes import cbc_decrypt
+
+            k = _object_key(key, num, aes=True) if method == "aesv2" else key
+            if len(data) < 32 or (len(data) - 16) % 16:
+                return b""  # malformed AES payload: empty beats garbage
+            return cbc_decrypt(k, data[:16], data[16:])
+
         enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
         for num in list(self.objects):
             if num == enc_num:
@@ -668,9 +749,8 @@ class _Doc:
             value, stream = self.objects[num]
             if isinstance(value, dict) and value.get("Type") == "XRef":
                 continue  # xref streams are never encrypted
-            okey = _object_key(key, num)
-            new_value = _map_strings(value, lambda b, k=okey: _rc4(k, b))
-            new_stream = _rc4(okey, stream) if stream is not None else None
+            new_value = _map_strings(value, lambda b, n=num: dec(n, b))
+            new_stream = dec(num, stream) if stream is not None else None
             self.objects[num] = (new_value, new_stream)
         self.decrypted = True
 

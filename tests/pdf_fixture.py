@@ -324,3 +324,136 @@ def build_rc4_encrypted_pdf(rev: int = 2) -> bytes:
         % (len(objects) + 1, id0.hex().encode(), id0.hex().encode(), xref_at)
     )
     return bytes(out)
+
+
+def build_aes_encrypted_pdf(rev: int = 4) -> bytes:
+    """AES-encrypted one-page PDF, empty user password: rev 4 = /AESV2
+    (AES-128, MD5-era key), rev 6 = /AESV3 (AES-256, Algorithm 2.B). The
+    key DERIVATION here follows the spec independently of pdf_native;
+    the AES block cipher itself is shared but pinned by FIPS vectors."""
+    import hashlib
+    import struct
+
+    from ocr_model_spark.kernels.aes import cbc_encrypt
+
+    pad32 = bytes(
+        [
+            0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+            0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+            0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+            0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+        ]
+    )
+
+    def rc4(key: bytes, data: bytes) -> bytes:
+        s = list(range(256))
+        j = 0
+        for i in range(256):
+            j = (j + s[i] + key[i % len(key)]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+        out = bytearray()
+        i = j = 0
+        for b in data:
+            i = (i + 1) & 0xFF
+            j = (j + s[i]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+            out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+        return bytes(out)
+
+    id0 = bytes.fromhex("ffeeddccbbaa99887766554433221100")
+    p = -3904
+    content = b"BT /F1 12 Tf 72 700 Td (AES secret text.) Tj ET"
+    title = b"AES Title"
+
+    if rev == 4:
+        o_entry = bytes(range(200, 232))
+        h = hashlib.md5(pad32 + o_entry + struct.pack("<i", p) + id0).digest()
+        for _ in range(50):
+            h = hashlib.md5(h[:16]).digest()
+        key = h[:16]
+        t = rc4(key, hashlib.md5(pad32 + id0).digest())
+        for i in range(1, 20):
+            t = rc4(bytes(b ^ i for b in key), t)
+        u_entry = t + bytes(16)
+
+        def enc_obj(num: int, data: bytes) -> bytes:
+            okey = hashlib.md5(
+                key + num.to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
+            ).digest()[:16]
+            iv = hashlib.sha256(b"iv:%d" % num).digest()[:16]  # deterministic
+            padn = 16 - len(data) % 16
+            return iv + cbc_encrypt(okey, iv, data + bytes([padn]) * padn)
+
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /P %d /O <%s> /U <%s> /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF >>"
+            % (p, o_entry.hex().encode(), u_entry.hex().encode())
+        )
+    else:  # rev 6 — AESV3
+        def hash2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+            k = hashlib.sha256(pw + salt + udata).digest()
+            count = 0
+            while True:
+                k1 = (pw + k + udata) * 64
+                e = cbc_encrypt(k[:16], k[16:32], k1)
+                k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+                    sum(e[:16]) % 3
+                ](e).digest()
+                count += 1
+                if count >= 64 and e[-1] <= count - 32:
+                    return k[:32]
+
+        key = hashlib.sha256(b"file key for the aesv3 fixture!!").digest()
+        vsalt = bytes.fromhex("0102030405060708")
+        ksalt = bytes.fromhex("1112131415161718")
+        u_entry = hash2b(b"", vsalt, b"") + vsalt + ksalt
+        ik = hash2b(b"", ksalt, b"")
+        ue_entry = cbc_encrypt(ik, bytes(16), key)
+        o_entry = bytes(range(100, 148))  # unused by the empty-user path
+
+        def enc_obj(num: int, data: bytes) -> bytes:
+            iv = hashlib.sha256(b"iv:%d" % num).digest()[:16]
+            padn = 16 - len(data) % 16
+            return iv + cbc_encrypt(key, iv, data + bytes([padn]) * padn)
+
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /P %d /O <%s> /U <%s> /UE <%s> "
+            b"/OE <%s> /Length 256 /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF >>"
+            % (
+                p,
+                o_entry.hex().encode(),
+                u_entry.hex().encode(),
+                ue_entry.hex().encode(),
+                bytes(32).hex().encode(),
+            )
+        )
+
+    enc_content = enc_obj(4, content)
+    enc_title = enc_obj(6, title)
+    objects = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>", None),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+        (4, b"<< /Length %d >>" % len(enc_content), enc_content),
+        (5, enc_dict, None),
+        (6, b"<< /Title <%s> >>" % enc_title.hex().encode(), None),
+    ]
+    out = bytearray(b"%PDF-1.6\n")
+    offsets = {}
+    for num, dct, stream in objects:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n%s\n" % (num, dct)
+        if stream is not None:
+            out += b"stream\n" + stream + b"\nendstream\n"
+        out += b"endobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
+    for num in range(1, len(objects) + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R /Encrypt 5 0 R "
+        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, id0.hex().encode(), id0.hex().encode(), xref_at)
+    )
+    return bytes(out)
