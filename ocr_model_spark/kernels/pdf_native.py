@@ -1313,6 +1313,10 @@ def extract_pages_native(data: bytes, group_blocks) -> list[dict]:
             }
         )
     info = read_doc_info(doc)
+    if doc.decrypted:
+        # observable at the corpus layer: the file WAS encrypted and the
+        # empty-user-password handler opened it
+        info = {**info, "encryption": "standard-decrypted"}
     if info:
         pages[0]["doc_info"] = info
     return pages

@@ -52,6 +52,51 @@ def assemble_pdf(
     return bytes(out)
 
 
+def encrypt_objects_rc4(
+    objects: list[tuple[int, bytes, bytes | None]],
+    id0: bytes,
+    p: int = -44,
+    owner_seed: bytes = b"owner",
+) -> tuple[list[tuple[int, bytes, bytes | None]], bytes]:
+    """RC4-encrypt an object list (standard handler V1/R2, EMPTY user
+    password) for the synth corpus's decryptable-secured-PDF slice.
+
+    Returns (objects + the /Encrypt dict appended, trailer additions
+    ``/Encrypt N 0 R /ID [...]``). String values inside object dicts are
+    NOT rewritten (callers pass titles etc. as hex strings they encrypt
+    themselves if needed); here only STREAM bodies encrypt, which is what
+    the text-extraction path exercises. Reuses the reader's primitives —
+    the independent-derivation cross-check lives in the test fixtures."""
+    import hashlib as _hl
+    import struct as _st
+
+    from ocr_model_spark.kernels.pdf_native import _STD_PAD, _object_key, _rc4
+
+    o_entry = _hl.sha256(owner_seed).digest()  # 32 bytes; owner pw unused
+    key = _hl.md5(_STD_PAD + o_entry + _st.pack("<i", p) + id0).digest()[:5]
+    u_entry = _rc4(key, _STD_PAD)
+    enc_num = max(num for num, _d, _s in objects) + 1
+    out: list[tuple[int, bytes, bytes | None]] = []
+    for num, dct, stream in objects:
+        out.append(
+            (num, dct, _rc4(_object_key(key, num), stream) if stream is not None else None)
+        )
+    out.append(
+        (
+            enc_num,
+            b"<< /Filter /Standard /V 1 /R 2 /P %d /O <%s> /U <%s> >>"
+            % (p, o_entry.hex().encode(), u_entry.hex().encode()),
+            None,
+        )
+    )
+    trailer_add = b"/Encrypt %d 0 R /ID [<%s> <%s>] " % (
+        enc_num,
+        id0.hex().encode(),
+        id0.hex().encode(),
+    )
+    return out, trailer_add
+
+
 def build_annotated_pdf(
     pages: list[dict],
     page_w: float = 612.0,

@@ -13,8 +13,9 @@ Payload mix (fractions of rows, chosen per-row by a seeded RNG):
   * ~8% PDFs — half the ``%%SYNTHPAGE`` content-stream subset
     (``kernels/pdf_extract.py``), half REAL classic PDFs for the stdlib
     native reader, of which ~15% use Identity-H Type0 fonts (cid-is-unicode
-    recovery) and ~10% declare /Encrypt (typed failure → lineage counters,
-    ``is_encrypted`` summary column);
+    recovery), ~10% declare /Encrypt with a real user password (typed
+    failure → lineage counters, ``is_encrypted`` summary column) and ~10%
+    are RC4-encrypted with an empty user password (decrypted in-pipeline);
   * ~2% plain text — exercises the verbatim-text branch;
   * ~2% DOCX (real zip + WordprocessingML, fixed zip timestamps) —
     exercises the stdlib DOCX kernel (paragraph/heading/list/table walk);
@@ -41,7 +42,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 6
+GEN_VERSION = 8
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -139,16 +140,23 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
     exercises the stdlib native reader (kernels/pdf_native.py) end-to-end in
     the distributed pipeline. Deterministic (zlib of deterministic text).
 
-    Variants (seeded, GEN_VERSION 6+):
+    Variants (seeded, GEN_VERSION 8+):
       * ~15% use a Type0 /Identity-H font WITHOUT ToUnicode, showing text as
         UTF-16BE hex strings — the cid-is-unicode recovery path;
-      * ~10% declare /Encrypt (real crawls carry secured PDFs): the reader
-        fails typed, lineage counts them, doc_summary.is_encrypted is true.
+      * ~10% declare /Encrypt with an unverifiable /U (a real user
+        password): the reader fails typed, lineage counts them,
+        doc_summary.is_encrypted is true;
+      * ~10% are RC4-encrypted with an EMPTY user password (owner-
+        restriction-only, the common secured-web-PDF shape): the reader
+        decrypts and extracts; metadata carries encryption =
+        standard-decrypted.
     """
     import zlib
 
     identity_font = rng.random() < 0.15
-    encrypted = rng.random() < 0.10
+    enc_roll = rng.random()
+    encrypted = enc_roll < 0.10  # unverifiable /U → typed failure
+    decryptable = 0.10 <= enc_roll < 0.20  # empty-user-password RC4
     n_pages = rng.randint(1, 3)
     contents = []
     for _ in range(n_pages):
@@ -253,8 +261,12 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
             )
         )
         trailer_extra += b"/Encrypt %d 0 R " % next_num
-    from ocr_model_spark.kernels.pdf_write import assemble_pdf
+    from ocr_model_spark.kernels.pdf_write import assemble_pdf, encrypt_objects_rc4
 
+    if decryptable:
+        id0 = bytes(rng.randrange(256) for _ in range(16))
+        objects, trailer_add = encrypt_objects_rc4(objects, id0)
+        trailer_extra += trailer_add
     return assemble_pdf(objects, trailer_extra=trailer_extra)
 
 
