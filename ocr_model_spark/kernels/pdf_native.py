@@ -644,7 +644,9 @@ def _object_key(file_key: bytes, num: int, aes: bool = False) -> bytes:
     # encrypted strings are vanishingly rare in crawl PDFs)
     d = hashlib.md5(
         file_key
-        + num.to_bytes(3, "little")
+        # spec: the 3 LOW-ORDER bytes — a hostile/corrupt object number
+        # >= 2^24 must mask, not raise OverflowError mid-decryption
+        + (num & 0xFFFFFF).to_bytes(3, "little")
         + (0).to_bytes(2, "little")
         + (b"sAlT" if aes else b"")
     ).digest()

@@ -62,24 +62,52 @@ def encrypt_objects_rc4(
     password) for the synth corpus's decryptable-secured-PDF slice.
 
     Returns (objects + the /Encrypt dict appended, trailer additions
-    ``/Encrypt N 0 R /ID [...]``). String values inside object dicts are
-    NOT rewritten (callers pass titles etc. as hex strings they encrypt
-    themselves if needed); here only STREAM bodies encrypt, which is what
-    the text-extraction path exercises. Reuses the reader's primitives —
-    the independent-derivation cross-check lives in the test fixtures."""
+    ``/Encrypt N 0 R /ID [...]``). Both STREAM bodies and dict STRINGS
+    encrypt (the spec encrypts all strings, and the reader decrypts all
+    strings — a plaintext /Title would round-trip as garbage). Reuses the
+    reader's primitives — the independent-derivation cross-check lives in
+    the test fixtures."""
     import hashlib as _hl
+    import re as _re
     import struct as _st
 
-    from ocr_model_spark.kernels.pdf_native import _STD_PAD, _object_key, _rc4
+    from ocr_model_spark.kernels.pdf_native import _Lexer, _STD_PAD, _object_key, _rc4
 
     o_entry = _hl.sha256(owner_seed).digest()  # 32 bytes; owner pw unused
     key = _hl.md5(_STD_PAD + o_entry + _st.pack("<i", p) + id0).digest()[:5]
     u_entry = _rc4(key, _STD_PAD)
     enc_num = max(num for num, _d, _s in objects) + 1
+
+    # literal `( … )` (with escapes, one nesting level) or hex `< … >`
+    # strings inside dict bytes — re-emitted as encrypted hex strings
+    str_re = _re.compile(
+        rb"\((?:\\.|[^\\()])*(?:\((?:\\.|[^\\()])*\)(?:\\.|[^\\()])*)*\)"
+        rb"|<[0-9A-Fa-f\s]+>",
+        _re.S,
+    )
+
+    def enc_dict_strings(dct: bytes, okey: bytes) -> bytes:
+        def repl(m: "_re.Match[bytes]") -> bytes:
+            tok = m.group(0)
+            lex = _Lexer(tok)
+            raw = (
+                lex._parse_literal_string()
+                if tok[:1] == b"("
+                else lex._parse_hex_string()
+            )
+            return b"<%s>" % _rc4(okey, raw).hex().encode()
+
+        return str_re.sub(repl, dct)
+
     out: list[tuple[int, bytes, bytes | None]] = []
     for num, dct, stream in objects:
+        okey = _object_key(key, num)
         out.append(
-            (num, dct, _rc4(_object_key(key, num), stream) if stream is not None else None)
+            (
+                num,
+                enc_dict_strings(dct, okey),
+                _rc4(okey, stream) if stream is not None else None,
+            )
         )
     out.append(
         (

@@ -25,10 +25,12 @@ def chunk_documents(
     overlap: int = 8,
 ) -> DataFrame:
     """(id, text) → (id, chunk_idx, chunk_text, n_tokens): whitespace
-    tokens in ``chunk_tokens`` windows stepping ``chunk_tokens - overlap``
-    (a trailing short chunk keeps the remainder; empty/NULL texts produce
-    no rows). Tokenization is the engine-wide whitespace convention
-    (``split(trim(text), '\\s+')``)."""
+    tokens in ``chunk_tokens`` windows stepping ``chunk_tokens - overlap``.
+    A trailing short chunk keeps the remainder ONLY when it contributes
+    tokens beyond the previous window (a start inside the overlap region
+    would duplicate data); empty/NULL texts produce no rows. Tokenization
+    is the engine-wide whitespace convention (``split(trim(text),
+    '\\s+')``)."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
@@ -40,8 +42,12 @@ def chunk_documents(
     ).select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
     toks = F.col("_toks")
     n = F.size(toks)
+    # grid stops at n - overlap - 1 (never below 0): a start within the
+    # previous window's overlap region would yield a chunk FULLY contained
+    # in it — zero new tokens, pure duplicated training data
+    last_start = F.greatest(n - overlap - 1, F.lit(0))
     chunks = F.transform(
-        F.sequence(F.lit(0), n - 1, F.lit(step)),
+        F.sequence(F.lit(0), last_start, F.lit(step)),
         lambda s: F.struct(
             F.floor(s / step).cast("int").alias("chunk_idx"),
             F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),

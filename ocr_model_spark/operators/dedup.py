@@ -369,5 +369,11 @@ def connected_components(
         changed = stepped.filter("_changed").limit(1).count()
         labels = stepped.drop("_changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # non-convergence must be LOUD: silently returning partial labels would
+    # diverge from the exact transitive closure (and any oracle) with no
+    # signal — raise so the caller widens max_iter or switches algorithms
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(component diameter exceeds max_iter)"
+    )

@@ -711,7 +711,9 @@ WITH toks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
     FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
 ), st AS (
-    SELECT doc_id, t, unnest(range(0, len(t), 56)) AS s FROM toks
+    -- grid capped at len - overlap: a start inside the previous window's
+    -- overlap region would add zero new tokens (duplicated chunk)
+    SELECT doc_id, t, unnest(range(0, greatest(len(t) - 8, 1), 56)) AS s FROM toks
 )
 SELECT doc_id,
        CAST(s // 56 AS INT) AS chunk_idx,
@@ -740,13 +742,21 @@ def q_pii_scrub_stats(spark, sf_dir):
             F.lit(".0.1 today."),
         ).alias("t"),
     )
-    emails, ips = X.pii_counts(F.col("t"))
+    from ocr_model_spark.operators.textstats import EMAIL_RE, IPV4_RE
+
+    # staged so the email replace runs ONCE per row (regex over document-
+    # sized text dominates; Catalyst does not reliably CSE the two uses)
+    staged = made.select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(EMAIL_RE), F.lit(0))).alias("ne"),
+        F.regexp_replace("t", EMAIL_RE, "<EMAIL>").alias("t1"),
+    )
     return (
-        made.select(
+        staged.select(
             "source",
-            emails.alias("ne"),
-            ips.alias("ni"),
-            D.stable_hash(X.scrub_pii(F.col("t"))).alias("h"),
+            "ne",
+            F.size(F.regexp_extract_all("t1", F.lit(IPV4_RE), F.lit(0))).alias("ni"),
+            D.stable_hash(F.regexp_replace("t1", IPV4_RE, "<IP>")).alias("h"),
         )
         .groupBy("source")
         .agg(
@@ -801,7 +811,7 @@ def q_near_dup_clusters(spark, sf_dir):
 
 
 def _near_dup_clusters_sql() -> str:
-    candidates = _minhash_candidates_sql().strip().removesuffix("ORDER BY id_a, id_b").strip()
+    candidates = _minhash_candidates_body()
     return f"""
 WITH RECURSIVE cand AS ({candidates}),
 edges AS (
@@ -818,6 +828,17 @@ reach(id, label) AS (
 SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
 FROM reach GROUP BY id ORDER BY doc_id
 """
+
+
+def _minhash_candidates_body() -> str:
+    """The candidates SQL WITHOUT its trailing ORDER BY — the single
+    de-ORDER-BY'd form every composing oracle embeds as a CTE (three
+    call sites once hand-rolled removesuffix; a change to the trailing
+    clause now breaks loudly here instead of silently no-opping)."""
+    body = _minhash_candidates_sql().strip()
+    suffix = "ORDER BY id_a, id_b"
+    assert body.endswith(suffix), "candidates SQL trailing clause changed"
+    return body.removesuffix(suffix).strip()
 
 
 def q_simhash(spark, sf_dir):
@@ -1098,7 +1119,7 @@ def q_corpus_filter_verdict(spark, sf_dir):
 def _corpus_filter_sql() -> str:
     # compose the candidate SQL (strip its trailing ORDER BY) with the
     # quality CTEs — same building blocks, one statement
-    candidates = _minhash_candidates_sql().strip().rstrip().removesuffix("ORDER BY id_a, id_b")
+    candidates = _minhash_candidates_body()
     return f"""
 WITH cand AS ({candidates}),
 losers AS (SELECT DISTINCT id_b AS doc_id, TRUE AS near_dup_loser FROM cand),
@@ -1156,7 +1177,7 @@ def q_near_dup_verified(spark, sf_dir):
 
 
 def _near_dup_verified_sql() -> str:
-    candidates = _minhash_candidates_sql().strip().removesuffix("ORDER BY id_a, id_b").strip()
+    candidates = _minhash_candidates_body()
     return (
         _SQL_SHINGLES_CTE
         + f""",

@@ -18,6 +18,33 @@ BT /F1 10 Tf 72 600 Td <4865782074657874> Tj ET
 """
 
 
+def assemble_with_xref(
+    objects: list, trailer_entries: bytes, header: bytes = b"%PDF-1.4\n"
+) -> bytes:
+    """Shared body/xref/trailer emitter for the fixture builders (the
+    independent-derivation rationale covers the CRYPTO, not the file
+    assembly). ``trailer_entries`` goes verbatim inside the trailer dict
+    after /Size."""
+    out = bytearray(header)
+    offsets: dict[int, int] = {}
+    for num, dct, stream in objects:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n%s\n" % (num, dct)
+        if stream is not None:
+            out += b"stream\n" + stream + b"\nendstream\n"
+        out += b"endobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
+    for num in range(1, len(objects) + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += b"trailer\n<< /Size %d %s>>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objects) + 1,
+        trailer_entries,
+        xref_at,
+    )
+    return bytes(out)
+
+
 def build_objstm_pdf() -> bytes:
     """PDF-1.5-style file: the catalog, pages root and page dict all live
     inside a compressed /ObjStm object stream (how modern writers emit
@@ -209,24 +236,11 @@ def build_real_pdf(extra_trailer: bytes = b"") -> bytes:
         (7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None),
         (8, b"<< /Title (Fixture Title) /Author (Jane Dev) >>", None),
     ]
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = {}
-    for num, dct, stream in objects:
-        offsets[num] = len(out)
-        out += b"%d 0 obj\n%s\n" % (num, dct)
-        if stream is not None:
-            out += b"stream\n" + stream + b"\nendstream\n"
-        out += b"endobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 %d\n" % (len(objects) + 1)
-    out += b"0000000000 65535 f \n"
-    for num in range(1, len(objects) + 1):
-        out += b"%010d 00000 n \n" % offsets[num]
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R /Info 8 0 R %s>>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, extra_trailer, xref_at)
+    return assemble_with_xref(
+        objects,
+        b"/Root 1 0 R /Info 8 0 R %s" % extra_trailer,
+        header=b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n",
     )
-    return bytes(out)
 
 
 def build_rc4_encrypted_pdf(rev: int = 2) -> bytes:
@@ -306,24 +320,11 @@ def build_rc4_encrypted_pdf(rev: int = 2) -> bytes:
         ),
         (6, b"<< /Title <%s> >>" % title.hex().encode(), None),
     ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = {}
-    for num, dct, stream in objects:
-        offsets[num] = len(out)
-        out += b"%d 0 obj\n%s\n" % (num, dct)
-        if stream is not None:
-            out += b"stream\n" + stream + b"\nendstream\n"
-        out += b"endobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
-    for num in range(1, len(objects) + 1):
-        out += b"%010d 00000 n \n" % offsets[num]
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R /Encrypt 5 0 R "
-        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, id0.hex().encode(), id0.hex().encode(), xref_at)
+    return assemble_with_xref(
+        objects,
+        b"/Root 1 0 R /Info 6 0 R /Encrypt 5 0 R /ID [<%s> <%s>] "
+        % (id0.hex().encode(), id0.hex().encode()),
     )
-    return bytes(out)
 
 
 def build_aes_encrypted_pdf(rev: int = 4) -> bytes:
@@ -439,21 +440,9 @@ def build_aes_encrypted_pdf(rev: int = 4) -> bytes:
         (5, enc_dict, None),
         (6, b"<< /Title <%s> >>" % enc_title.hex().encode(), None),
     ]
-    out = bytearray(b"%PDF-1.6\n")
-    offsets = {}
-    for num, dct, stream in objects:
-        offsets[num] = len(out)
-        out += b"%d 0 obj\n%s\n" % (num, dct)
-        if stream is not None:
-            out += b"stream\n" + stream + b"\nendstream\n"
-        out += b"endobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
-    for num in range(1, len(objects) + 1):
-        out += b"%010d 00000 n \n" % offsets[num]
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R /Encrypt 5 0 R "
-        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, id0.hex().encode(), id0.hex().encode(), xref_at)
+    return assemble_with_xref(
+        objects,
+        b"/Root 1 0 R /Info 6 0 R /Encrypt 5 0 R /ID [<%s> <%s>] "
+        % (id0.hex().encode(), id0.hex().encode()),
+        header=b"%PDF-1.6\n",
     )
-    return bytes(out)

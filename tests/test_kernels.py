@@ -1083,3 +1083,41 @@ def test_aes_pdf_with_wrong_user_password_fails_typed():
     data = data.replace(m.group(1), b"ab" * 48)
     r = extract_pdf(data)
     assert not r["ok"] and r["error"] == "pdf-encrypted"
+
+
+def test_synth_decryptable_pdfs_roundtrip_title_and_text():
+    """Writer-side RC4 encryption must cover dict STRINGS, not just
+    streams: the reader decrypts all strings, so a plaintext /Title would
+    come back as garbage (code-review r3 finding — garbled titles were
+    baked into the goldens). Title must survive as printable text."""
+    import random
+
+    from ocr_model_spark.sources.synth import _real_pdf_doc
+
+    words = "alpha beta gamma delta".split()
+    checked = 0
+    for i in range(250):
+        rng = random.Random(f"deccheck:{i}")
+        data = _real_pdf_doc(rng, words)
+        r = extract_document_for_pdf(data)
+        if r is None:
+            continue
+        checked += 1
+        assert r["ok"], r["error"]
+        assert r["regions"], "decrypted doc must extract text"
+        if r["title"] is not None:
+            assert r["title"].isprintable(), repr(r["title"])
+            assert all(w.istitle() or w.isalpha() for w in r["title"].split()), repr(
+                r["title"]
+            )
+    assert checked >= 10  # the seeded mix produced enough decryptable docs
+
+
+def extract_document_for_pdf(data):
+    """Helper: run the kernel, return the result only for DECRYPTED docs."""
+    from ocr_model_spark.kernels.extract import extract_document
+
+    r = extract_document(data)
+    if (r.get("metadata") or {}).get("encryption") == "standard-decrypted":
+        return r
+    return None
