@@ -99,6 +99,7 @@ def main() -> None:
         "doc_fingerprints",
         "doc_chunks",
         "near_dup_clusters",
+        "repetition_profile",
     ]
     for name in headline:
         fn, _sql = SQL_QUERIES[name]

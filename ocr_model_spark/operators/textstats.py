@@ -138,3 +138,68 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
         )
     )
     return emails, ips
+
+
+# ------------------------------------------------- repetition (Gopher-style)
+
+
+def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition metrics in the spirit of the published
+    Gopher/MassiveText quality filters (duplicate-content fractions):
+    distinct-word fraction, most-frequent-word fraction, most-frequent-
+    bigram fraction. Highly repetitive documents (boilerplate, keyword
+    stuffing, generation loops) score low/high respectively and get
+    filtered before training.
+
+    Relational shape: explode → per-(doc, gram) counts (map-side combined)
+    → per-doc max/sum — two narrow shuffles keyed by (doc, gram), safe at
+    corpus scale; no quadratic work. Uses the engine-wide normalized
+    tokenization (shared with the dedup family and its oracles)."""
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.dedup import normalized_words
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), normalized_words(F.col(text_col)).alias("w")
+    ).filter(F.size("w") > 0)
+
+    words = base.select("id", F.explode("w").alias("g"))
+    wstats = (
+        words.groupBy("id", "g")
+        .count()
+        .groupBy("id")
+        .agg(
+            F.sum("count").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("count").alias("top_word_n"),
+        )
+    )
+    # guard: sequence(1, 0) DESCENDS in Spark, so a single-word doc would
+    # index element_at(w, 0) — emit no bigrams instead
+    bigram_arr = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = base.select("id", F.explode(bigram_arr).alias("g"))
+    bstats = (
+        bigrams.groupBy("id", "g")
+        .count()
+        .groupBy("id")
+        .agg(F.max("count").alias("top_bigram_n"), F.sum("count").alias("n_bigrams"))
+    )
+    r = lambda c: F.round(c + 1e-9, 4)  # noqa: E731 — oracle rounding rule
+    return (
+        wstats.join(bstats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            r(F.col("n_distinct") / F.col("n_words")).alias("distinct_word_frac"),
+            r(F.col("top_word_n") / F.col("n_words")).alias("top_word_frac"),
+            r(
+                F.coalesce(F.col("top_bigram_n") / F.col("n_bigrams"), F.lit(0.0))
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -830,6 +830,47 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition metrics per document (duplicate-content
+    quality filters: distinct-word / top-word / top-bigram fractions)."""
+    d = _t(spark, sf_dir, "documents")
+    return X.repetition_profile(d, "doc_id", "text").orderBy("doc_id")
+
+
+_SQL_REPETITION_PROFILE = r"""
+WITH wds AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents WHERE text IS NOT NULL
+), nz AS (SELECT * FROM wds WHERE len(w) > 0),
+wx AS (
+    SELECT doc_id, g, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(w) AS g FROM nz) GROUP BY doc_id, g
+), ws AS (
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+           COUNT(*) AS n_distinct, MAX(cnt) AS top_word_n
+    FROM wx GROUP BY doc_id
+), bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> list_extract(w, i) || ' ' || list_extract(w, i + 1))) AS g
+    FROM nz WHERE len(w) >= 2
+), bx AS (
+    SELECT doc_id, g, COUNT(*) AS cnt FROM bg GROUP BY doc_id, g
+), bs AS (
+    SELECT doc_id, MAX(cnt) AS top_bigram_n, CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+    FROM bx GROUP BY doc_id
+)
+SELECT ws.doc_id, ws.n_words,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_words + 1e-9, 4) AS distinct_word_frac,
+       ROUND(CAST(top_word_n AS DOUBLE) / n_words + 1e-9, 4) AS top_word_frac,
+       ROUND(COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) + 1e-9, 4) AS top_bigram_frac
+FROM ws LEFT JOIN bs USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _minhash_candidates_body() -> str:
     """The candidates SQL WITHOUT its trailing ORDER BY — the single
     de-ORDER-BY'd form every composing oracle embeds as a CTE (three
@@ -1384,6 +1425,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "pii_scrub_stats": (q_pii_scrub_stats, _pii_scrub_sql()),
     "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
+    "repetition_profile": (q_repetition_profile, _SQL_REPETITION_PROFILE),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "cosine_topk": (q_cosine_topk, _SQL_COSINE_TOPK),
     "text_profile": (q_text_profile, _SQL_TEXT_PROFILE),
