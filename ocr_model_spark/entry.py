@@ -386,6 +386,48 @@ def q_host_counters_salted(spark, sf_dir):
     return host_ingest_counters_batch(pages).orderBy("url_host")
 
 
+def q_host_cap_sample(spark, sf_dir):
+    """Per-host corpus balancing: keep ≤5 pages per host ranked by the
+    deterministic url hash (operators/urls.py::cap_per_host); output per
+    host the kept count and a fingerprint of WHICH urls were kept — the
+    oracle re-ranks with the same hash, so a nondeterministic keep-set
+    fails the gate."""
+    from ocr_model_spark.operators.dedup import stable_hash
+    from ocr_model_spark.operators.urls import cap_per_host
+
+    pages = spark.read.parquet(pages_for(sf_dir)).select("url")
+    kept = cap_per_host(pages, k=5)
+    return (
+        kept.groupBy(F.expr("parse_url(url, 'HOST')").alias("url_host"))
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(url), 1, 8), 16, 10) AS BIGINT))"
+            ).alias("kept_fingerprint"),
+        )
+        .orderBy("url_host")
+    )
+
+
+def host_cap_oracle_sql(sf_dir: str) -> str:
+    path = pages_for(sf_dir)
+    return f"""
+WITH ranked AS (
+    SELECT url,
+           regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1) AS url_host,
+           ROW_NUMBER() OVER (
+               PARTITION BY regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)
+               ORDER BY CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT), url
+           ) AS rk
+    FROM read_parquet('{path}/*.parquet')
+)
+SELECT url_host, COUNT(*) AS n_kept,
+       CAST(bit_xor(CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT)) AS BIGINT)
+           AS kept_fingerprint
+FROM ranked WHERE rk <= 5 GROUP BY url_host ORDER BY url_host
+"""
+
+
 def host_counters_oracle_sql(sf_dir: str) -> str:
     """Batch twin of the stateful counters over the same pages parquet:
     failures = empty or image-magic payloads (everything else is an
@@ -437,6 +479,7 @@ def all_queries() -> dict:
     out["ann_recall"] = q_ann_recall
     out["host_ingest_counters"] = q_host_ingest_counters
     out["host_counters_salted"] = q_host_counters_salted
+    out["host_cap_sample"] = q_host_cap_sample
     for name, (fn, _order) in SNAPSHOT_QUERIES.items():
         out[name] = fn
     return out
@@ -450,6 +493,7 @@ def all_oracles() -> dict[str, str]:
     out["ann_recall"] = ann_recall_oracle_sql(DRIVER_ORACLE_SF)
     out["host_ingest_counters"] = host_counters_oracle_sql(DRIVER_ORACLE_SF)
     out["host_counters_salted"] = host_counters_oracle_sql(DRIVER_ORACLE_SF)
+    out["host_cap_sample"] = host_cap_oracle_sql(DRIVER_ORACLE_SF)
     for name, (_fn, order_by) in SNAPSHOT_QUERIES.items():
         out[name] = snapshot_oracle_sql(name, DRIVER_ORACLE_SF, order_by)
     return out

@@ -1,0 +1,72 @@
+"""URL canonicalization and per-host corpus balancing — crawl-side
+operators a training pipeline runs before dedup/sampling.
+
+Canonicalization policy (deliberately conservative, and expressed ONLY
+with constructs whose semantics are identical in Java regex and RE2 so
+the DuckDB oracle can mirror it verbatim — no replacement backreferences,
+which differ between the dialects):
+
+  1. strip the fragment;
+  2. lowercase scheme://host (path/query case is significant, host case
+     is not);
+  3. strip default ports (http:80, https:443);
+  4. drop tracking parameters (utm_*, fbclid, gclid) wherever they sit in
+     the query string, tidying separators;
+  5. strip a trailing bare '?' or '&'.
+
+Per-host capping: crawls are Zipf-skewed, and training mixes cap documents
+per domain; the keep-set must be DETERMINISTIC (replays keep the same
+rows), so ranking uses the md5-prefix stable hash of the url, never rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Pure-expression canonical form (see module docstring for the
+    policy); codegen'd, no UDF, oracle-mirrorable."""
+    u0 = F.regexp_replace(url, r"#.*$", "")
+    head = F.lower(F.regexp_extract(u0, r"^[^/?#]*://[^/?#]*", 0))
+    head = (
+        F.when(
+            head.startswith("http://") & head.endswith(":80"),
+            head.substr(F.lit(1), F.length(head) - 3),
+        )
+        .when(
+            head.startswith("https://") & head.endswith(":443"),
+            head.substr(F.lit(1), F.length(head) - 4),
+        )
+        .otherwise(head)
+    )
+    rest = F.regexp_replace(u0, r"^[^/?#]*://[^/?#]*", "")
+    u1 = F.concat(head, rest)
+    u2 = F.regexp_replace(u1, "&" + TRACKING_PARAM_RE, "")
+    u3 = F.regexp_replace(u2, r"\?" + TRACKING_PARAM_RE + "&", "?")
+    u4 = F.regexp_replace(u3, r"\?" + TRACKING_PARAM_RE + "$", "")
+    return F.regexp_replace(u4, r"[?&]+$", "")
+
+
+def cap_per_host(
+    df: DataFrame,
+    url_col: str = "url",
+    k: int = 5,
+) -> DataFrame:
+    """Keep at most ``k`` rows per url-host, ranked by the deterministic
+    md5-prefix hash of the url (ties by url) — balanced-corpus sampling
+    that is a pure function of the input set. One shuffle on the host key;
+    at real scale hot hosts are bounded by the same windowing (rank
+    truncation happens partition-locally after the sort)."""
+    from ocr_model_spark.operators.dedup import stable_hash
+
+    host = F.expr(f"parse_url({url_col}, 'HOST')")
+    w = Window.partitionBy(host).orderBy(stable_hash(F.col(url_col)), F.col(url_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

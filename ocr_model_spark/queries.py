@@ -830,6 +830,65 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+def q_url_canonical_dups(spark, sf_dir):
+    """URL canonicalization gate: three messy variants of each document's
+    url (case-shuffled host, :80 port, fragment, utm/gclid tracking
+    params) are CONSTRUCTED in-plan on both engines; all three must
+    collapse to one canonical form. Verifies the actual normalization
+    chain value-by-value."""
+    from ocr_model_spark.operators.urls import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 40).cast("string")
+    i = F.col("doc_id").cast("string")
+    v1 = F.concat(
+        F.lit("HTTP://Site"), h, F.lit(".Example.COM:80/a/"), i,
+        F.lit("?utm_source=x&q="), i, F.lit("#frag"),
+    )
+    v2 = F.concat(F.lit("http://site"), h, F.lit(".example.com/a/"), i, F.lit("?q="), i)
+    v3 = F.concat(
+        F.lit("http://Site"), h, F.lit(".Example.COM/a/"), i, F.lit("?gclid=zz&q="), i
+    )
+    return (
+        d.select(F.explode(F.array(v1, v2, v3)).alias("u"))
+        .select(canonical_url(F.col("u")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"))
+        .orderBy("canonical_url")
+    )
+
+
+_SQL_URL_CANONICAL_DUPS = r"""
+WITH v AS (
+    SELECT unnest([
+        'HTTP://Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM:80/a/' || CAST(doc_id AS VARCHAR)
+            || '?utm_source=x&q=' || CAST(doc_id AS VARCHAR) || '#frag',
+        'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+            || '?q=' || CAST(doc_id AS VARCHAR),
+        'http://Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM/a/' || CAST(doc_id AS VARCHAR)
+            || '?gclid=zz&q=' || CAST(doc_id AS VARCHAR)
+    ]) AS u FROM documents
+), c0 AS (SELECT regexp_replace(u, '#.*$', '') AS u FROM v),
+c1 AS (
+    SELECT CASE
+             WHEN lower(regexp_extract(u, '^[^/?#]*://[^/?#]*')) LIKE 'http://%:80'
+               THEN substr(lower(regexp_extract(u, '^[^/?#]*://[^/?#]*')), 1,
+                           length(lower(regexp_extract(u, '^[^/?#]*://[^/?#]*'))) - 3)
+             WHEN lower(regexp_extract(u, '^[^/?#]*://[^/?#]*')) LIKE 'https://%:443'
+               THEN substr(lower(regexp_extract(u, '^[^/?#]*://[^/?#]*')), 1,
+                           length(lower(regexp_extract(u, '^[^/?#]*://[^/?#]*'))) - 4)
+             ELSE lower(regexp_extract(u, '^[^/?#]*://[^/?#]*'))
+           END || regexp_replace(u, '^[^/?#]*://[^/?#]*', '') AS u
+    FROM c0
+), c2 AS (SELECT regexp_replace(u, '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u FROM c1),
+c3 AS (SELECT regexp_replace(u, '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?') AS u FROM c2),
+c4 AS (SELECT regexp_replace(u, '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS u FROM c3),
+c5 AS (SELECT regexp_replace(u, '[?&]+$', '') AS u FROM c4)
+SELECT u AS canonical_url, COUNT(*) AS n_variants
+FROM c5 GROUP BY u ORDER BY canonical_url
+"""
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition metrics per document (duplicate-content
     quality filters: distinct-word / top-word / top-bigram fractions)."""
@@ -1426,6 +1485,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "pii_scrub_stats": (q_pii_scrub_stats, _pii_scrub_sql()),
     "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
     "repetition_profile": (q_repetition_profile, _SQL_REPETITION_PROFILE),
+    "url_canonical_dups": (q_url_canonical_dups, _SQL_URL_CANONICAL_DUPS),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "cosine_topk": (q_cosine_topk, _SQL_COSINE_TOPK),
     "text_profile": (q_text_profile, _SQL_TEXT_PROFILE),

@@ -234,3 +234,42 @@ def test_pii_scrub_expressions(spark):
     assert (out[0]["ne"], out[0]["ni"]) == (1, 1)
     assert (out[1]["ne"], out[1]["ni"]) == (0, 0)
     assert out[1]["s"] == "no pii here, just 3.14159 and version 1.2.3"
+
+
+def test_canonical_url_policy(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.urls import canonical_url
+
+    cases = [
+        ("HTTP://Ex.COM:80/A/b?utm_source=x&q=1#f", "http://ex.com/A/b?q=1"),
+        ("https://Ex.com:443/p", "https://ex.com/p"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),  # non-default kept
+        ("http://ex.com/p?gclid=z", "http://ex.com/p"),
+        ("http://ex.com/p?a=1&utm_b=2&c=3", "http://ex.com/p?a=1&c=3"),
+        ("http://ex.com/p?utm_a=1&utm_b=2", "http://ex.com/p"),
+        ("http://ex.com/CaseKept/Path", "http://ex.com/CaseKept/Path"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"u": [c[0] for c in cases]}))
+    got = [r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [c[1] for c in cases], got
+
+
+def test_cap_per_host_deterministic_and_bounded(spark, pages_path):
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.urls import cap_per_host
+
+    pages = spark.read.parquet(pages_path).select("url")
+    a = sorted(r["url"] for r in cap_per_host(pages, k=3).collect())
+    b = sorted(r["url"] for r in cap_per_host(pages, k=3).collect())
+    assert a == b  # replay-identical keep-set
+    per_host = (
+        cap_per_host(pages, k=3)
+        .groupBy(F.expr("parse_url(url, 'HOST')"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_host <= 3

@@ -142,3 +142,16 @@ def test_streaming_near_dup_matches_oracle(spark, duck):
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
     assert got["is_near_dup"].any()  # the corpus does contain near-dups
+
+
+def test_host_cap_sample_matches_oracle(spark, duck):
+    """Deterministic per-host capping vs the DuckDB re-ranking oracle —
+    the kept-set fingerprint pins WHICH rows survive."""
+    from ocr_model_spark.entry import host_cap_oracle_sql, q_host_cap_sample
+
+    got, got_kinds = _normalize(q_host_cap_sample(spark, SF_DIR).toPandas())
+    want, want_kinds = _normalize(duck.execute(host_cap_oracle_sql(SF_DIR)).df())
+    assert got_kinds == want_kinds
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert (got["n_kept"] <= 5).all()

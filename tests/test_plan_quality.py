@@ -165,3 +165,40 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS _pq_ev_b")
         spark.sql("DROP TABLE IF EXISTS _pq_us_b")
+
+
+def test_doc_chunks_stays_in_codegen_with_pruned_scan(spark):
+    """Chunking is pure expressions: whole-stage codegen, no Exchange, no
+    Python stage, and the parquet scan reads only (doc_id, text)."""
+    from ocr_model_spark.queries import q_doc_chunks
+
+    df = q_doc_chunks(spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # ORDER BY adds one Exchange (rangepartitioning); chunk generation
+    # itself must add none
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_pii_scrub_runs_email_regex_once_per_row(spark):
+    """The staged form must materialize ONE email-replaced intermediate:
+    exactly one regexp_replace over the raw column with the email pattern
+    appears in the optimized plan (the review found a double evaluation)."""
+    from ocr_model_spark.queries import q_pii_scrub_stats
+
+    df = q_pii_scrub_stats(spark, "/root/testdata/sf0.001")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("<EMAIL>") == 1, optimized
+
+
+def test_repetition_profile_two_keyed_shuffles(spark):
+    """Word and bigram stats each need one (doc, gram) shuffle plus the
+    per-doc combine — partials are map-side combined; no cross join, no
+    Python stage."""
+    from ocr_model_spark.queries import q_repetition_profile
+
+    df = q_repetition_profile(spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    assert "ArrowEvalPython" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both frames
