@@ -396,14 +396,12 @@ def q_host_cap_sample(spark, sf_dir):
     from ocr_model_spark.operators.urls import cap_per_host
 
     pages = spark.read.parquet(pages_for(sf_dir)).select("url")
-    kept = cap_per_host(pages, k=5)
+    kept = cap_per_host(pages, k=5).withColumn("_h", stable_hash(F.col("url")))
     return (
-        kept.groupBy(F.expr("parse_url(url, 'HOST')").alias("url_host"))
+        kept.groupBy(F.expr("try_parse_url(url, 'HOST')").alias("url_host"))
         .agg(
             F.count("*").alias("n_kept"),
-            F.expr(
-                "bit_xor(cast(conv(substring(md5(url), 1, 8), 16, 10) AS BIGINT))"
-            ).alias("kept_fingerprint"),
+            F.expr("bit_xor(_h)").alias("kept_fingerprint"),
         )
         .orderBy("url_host")
     )
@@ -414,9 +412,9 @@ def host_cap_oracle_sql(sf_dir: str) -> str:
     return f"""
 WITH ranked AS (
     SELECT url,
-           regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1) AS url_host,
+           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS url_host,
            ROW_NUMBER() OVER (
-               PARTITION BY regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)
+               PARTITION BY regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)
                ORDER BY CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT), url
            ) AS rk
     FROM read_parquet('{path}/*.parquet')
@@ -431,10 +429,11 @@ FROM ranked WHERE rk <= 5 GROUP BY url_host ORDER BY url_host
 def host_counters_oracle_sql(sf_dir: str) -> str:
     """Batch twin of the stateful counters over the same pages parquet:
     failures = empty or image-magic payloads (everything else is an
-    extractable type), hosts via regexp (DuckDB has no parse_url)."""
+    extractable type), hosts via a regexp mirroring parse_url HOST semantics
+    (userinfo dropped, host ends at : / ? # — DuckDB has no parse_url)."""
     path = pages_for(sf_dir)
     return f"""
-SELECT regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1) AS url_host,
+SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS url_host,
        COUNT(*) AS total_docs,
        CAST(SUM(CASE WHEN html IS NULL
                        OR octet_length(html) = 0

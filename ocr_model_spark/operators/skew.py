@@ -70,7 +70,7 @@ def host_ingest_counters_batch(pages_df: DataFrame, buckets: int = 16) -> DataFr
 
     slim = pages_df.select(
         "url",
-        F.expr("parse_url(url, 'HOST')").alias("url_host"),
+        F.expr("try_parse_url(url, 'HOST')").alias("url_host"),
         # same failure rule as the streaming operator: non-extractable type
         (~doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx"))
         .cast("long")

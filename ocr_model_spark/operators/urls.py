@@ -24,13 +24,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&]*"
 
 
 def canonical_url(url: Column) -> Column:
     """Pure-expression canonical form (see module docstring for the
-    policy); codegen'd, no UDF, oracle-mirrorable."""
-    u0 = F.regexp_replace(url, r"#.*$", "")
+    policy); codegen'd, no UDF, oracle-mirrorable.
+
+    Dialect notes (review-hardened): anchors use ``(?s)…`` / ``\\z`` —
+    Java's ``$`` matches before a trailing newline while RE2's does not,
+    so ``$`` would desynchronize the two engines on a url with trailing
+    whitespace. Tracking-param stripping is scoped to the QUERY STRING
+    (split at the first '?'): a literal ``&gclid=`` in the PATH is legal
+    per RFC 3986 and must not swallow the rest of the path."""
+    u0 = F.regexp_replace(url, r"(?s)#.*", "")
     head = F.lower(F.regexp_extract(u0, r"^[^/?#]*://[^/?#]*", 0))
     head = (
         F.when(
@@ -45,10 +52,12 @@ def canonical_url(url: Column) -> Column:
     )
     rest = F.regexp_replace(u0, r"^[^/?#]*://[^/?#]*", "")
     u1 = F.concat(head, rest)
-    u2 = F.regexp_replace(u1, "&" + TRACKING_PARAM_RE, "")
-    u3 = F.regexp_replace(u2, r"\?" + TRACKING_PARAM_RE + "&", "?")
-    u4 = F.regexp_replace(u3, r"\?" + TRACKING_PARAM_RE + "$", "")
-    return F.regexp_replace(u4, r"[?&]+$", "")
+    base = F.regexp_extract(u1, r"^[^?]*", 0)
+    q = F.regexp_replace(u1, r"^[^?]*", "")
+    q = F.regexp_replace(q, "&" + TRACKING_PARAM_RE, "")
+    q = F.regexp_replace(q, r"\?" + TRACKING_PARAM_RE + "&", "?")
+    q = F.regexp_replace(q, r"\?" + TRACKING_PARAM_RE + r"\z", "")
+    return F.regexp_replace(F.concat(base, q), r"[?&]+\z", "")
 
 
 def cap_per_host(
@@ -63,7 +72,7 @@ def cap_per_host(
     truncation happens partition-locally after the sort)."""
     from ocr_model_spark.operators.dedup import stable_hash
 
-    host = F.expr(f"parse_url({url_col}, 'HOST')")
+    host = F.expr(f"try_parse_url({url_col}, 'HOST')")
     w = Window.partitionBy(host).orderBy(stable_hash(F.col(url_col)), F.col(url_col))
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -44,7 +44,7 @@ def salted_repartition(
     The salt is ``pmod(xxhash64(url), B)`` — a pure function of the url, so
     the layout is stable across replays (unlike ``rand()``-salting).
     """
-    host = F.expr("parse_url(url, 'HOST')")
+    host = F.expr("try_parse_url(url, 'HOST')")
     salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
     if num_partitions:
         return pages.repartition(num_partitions, host, salt)

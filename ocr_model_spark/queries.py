@@ -868,7 +868,7 @@ WITH v AS (
         'http://Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM/a/' || CAST(doc_id AS VARCHAR)
             || '?gclid=zz&q=' || CAST(doc_id AS VARCHAR)
     ]) AS u FROM documents
-), c0 AS (SELECT regexp_replace(u, '#.*$', '') AS u FROM v),
+), c0 AS (SELECT regexp_replace(u, '(?s)#.*', '') AS u FROM v),
 c1 AS (
     SELECT CASE
              WHEN lower(regexp_extract(u, '^[^/?#]*://[^/?#]*')) LIKE 'http://%:80'
@@ -880,10 +880,13 @@ c1 AS (
              ELSE lower(regexp_extract(u, '^[^/?#]*://[^/?#]*'))
            END || regexp_replace(u, '^[^/?#]*://[^/?#]*', '') AS u
     FROM c0
-), c2 AS (SELECT regexp_replace(u, '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u FROM c1),
-c3 AS (SELECT regexp_replace(u, '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?') AS u FROM c2),
-c4 AS (SELECT regexp_replace(u, '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS u FROM c3),
-c5 AS (SELECT regexp_replace(u, '[?&]+$', '') AS u FROM c4)
+), cq AS (
+    -- tracking params are stripped from the QUERY STRING only
+    SELECT regexp_extract(u, '^[^?]*') AS b, regexp_replace(u, '^[^?]*', '') AS q FROM c1
+), q1 AS (SELECT b, regexp_replace(q, '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g') AS q FROM cq),
+q2 AS (SELECT b, regexp_replace(q, '\?(utm_[a-z]+|fbclid|gclid)=[^&]*&', '?') AS q FROM q1),
+q3 AS (SELECT b, regexp_replace(q, '\?(utm_[a-z]+|fbclid|gclid)=[^&]*\z', '') AS q FROM q2),
+c5 AS (SELECT regexp_replace(b || q, '[?&]+\z', '') AS u FROM q3)
 SELECT u AS canonical_url, COUNT(*) AS n_variants
 FROM c5 GROUP BY u ORDER BY canonical_url
 """

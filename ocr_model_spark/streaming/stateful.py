@@ -74,7 +74,7 @@ def host_ingest_counters(pages_stream: DataFrame) -> DataFrame:
     from ocr_model_spark.operators.dispatch import doc_type_col
 
     slim = pages_stream.select(
-        F.expr("parse_url(url, 'HOST')").alias("url_host"),
+        F.expr("try_parse_url(url, 'HOST')").alias("url_host"),
         # extractable types (mirrors the gate in operators/extract.py)
         doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx").alias("ok"),
         F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
