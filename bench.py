@@ -100,6 +100,7 @@ def main() -> None:
         "doc_chunks",
         "near_dup_clusters",
         "repetition_profile",
+        "unigram_quality",
     ]
     for name in headline:
         fn, _sql = SQL_QUERIES[name]

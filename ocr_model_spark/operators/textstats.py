@@ -203,3 +203,39 @@ def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text"):
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def unigram_logprob_quality(df, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style LM quality score, unigram variant: per-document mean
+    negative log-probability of its words under the CORPUS unigram
+    distribution. Fluent/typical documents score low, gibberish and
+    boilerplate-stuffed ones high — the ranking signal CCNet uses (with a
+    wiki LM) to stratify training data into quality buckets.
+
+    Two passes, both relational: (1) corpus word frequencies — one
+    combining groupBy on the word key; (2) per-doc join word→frequency and
+    aggregate. The frequency table is vocabulary-sized (sublinear in the
+    corpus; cap to top-K with a default-probability floor at extreme
+    scale). Scores are rounded (+1e-9 nudge) so float-summation order
+    cannot flip oracle hashes."""
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.dedup import normalized_words
+
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), normalized_words(F.col(text_col)).alias("w"))
+        .filter(F.size("w") > 0)
+        .select("id", F.explode("w").alias("g"))
+    )
+    vocab = words.groupBy("g").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        words.join(vocab, "g")
+        .crossJoin(total)  # one-row relation: broadcast, duplicates nothing
+        .select("id", (-F.log(F.col("cnt") / F.col("total"))).alias("nlp"))
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(F.avg("nlp") + 1e-9, 4).alias("avg_neg_logp"),
+    )

@@ -1460,6 +1460,32 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 # registry
 # =====================================================================
 
+
+
+def q_unigram_quality(spark, sf_dir):
+    """Corpus-unigram LM quality score per document (CCNet-style ranking
+    signal, unigram variant)."""
+    d = _t(spark, sf_dir, "documents")
+    return X.unigram_logprob_quality(d, "doc_id", "text").orderBy("doc_id")
+
+
+_SQL_UNIGRAM_QUALITY = r"""
+WITH wds AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'),
+                              x -> x <> '')) AS g
+    FROM documents WHERE text IS NOT NULL
+), vocab AS (
+    SELECT g, COUNT(*) AS cnt FROM wds GROUP BY g
+), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       ROUND(AVG(-ln(cnt / total)) + 1e-9, 4) AS avg_neg_logp
+FROM wds JOIN vocab USING (g) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
     "doc_summary_by_source": (q_doc_summary_by_source, _SQL_DOC_SUMMARY),
@@ -1489,6 +1515,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
     "repetition_profile": (q_repetition_profile, _SQL_REPETITION_PROFILE),
     "url_canonical_dups": (q_url_canonical_dups, _SQL_URL_CANONICAL_DUPS),
+    "unigram_quality": (q_unigram_quality, _SQL_UNIGRAM_QUALITY),
     "simhash": (q_simhash, _SQL_SIMHASH),
     "cosine_topk": (q_cosine_topk, _SQL_COSINE_TOPK),
     "text_profile": (q_text_profile, _SQL_TEXT_PROFILE),
@@ -1504,3 +1531,4 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "near_dup_verified": (q_near_dup_verified, _near_dup_verified_sql()),
     "embedding_near_dups": (q_embedding_near_dups, _SQL_EMBEDDING_NEAR_DUPS),
 }
+
