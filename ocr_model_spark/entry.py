@@ -393,12 +393,12 @@ def q_host_cap_sample(spark, sf_dir):
     oracle re-ranks with the same hash, so a nondeterministic keep-set
     fails the gate."""
     from ocr_model_spark.operators.dedup import stable_hash
-    from ocr_model_spark.operators.urls import cap_per_host
+    from ocr_model_spark.operators.urls import cap_per_host, url_host
 
     pages = spark.read.parquet(pages_for(sf_dir)).select("url")
     kept = cap_per_host(pages, k=5).withColumn("_h", stable_hash(F.col("url")))
     return (
-        kept.groupBy(F.expr("try_parse_url(url, 'HOST')").alias("url_host"))
+        kept.groupBy(url_host("url").alias("url_host"))
         .agg(
             F.count("*").alias("n_kept"),
             F.expr("bit_xor(_h)").alias("kept_fingerprint"),

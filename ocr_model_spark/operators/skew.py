@@ -67,10 +67,11 @@ def host_ingest_counters_batch(pages_df: DataFrame, buckets: int = 16) -> DataFr
     (docs, failures, bytes) totals, computed with the salted two-stage
     aggregation so the Zipf-hot host cannot pile one reduce partition."""
     from ocr_model_spark.operators.dispatch import doc_type_col
+    from ocr_model_spark.operators.urls import url_host
 
     slim = pages_df.select(
         "url",
-        F.expr("try_parse_url(url, 'HOST')").alias("url_host"),
+        url_host("url").alias("url_host"),
         # same failure rule as the streaming operator: non-extractable type
         (~doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx"))
         .cast("long")

@@ -212,30 +212,51 @@ def unigram_logprob_quality(df, id_col: str = "doc_id", text_col: str = "text"):
     boilerplate-stuffed ones high — the ranking signal CCNet uses (with a
     wiki LM) to stratify training data into quality buckets.
 
-    Two passes, both relational: (1) corpus word frequencies — one
-    combining groupBy on the word key; (2) per-doc join word→frequency and
-    aggregate. The frequency table is vocabulary-sized (sublinear in the
-    corpus; cap to top-K with a default-probability floor at extreme
-    scale). Scores are rounded (+1e-9 nudge) so float-summation order
-    cannot flip oracle hashes."""
+    Two passes, both relational, over per-(doc, word) COUNT pairs (the
+    distinct-pair frame — several-fold less shuffle volume than raw token
+    rows): (1) corpus word frequencies — one combining groupBy on the word
+    key; (2) word→frequency join and a per-doc fold. The frequency table
+    is vocabulary-sized (sublinear in the corpus; cap to top-K with a
+    default-probability floor at extreme scale).
+
+    The mean is computed by a FIXED-ORDER fold (collect per-doc terms,
+    sort by word, HOF-aggregate) — ``avg()``'s partial-sum order varies
+    with partitioning (the repo-wide stable-mean rule, similarity.py), and
+    the oracle folds in the same word order, so the sums are bitwise
+    comparable before the final round."""
     from pyspark.sql import functions as F
 
     from ocr_model_spark.operators.dedup import normalized_words
 
-    words = (
+    pairs = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), normalized_words(F.col(text_col)).alias("w"))
         .filter(F.size("w") > 0)
         .select("id", F.explode("w").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
     )
-    vocab = words.groupBy("g").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    scored = (
-        words.join(vocab, "g")
+    vocab = pairs.groupBy("g").agg(F.sum("c").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    terms = (
+        pairs.join(vocab, "g")
         .crossJoin(total)  # one-row relation: broadcast, duplicates nothing
-        .select("id", (-F.log(F.col("cnt") / F.col("total"))).alias("nlp"))
+        .select(
+            "id",
+            F.struct(
+                F.col("g"),
+                (F.col("c") * -F.log(F.col("cnt") / F.col("total"))).alias("wnlp"),
+                F.col("c"),
+            ).alias("t"),
+        )
     )
-    return scored.groupBy(F.col("id").alias(id_col)).agg(
-        F.count("*").cast("long").alias("n_words"),
-        F.round(F.avg("nlp") + 1e-9, 4).alias("avg_neg_logp"),
+    folded = terms.groupBy(F.col("id").alias(id_col)).agg(
+        F.sort_array(F.collect_list("t")).alias("a")  # sorted by g: total order
+    )
+    n_words = F.aggregate(F.col("a"), F.lit(0).cast("long"), lambda acc, x: acc + x["c"])
+    sum_nlp = F.aggregate(F.col("a"), F.lit(0.0), lambda acc, x: acc + x["wnlp"])
+    return folded.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(sum_nlp / n_words + 1e-9, 4).alias("avg_neg_logp"),
     )

@@ -26,6 +26,21 @@ from pyspark.sql import functions as F
 
 TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&]*"
 
+# ONE host-extraction definition for every oracled host-keyed operator,
+# in a dialect shared verbatim by Java regex and RE2: userinfo dropped,
+# host ends at : / ? #. Pure regex beats parse_url here — parse_url
+# THROWS on malformed urls and try_parse_url yields NULL for underscore
+# hosts (ubiquitous in real crawls), which would collapse distinct hosts
+# into one NULL group AND diverge from any SQL oracle; regexp_extract
+# returns '' on no-match in BOTH engines, so even malformed urls group
+# identically on both sides.
+URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def url_host(url: Column | str = "url") -> Column:
+    col = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(col, URL_HOST_RE, 1)
+
 
 def canonical_url(url: Column) -> Column:
     """Pure-expression canonical form (see module docstring for the
@@ -72,7 +87,7 @@ def cap_per_host(
     truncation happens partition-locally after the sort)."""
     from ocr_model_spark.operators.dedup import stable_hash
 
-    host = F.expr(f"try_parse_url({url_col}, 'HOST')")
+    host = url_host(url_col)
     w = Window.partitionBy(host).orderBy(stable_hash(F.col(url_col)), F.col(url_col))
     return (
         df.withColumn("_rk", F.row_number().over(w))

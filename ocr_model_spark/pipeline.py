@@ -44,7 +44,12 @@ def salted_repartition(
     The salt is ``pmod(xxhash64(url), B)`` — a pure function of the url, so
     the layout is stable across replays (unlike ``rand()``-salting).
     """
-    host = F.expr("try_parse_url(url, 'HOST')")
+    from ocr_model_spark.operators.urls import url_host
+
+    # the ONE host definition (operators/urls.py) — pure regex: never
+    # throws on malformed crawl urls, never NULL-collapses underscore
+    # hosts, and matches what every host-keyed oracle computes
+    host = url_host("url")
     salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
     if num_partitions:
         return pages.repartition(num_partitions, host, salt)

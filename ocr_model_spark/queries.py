@@ -884,8 +884,8 @@ c1 AS (
     -- tracking params are stripped from the QUERY STRING only
     SELECT regexp_extract(u, '^[^?]*') AS b, regexp_replace(u, '^[^?]*', '') AS q FROM c1
 ), q1 AS (SELECT b, regexp_replace(q, '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g') AS q FROM cq),
-q2 AS (SELECT b, regexp_replace(q, '\?(utm_[a-z]+|fbclid|gclid)=[^&]*&', '?') AS q FROM q1),
-q3 AS (SELECT b, regexp_replace(q, '\?(utm_[a-z]+|fbclid|gclid)=[^&]*\z', '') AS q FROM q2),
+q2 AS (SELECT b, regexp_replace(q, '\?(utm_[a-z]+|fbclid|gclid)=[^&]*&', '?', 'g') AS q FROM q1),
+q3 AS (SELECT b, regexp_replace(q, '\?(utm_[a-z]+|fbclid|gclid)=[^&]*\z', '', 'g') AS q FROM q2),
 c5 AS (SELECT regexp_replace(b || q, '[?&]+\z', '') AS u FROM q3)
 SELECT u AS canonical_url, COUNT(*) AS n_variants
 FROM c5 GROUP BY u ORDER BY canonical_url
@@ -1475,14 +1475,26 @@ WITH wds AS (
            unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'),
                               x -> x <> '')) AS g
     FROM documents WHERE text IS NOT NULL
+), pairs AS (
+    SELECT doc_id, g, COUNT(*) AS c FROM wds GROUP BY doc_id, g
 ), vocab AS (
-    SELECT g, COUNT(*) AS cnt FROM wds GROUP BY g
-), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+    SELECT g, CAST(SUM(c) AS BIGINT) AS cnt FROM pairs GROUP BY g
+), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+terms AS (
+    SELECT doc_id, g, c, c * -ln(cnt / total) AS wnlp
+    FROM pairs JOIN vocab USING (g) CROSS JOIN tot
+), folded AS (
+    -- fixed-order fold (sorted by word) mirrors the Spark sorted
+    -- HOF-aggregate: the double sums are bitwise comparable
+    SELECT doc_id,
+           list_sum(list(c ORDER BY g)) AS n_words_h,
+           list_sum(list(wnlp ORDER BY g)) AS sum_nlp
+    FROM terms GROUP BY doc_id
+)
 SELECT doc_id,
-       COUNT(*) AS n_words,
-       ROUND(AVG(-ln(cnt / total)) + 1e-9, 4) AS avg_neg_logp
-FROM wds JOIN vocab USING (g) CROSS JOIN tot
-GROUP BY doc_id ORDER BY doc_id
+       CAST(n_words_h AS BIGINT) AS n_words,
+       ROUND(sum_nlp / n_words_h + 1e-9, 4) AS avg_neg_logp
+FROM folded ORDER BY doc_id
 """
 
 

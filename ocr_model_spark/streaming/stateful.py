@@ -72,9 +72,10 @@ def host_ingest_counters(pages_stream: DataFrame) -> DataFrame:
     the projection to (host, ok-ish flag, byte count) happens JVM-side —
     only three narrow columns reach the stateful python stage."""
     from ocr_model_spark.operators.dispatch import doc_type_col
+    from ocr_model_spark.operators.urls import url_host
 
     slim = pages_stream.select(
-        F.expr("try_parse_url(url, 'HOST')").alias("url_host"),
+        url_host("url").alias("url_host"),
         # extractable types (mirrors the gate in operators/extract.py)
         doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx").alias("ok"),
         F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
