@@ -408,13 +408,15 @@ def q_host_cap_sample(spark, sf_dir):
 
 
 def host_cap_oracle_sql(sf_dir: str) -> str:
+    from ocr_model_spark.operators.urls import URL_HOST_RE
+
     path = pages_for(sf_dir)
     return f"""
 WITH ranked AS (
     SELECT url,
-           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS url_host,
+           regexp_extract(url, '{URL_HOST_RE}', 1) AS url_host,
            ROW_NUMBER() OVER (
-               PARTITION BY regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)
+               PARTITION BY regexp_extract(url, '{URL_HOST_RE}', 1)
                ORDER BY CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT), url
            ) AS rk
     FROM read_parquet('{path}/*.parquet')
@@ -429,11 +431,13 @@ FROM ranked WHERE rk <= 5 GROUP BY url_host ORDER BY url_host
 def host_counters_oracle_sql(sf_dir: str) -> str:
     """Batch twin of the stateful counters over the same pages parquet:
     failures = empty or image-magic payloads (everything else is an
-    extractable type), hosts via a regexp mirroring parse_url HOST semantics
-    (userinfo dropped, host ends at : / ? # — DuckDB has no parse_url)."""
+    extractable type), hosts via the SHARED url_host regexp (interpolated
+    from operators/urls.py::URL_HOST_RE — DuckDB has no parse_url)."""
+    from ocr_model_spark.operators.urls import URL_HOST_RE
+
     path = pages_for(sf_dir)
     return f"""
-SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS url_host,
+SELECT regexp_extract(url, '{URL_HOST_RE}', 1) AS url_host,
        COUNT(*) AS total_docs,
        CAST(SUM(CASE WHEN html IS NULL
                        OR octet_length(html) = 0

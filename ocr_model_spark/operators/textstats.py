@@ -243,20 +243,22 @@ def unigram_logprob_quality(df, id_col: str = "doc_id", text_col: str = "text"):
         .crossJoin(total)  # one-row relation: broadcast, duplicates nothing
         .select(
             "id",
+            "c",
             F.struct(
                 F.col("g"),
                 (F.col("c") * -F.log(F.col("cnt") / F.col("total"))).alias("wnlp"),
-                F.col("c"),
             ).alias("t"),
         )
     )
     folded = terms.groupBy(F.col("id").alias(id_col)).agg(
-        F.sort_array(F.collect_list("t")).alias("a")  # sorted by g: total order
+        # integer sums are order-insensitive — only the DOUBLE sum needs
+        # the fixed-order fold
+        F.sum("c").alias("n_words"),
+        F.sort_array(F.collect_list("t")).alias("a"),  # sorted by g: total order
     )
-    n_words = F.aggregate(F.col("a"), F.lit(0).cast("long"), lambda acc, x: acc + x["c"])
     sum_nlp = F.aggregate(F.col("a"), F.lit(0.0), lambda acc, x: acc + x["wnlp"])
     return folded.select(
         id_col,
-        n_words.alias("n_words"),
-        F.round(sum_nlp / n_words + 1e-9, 4).alias("avg_neg_logp"),
+        "n_words",
+        F.round(sum_nlp / F.col("n_words") + 1e-9, 4).alias("avg_neg_logp"),
     )

@@ -27,14 +27,16 @@ from pyspark.sql import functions as F
 TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&]*"
 
 # ONE host-extraction definition for every oracled host-keyed operator,
-# in a dialect shared verbatim by Java regex and RE2: userinfo dropped,
-# host ends at : / ? #. Pure regex beats parse_url here — parse_url
-# THROWS on malformed urls and try_parse_url yields NULL for underscore
-# hosts (ubiquitous in real crawls), which would collapse distinct hosts
-# into one NULL group AND diverge from any SQL oracle; regexp_extract
-# returns '' on no-match in BOTH engines, so even malformed urls group
-# identically on both sides.
-URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+# in a dialect shared verbatim by Java regex and RE2 (the oracle SQL
+# interpolates THIS constant — no hand copies): userinfo dropped greedily
+# to the LAST '@' of the authority (RFC 3986 — varying userinfo must not
+# let a domain evade per-host caps), host ends at : / ? # @. Pure regex
+# beats parse_url here — parse_url THROWS on malformed urls and
+# try_parse_url yields NULL for underscore hosts (ubiquitous in real
+# crawls), which would collapse distinct hosts into one NULL group AND
+# diverge from any SQL oracle; regexp_extract returns '' on no-match in
+# BOTH engines, so even malformed urls group identically on both sides.
+URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]+)"
 
 
 def url_host(url: Column | str = "url") -> Column:

@@ -1485,15 +1485,15 @@ terms AS (
     FROM pairs JOIN vocab USING (g) CROSS JOIN tot
 ), folded AS (
     -- fixed-order fold (sorted by word) mirrors the Spark sorted
-    -- HOF-aggregate: the double sums are bitwise comparable
+    -- HOF-aggregate: the DOUBLE sum is bitwise comparable; the integer
+    -- word count is order-insensitive
     SELECT doc_id,
-           list_sum(list(c ORDER BY g)) AS n_words_h,
+           CAST(SUM(c) AS BIGINT) AS n_words,
            list_sum(list(wnlp ORDER BY g)) AS sum_nlp
     FROM terms GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(n_words_h AS BIGINT) AS n_words,
-       ROUND(sum_nlp / n_words_h + 1e-9, 4) AS avg_neg_logp
+SELECT doc_id, n_words,
+       ROUND(sum_nlp / n_words + 1e-9, 4) AS avg_neg_logp
 FROM folded ORDER BY doc_id
 """
 

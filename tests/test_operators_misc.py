@@ -7,6 +7,8 @@ import os
 
 from pyspark.sql import functions as F
 
+from ocr_model_spark.operators.urls import url_host
+
 
 def test_ensemble_merge_keeps_max_confidence(spark):
     from ocr_model_spark.operators.tokens import ensemble_merge
@@ -267,7 +269,7 @@ def test_cap_per_host_deterministic_and_bounded(spark, pages_path):
     assert a == b  # replay-identical keep-set
     per_host = (
         cap_per_host(pages, k=3)
-        .groupBy(F.expr("parse_url(url, 'HOST')"))
+        .groupBy(url_host("url"))
         .count()
         .agg(F.max("count"))
         .first()[0]

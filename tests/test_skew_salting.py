@@ -5,12 +5,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ocr_model_spark.operators.urls import url_host
 from ocr_model_spark.pipeline import salted_repartition
 
 
 def test_hot_host_spreads_and_layout_is_deterministic(spark, pages_path):
     pages = spark.read.parquet(pages_path)
-    host = F.expr("parse_url(url, 'HOST')")
+    host = url_host("url")
     hot = (
         pages.groupBy(host.alias("h")).count().orderBy(F.desc("count")).first()
     )
@@ -59,7 +60,7 @@ def test_salted_aggregate_balances_hot_host(spark):
         for i in range(n)
     ]
     df = spark.createDataFrame(pd.DataFrame(rows))
-    host = F.expr("parse_url(url, 'HOST')")
+    host = url_host("url")
     salt = F.pmod(F.xxhash64("url"), F.lit(32))
     n_part = 16
     dist = (
@@ -96,7 +97,7 @@ def test_salted_aggregate_two_stage_plan_and_values(spark, pages_path):
     from ocr_model_spark.operators.dispatch import doc_type_col
 
     plain = (
-        pages.groupBy(F.expr("parse_url(url, 'HOST')").alias("url_host"))
+        pages.groupBy(url_host("url").alias("url_host"))
         .agg(
             F.count("*").alias("total_docs"),
             F.sum(

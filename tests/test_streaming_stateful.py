@@ -6,6 +6,8 @@ import uuid
 
 from pyspark.sql import functions as F
 
+from ocr_model_spark.operators.urls import url_host
+
 from ocr_model_spark.sources.pages import PAGES_SCHEMA
 from ocr_model_spark.streaming.stateful import host_ingest_counters
 
@@ -37,7 +39,7 @@ def test_host_counters_accumulate(spark, tmp_path):
     truth = (
         spark.read.parquet(pages_path)
         .select(
-            F.expr("parse_url(url, 'HOST')").alias("url_host"),
+            url_host("url").alias("url_host"),
             F.length("html").cast("long").alias("n_bytes"),
         )
         .groupBy("url_host")
