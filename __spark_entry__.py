@@ -2,10 +2,11 @@
 
 ``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
-(plus the training-data suite); ``oracle_sql()`` gives the DuckDB twin for
-each SQL-expressible query (identical column names + rounding). Extraction /
-streaming-extraction / ANN / multimodal entries are rows-only by design
-(pandas-UDF kernels and approximate ops are not ANSI-SQL-expressible).
+(plus the training-data suite); ``oracle_sql()`` gives a DuckDB oracle for
+EVERY query (round 3: zero rows-only entries) — recomputing ANSI SQL where
+expressible, committed snapshot pins (``expected/``, regenerated via
+``python -m tools.make_expected``) for the pandas-UDF extraction / ANN /
+WARC family whose deterministic outputs SQL cannot re-derive.
 """
 
 from __future__ import annotations
