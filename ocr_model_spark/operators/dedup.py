@@ -377,3 +377,56 @@ def connected_components(
         f"connected_components did not converge in {max_iter} iterations "
         "(component diameter exceeds max_iter)"
     )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs via bit-band blocking (Charikar):
+    pairs sharing ANY of ``bands`` equal-width bands of the signature,
+    kept when hamming distance <= ``max_hamming``.
+
+    Pigeonhole EXACTNESS: <= bands-1 differing bits guarantee one intact
+    band, so with bands=4, max_hamming=3 the blocking misses nothing —
+    unlike MinHash banding this candidate set is not probabilistic. One
+    shuffle on the (band, bits) key; duplicate pairs from multi-band
+    collisions dedup AFTER the (deterministic) distance is attached."""
+    if max_hamming > bands - 1:
+        raise ValueError("bit-band blocking is exact only for max_hamming <= bands-1")
+    bits_per = SIMHASH_BITS // bands
+    mask = (1 << bits_per) - 1
+    sigs = simhash(df, id_col, text_col)
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(simhash, {b * bits_per}) & {mask}").alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "bk")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "bk")
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -972,6 +972,34 @@ FROM per_bit GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_simhash_candidates(spark, sf_dir):
+    """SimHash bit-band blocking: EXACT near-dup candidates at hamming
+    <= 3 (pigeonhole over 4 bands) — the deterministic counterpart to the
+    probabilistic MinHash banding."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_candidates(d, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+def _simhash_candidates_sql() -> str:
+    sig = _SQL_SIMHASH.strip()
+    suffix = "ORDER BY doc_id"
+    assert sig.endswith(suffix), "simhash SQL trailing clause changed"
+    sig = sig.removesuffix(suffix).strip()
+    return f"""
+WITH sig AS ({sig}),
+banded AS (
+    SELECT doc_id, simhash, g.b AS band, (simhash >> (g.b * 4)) & 15 AS key
+    FROM sig, generate_series(0, 3) AS g(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -1529,6 +1557,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "url_canonical_dups": (q_url_canonical_dups, _SQL_URL_CANONICAL_DUPS),
     "unigram_quality": (q_unigram_quality, _SQL_UNIGRAM_QUALITY),
     "simhash": (q_simhash, _SQL_SIMHASH),
+    "simhash_candidates": (q_simhash_candidates, _simhash_candidates_sql()),
     "cosine_topk": (q_cosine_topk, _SQL_COSINE_TOPK),
     "text_profile": (q_text_profile, _SQL_TEXT_PROFILE),
     "quality_scores": (q_quality_scores, _SQL_QUALITY_SCORES),

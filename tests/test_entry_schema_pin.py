@@ -36,10 +36,10 @@ def test_entry_schema_is_pinned(spark):
 
 def test_every_query_key_has_stable_callable(spark):
     qs, oracles = e.queries(), e.oracle_sql()
-    assert len(qs) == 59
+    assert len(qs) == 60
     # round 3: EVERY query is oracled (snapshot pins closed the 8
     # rows-only holes — zero no_oracle rows is the driver-facing contract)
-    assert len(oracles) == 59
+    assert len(oracles) == 60
     assert set(oracles) == set(qs)
     # names are stable identifiers (the driver keys CORRECTNESS on them)
     for name in qs:
