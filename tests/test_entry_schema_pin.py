@@ -36,11 +36,21 @@ def test_entry_schema_is_pinned(spark):
 
 def test_every_query_key_has_stable_callable(spark):
     qs, oracles = e.queries(), e.oracle_sql()
-    assert len(qs) == 60
-    # round 3: EVERY query is oracled (snapshot pins closed the 8
-    # rows-only holes — zero no_oracle rows is the driver-facing contract)
-    assert len(oracles) == 60
+    # round 4: the driver evaluates only the FIRST 50 queries() entries, so
+    # the registry is capped at 50 (bonus tail demoted to
+    # queries.DEMOTED_SQL_QUERIES, verified by test_oracle_parity) and the
+    # extraction / ANN / WARC / skew flagship family registers FIRST
+    assert len(qs) == 50
+    # EVERY query is oracled (snapshot pins cover the non-SQL-expressible
+    # family — zero no_oracle rows is the driver-facing contract)
+    assert len(oracles) == 50
     assert set(oracles) == set(qs)
+    flagship_first = [
+        "extract_doc_summary", "extract_region_rows", "extract_lineage",
+        "docx_region_rows", "pdf_images_meta", "warc_ingest_summary",
+        "ann_lsh_topk", "ann_ivf_topk", "host_counters", "host_cap_sample",
+    ]
+    assert list(qs)[: len(flagship_first)] == flagship_first
     # names are stable identifiers (the driver keys CORRECTNESS on them)
     for name in qs:
         assert name.replace("_", "").isalnum()

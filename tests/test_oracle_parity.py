@@ -7,7 +7,11 @@ import duckdb
 import pandas as pd
 import pytest
 
-from ocr_model_spark.queries import SQL_QUERIES
+from ocr_model_spark.queries import DEMOTED_SQL_QUERIES, SQL_QUERIES
+
+# demoted queries left the driver's 50-slot window but keep FULL oracle
+# parity here — the suite is their correctness gate now
+ALL_SQL_QUERIES = {**SQL_QUERIES, **DEMOTED_SQL_QUERIES}
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -55,9 +59,9 @@ def _normalize(df: pd.DataFrame):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True), kinds
 
 
-@pytest.mark.parametrize("name", list(SQL_QUERIES))
+@pytest.mark.parametrize("name", list(ALL_SQL_QUERIES))
 def test_query_matches_oracle(name, spark, duck):
-    fn, sql = SQL_QUERIES[name]
+    fn, sql = ALL_SQL_QUERIES[name]
     got, got_kinds = _normalize(fn(spark, SF_DIR).toPandas())
     want, want_kinds = _normalize(duck.execute(sql).df())
     assert list(got.columns) == list(want.columns), f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
@@ -101,12 +105,13 @@ def test_streaming_dedup_matches_oracle(spark, duck):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
-def test_host_ingest_counters_matches_oracle(spark, duck):
-    """applyInPandasWithState cumulative counters vs the batch oracle over
-    the same pages parquet."""
-    from ocr_model_spark.entry import host_counters_oracle_sql, q_host_ingest_counters
+def test_host_counters_matches_oracle(spark, duck):
+    """Both per-host counter implementations (applyInPandasWithState
+    streaming + salted two-stage batch) vs the method-tagged batch oracle
+    over the same pages parquet — the merged single-slot driver query."""
+    from ocr_model_spark.entry import host_counters_oracle_sql, q_host_counters
 
-    got, got_kinds = _normalize(q_host_ingest_counters(spark, SF_DIR).toPandas())
+    got, got_kinds = _normalize(q_host_counters(spark, SF_DIR).toPandas())
     want, want_kinds = _normalize(duck.execute(host_counters_oracle_sql(SF_DIR)).df())
     assert got_kinds == want_kinds
     assert len(got) == len(want) and len(got) > 0

@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 
 from ocr_model_spark.entry import EXTRA_SQL_QUERIES
-from ocr_model_spark.queries import SQL_QUERIES
+from ocr_model_spark.queries import DEMOTED_SQL_QUERIES, SQL_QUERIES
 from tests.test_oracle_parity import TABLES, _normalize
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -23,7 +23,7 @@ def test_matches_oracle_under_adversarial_session_tz(name, spark):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    fn, sql = {**SQL_QUERIES, **EXTRA_SQL_QUERIES}[name]
+    fn, sql = {**SQL_QUERIES, **DEMOTED_SQL_QUERIES, **EXTRA_SQL_QUERIES}[name]
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")  # +8:45
     try:
