@@ -50,10 +50,21 @@ def main() -> None:
     pages_path = pages_for(sf_dir, n_pages=n_pages)
     n_pages = spark.read.parquet(pages_path).count()
 
-    # warm up the python worker pool + JIT with a slice of the real job so
-    # timings measure throughput, not process spawn
+    # Warm-up (BENCH_r03 regression: the driver's first run against freshly
+    # regenerated synth caches recorded a 2x-slower headline — cold OS page
+    # cache + python worker spawn + JIT, not a plan change). A limit(500)
+    # slice is NOT enough: the pages table is few files, so a limited scan
+    # touches one task and leaves 31 workers cold. Run the real extraction
+    # at FULL width, untimed, so the timed best-of-2 below measures
+    # steady-state throughput: (a) pre-touch every input parquet byte,
+    # (b) spawn + JIT the whole worker pool on the actual UDF.
+    spark.read.parquet(pages_path).agg(
+        F.expr("bit_xor(xxhash64(url, html))")
+    ).first()
     warm = run_extraction(spark, pages_path)
-    _consume(warm["docs"].limit(500))
+    warm["docs"].agg(
+        F.count(F.lit(1)), F.sum(F.length("text_extracted"))
+    ).first()
 
     timings: dict[str, float] = {}
 
@@ -80,9 +91,13 @@ def main() -> None:
         extract_sec = dt if extract_sec is None else min(extract_sec, dt)
     timings["extraction_docs"] = round(extract_sec, 3)
     for part in ("rows", "lineage"):
-        t0 = time.perf_counter()
-        _consume(res[part])
-        timings[f"extraction_{part}"] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2, same rationale as the headline
+            t0 = time.perf_counter()
+            _consume(res[part])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[f"extraction_{part}"] = round(best, 3)
 
     # --- analytics suite (one representative per operator family)
     headline = [

@@ -385,6 +385,7 @@ def simhash_candidates(
     text_col: str,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidate pairs via bit-band blocking (Charikar):
     pairs sharing ANY of ``bands`` equal-width bands of the signature,
@@ -392,9 +393,20 @@ def simhash_candidates(
 
     Pigeonhole EXACTNESS: <= bands-1 differing bits guarantee one intact
     band, so with bands=4, max_hamming=3 the blocking misses nothing —
-    unlike MinHash banding this candidate set is not probabilistic. One
-    shuffle on the (band, bits) key; duplicate pairs from multi-band
-    collisions dedup AFTER the (deterministic) distance is attached."""
+    unlike MinHash banding this candidate set is not probabilistic.
+
+    Plan shape (VERDICT r3 item 3 — the previous band SELF-JOIN generated
+    |bucket|² rows per 16-bit band key with no control): one shuffle on the
+    (band, bits) key into collect_list buckets — same as
+    ``minhash_candidates`` — so the bucket SIZE is observable and pairs
+    generate bucket-locally via higher-order functions. ``max_bucket`` caps
+    pathological buckets (template-identical corpora concentrate on few
+    band keys; pair count is quadratic per bucket): at web scale run exact
+    dedup FIRST and cap here — a bucket overflowing the cap is dominated by
+    exact/near-exact duplicates that exact dedup already collapsed. Default
+    None = emit everything (exact pigeonhole semantics; matches the SQL
+    oracle). Both signatures ride inside the bucket struct, so hamming is
+    computed in the same HOF pass — no join back to the signature frame."""
     if max_hamming > bands - 1:
         raise ValueError("bit-band blocking is exact only for max_hamming <= bands-1")
     bits_per = SIMHASH_BITS // bands
@@ -417,15 +429,33 @@ def simhash_candidates(
             )
         ).alias("bk"),
     )
-    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "bk")
-    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "bk")
+    buckets = (
+        banded.groupBy("bk")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket)
+    ms = F.col("ms")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ms) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ms)),
+                lambda j: F.struct(
+                    F.element_at(ms, i).alias("a"), F.element_at(ms, j).alias("b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pairs).alias("p"))
         .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
+            .cast("int")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

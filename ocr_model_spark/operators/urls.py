@@ -81,18 +81,43 @@ def cap_per_host(
     df: DataFrame,
     url_col: str = "url",
     k: int = 5,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Keep at most ``k`` rows per url-host, ranked by the deterministic
     md5-prefix hash of the url (ties by url) — balanced-corpus sampling
-    that is a pure function of the input set. One shuffle on the host key;
-    at real scale hot hosts are bounded by the same windowing (rank
-    truncation happens partition-locally after the sort)."""
+    that is a pure function of the input set.
+
+    Salted two-stage top-k (VERDICT r3 item 2 — a plain
+    ``Window.partitionBy(host)`` funnels EVERY row of the hottest host into
+    one task's sort before truncating):
+
+      stage 1: rank within (host, salt) where salt =
+               pmod(xxhash64(url), salt_buckets) — a pure function of the
+               row — and keep ``k`` per bucket. The hot host spreads over
+               ``salt_buckets`` partitions, each sorting only its share.
+      stage 2: rank within host over the ≤ salt_buckets × k survivors and
+               keep ``k``.
+
+    The keep-set is IDENTICAL to the single-window form: both stages order
+    by the same global (stable_hash(url), url) key, and every row of the
+    true per-host top-k is also in its own bucket's top-k, so stage 1 never
+    discards a final keeper. Partition sizes stay bounded at any skew:
+    stage-1 partitions hold ~rows/salt_buckets of a hot host, stage-2
+    partitions hold ≤ salt_buckets × k rows per host."""
     from ocr_model_spark.operators.dedup import stable_hash
 
     host = url_host(url_col)
-    w = Window.partitionBy(host).orderBy(stable_hash(F.col(url_col)), F.col(url_col))
+    rank_key = [stable_hash(F.col(url_col)), F.col(url_col)]
+    salt = F.pmod(F.xxhash64(url_col), F.lit(salt_buckets))
+    w1 = Window.partitionBy(host, salt).orderBy(*rank_key)
+    pruned = (
+        df.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .drop("_rk1")
+    )
+    w2 = Window.partitionBy(host).orderBy(*rank_key)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        pruned.withColumn("_rk", F.row_number().over(w2))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )

@@ -275,3 +275,38 @@ def test_cap_per_host_deterministic_and_bounded(spark, pages_path):
         .first()[0]
     )
     assert per_host <= 3
+
+
+def test_simhash_candidates_bucket_cap_bounds_template_corpus(spark):
+    """Template-identical corpus: every doc shares most band keys, so
+    uncapped blocking is quadratic. With max_bucket the pair count is
+    bounded by n_buckets * max_bucket^2 / 2, and the uncapped set equals
+    the capped set plus the dropped (exact-dup-territory) buckets —
+    capped output is always a SUBSET of the exact pigeonhole set."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import simhash_candidates
+
+    n = 200
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i:04d}" for i in range(n)],
+                # identical boilerplate, one varying token
+                "text": [
+                    f"terms of service page copyright acme corp all rights reserved item{i}"
+                    for i in range(n)
+                ],
+            }
+        )
+    )
+    uncapped = simhash_candidates(docs, "doc_id", "text")
+    capped = simhash_candidates(docs, "doc_id", "text", max_bucket=8)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    # quadratic blowup really happens on this corpus…
+    assert n_uncapped > 1000, n_uncapped
+    # …and the cap bounds it: 4 bands * C(8,2) pairs per surviving bucket
+    assert n_capped <= 4 * 8 * 7 // 2, n_capped
+    cap_rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    un_rows = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert cap_rows <= un_rows

@@ -123,3 +123,53 @@ def test_salted_aggregate_rejects_unsupported_ops(spark):
     df = spark.range(4).withColumnRenamed("id", "url")
     with _pytest.raises(ValueError, match="unsupported"):
         salted_aggregate(df, ["url"], [("avg", "url", "x")])
+
+
+def test_cap_per_host_salted_keepset_and_balance(spark):
+    """cap_per_host (salted two-stage top-k): (a) the keep-set is byte-
+    identical to the naive single-window form, (b) under a 50%-hot-host
+    distribution the stage-1 (host, salt) shuffle keeps the max partition
+    bounded near the mean — the naive window would sort the whole hot host
+    in ONE task."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import stable_hash
+    from ocr_model_spark.operators.urls import cap_per_host
+
+    n = 8000
+    rows = [
+        {
+            "url": (
+                f"https://hot.example.com/p/{i}"
+                if i % 2 == 0
+                else f"https://site{i % 40:03d}.example.com/p/{i}"
+            ),
+        }
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    k = 5
+    got = sorted(r["url"] for r in cap_per_host(df, k=k).collect())
+
+    from pyspark.sql import Window
+
+    host = url_host("url")
+    w = Window.partitionBy(host).orderBy(stable_hash(F.col("url")), F.col("url"))
+    naive = (
+        df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+    )
+    want = sorted(r["url"] for r in naive.collect())
+    assert got == want
+
+    # stage-1 balance: the (host, salt) shuffle spreads the hot host
+    buckets = 32
+    salt = F.pmod(F.xxhash64("url"), F.lit(buckets))
+    n_part = 16
+    dist = (
+        df.repartition(n_part, host, salt)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .toPandas()
+    )
+    assert dist["count"].max() <= 2.5 * (n / n_part), dist.sort_values("count")
