@@ -205,7 +205,12 @@ def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
-def unigram_logprob_quality(df, id_col: str = "doc_id", text_col: str = "text"):
+def unigram_logprob_quality(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_top_k: int | None = None,
+):
     """CCNet-style LM quality score, unigram variant: per-document mean
     negative log-probability of its words under the CORPUS unigram
     distribution. Fluent/typical documents score low, gibberish and
@@ -216,8 +221,16 @@ def unigram_logprob_quality(df, id_col: str = "doc_id", text_col: str = "text"):
     distinct-pair frame — several-fold less shuffle volume than raw token
     rows): (1) corpus word frequencies — one combining groupBy on the word
     key; (2) word→frequency join and a per-doc fold. The frequency table
-    is vocabulary-sized (sublinear in the corpus; cap to top-K with a
-    default-probability floor at extreme scale).
+    is vocabulary-sized (sublinear in the corpus) — and at web scale the
+    long tail of hapax tokens (typos, ids, hashes) still makes it huge, so
+    ``vocab_top_k`` caps it: keep the top-K words by corpus count (ties by
+    word — a total order, so the capped vocab is deterministic) and give
+    every out-of-vocabulary word the FLOOR probability 1/total (the
+    probability of a count-1 word — OOV words are by construction rarer
+    than every retained word, so the floor only ever overstates their
+    probability, i.e. capping can only LOWER a document's score). With
+    K >= |vocab| the capped path is bitwise-identical to the uncapped one
+    (pinned by tests/test_operators_misc.py).
 
     The mean is computed by a FIXED-ORDER fold (collect per-doc terms,
     sort by word, HOF-aggregate) — ``avg()``'s partial-sum order varies
@@ -237,16 +250,26 @@ def unigram_logprob_quality(df, id_col: str = "doc_id", text_col: str = "text"):
         .agg(F.count("*").alias("c"))
     )
     vocab = pairs.groupBy("g").agg(F.sum("c").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    # total over ALL words (pairs, not the possibly-capped vocab): the
+    # distribution stays normalized over the full corpus either way
+    total = pairs.agg(F.sum("c").cast("double").alias("total"))
+    if vocab_top_k is not None:
+        # global top-K by (count desc, word asc — a total order) runs as
+        # TakeOrderedAndProject: no full sort materializes
+        vocab = vocab.orderBy(F.desc("cnt"), F.asc("g")).limit(vocab_top_k)
     terms = (
-        pairs.join(vocab, "g")
+        pairs.join(vocab, "g", "left" if vocab_top_k is not None else "inner")
         .crossJoin(total)  # one-row relation: broadcast, duplicates nothing
         .select(
             "id",
             "c",
             F.struct(
                 F.col("g"),
-                (F.col("c") * -F.log(F.col("cnt") / F.col("total"))).alias("wnlp"),
+                (
+                    F.col("c")
+                    # OOV floor: count-1 probability (see docstring)
+                    * -F.log(F.coalesce(F.col("cnt"), F.lit(1)) / F.col("total"))
+                ).alias("wnlp"),
             ).alias("t"),
         )
     )

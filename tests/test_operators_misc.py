@@ -310,3 +310,110 @@ def test_simhash_candidates_bucket_cap_bounds_template_corpus(spark):
     cap_rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     un_rows = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
     assert cap_rows <= un_rows
+
+
+def test_unigram_vocab_cap_floor_semantics_and_kinf_identity(spark):
+    """vocab_top_k: (a) K >= |vocab| is bitwise-identical to the uncapped
+    path, (b) at a binding K the OOV floor (count-1 probability) matches a
+    DuckDB twin that caps the vocabulary the same way — web-scale bounded
+    vocab, oracled."""
+    import duckdb
+
+    from ocr_model_spark.operators.textstats import unigram_logprob_quality
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    uncapped = unigram_logprob_quality(docs).orderBy("doc_id").toPandas()
+    kinf = (
+        unigram_logprob_quality(docs, vocab_top_k=10_000_000)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert uncapped.equals(kinf)
+
+    k = 50
+    capped = (
+        unigram_logprob_quality(docs, vocab_top_k=k).orderBy("doc_id").toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(rf"""
+WITH wds AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'),
+                              x -> x <> '')) AS g
+    FROM documents WHERE text IS NOT NULL
+), pairs AS (
+    SELECT doc_id, g, COUNT(*) AS c FROM wds GROUP BY doc_id, g
+), vocab AS (
+    SELECT g, CAST(SUM(c) AS BIGINT) AS cnt FROM pairs GROUP BY g
+    QUALIFY ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, g ASC) <= {k}
+), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM pairs),
+terms AS (
+    SELECT doc_id, pairs.g, c, c * -ln(COALESCE(cnt, 1) / total) AS wnlp
+    FROM pairs LEFT JOIN vocab ON pairs.g = vocab.g CROSS JOIN tot
+), folded AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           list_sum(list(wnlp ORDER BY g)) AS sum_nlp
+    FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       ROUND(sum_nlp / n_words + 1e-9, 4) AS avg_neg_logp
+FROM folded ORDER BY doc_id
+""").df()
+    assert len(capped) == len(want)
+    assert (capped["avg_neg_logp"].values == want["avg_neg_logp"].values).all()
+    # capping only ever RAISES a doc's mean negative-logprob: OOV words get
+    # the rarest-possible (count-1) probability
+    assert (capped["avg_neg_logp"].values >= uncapped["avg_neg_logp"].values - 1e-9).all()
+
+
+def test_connected_components_star_matches_minlabel_and_handles_long_paths(spark):
+    """Large-star/small-star: (a) identical labels to min-label propagation
+    on the known graph, (b) converges on a 60-node path (diameter 59) that
+    min-label propagation's default max_iter cannot close — the documented
+    high-diameter/10^12-edge swap, (c) shuffled edge order changes nothing."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from ocr_model_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"id_a": 1, "id_b": 2},
+                {"id_a": 2, "id_b": 3},
+                {"id_a": 3, "id_b": 4},
+                {"id_a": 10, "id_b": 11},
+                {"id_a": 20, "id_b": 21},
+                {"id_a": 22, "id_b": 21},
+            ]
+        )
+    )
+    want = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    got = {r["id"]: r["label"] for r in connected_components_star(edges).collect()}
+    assert got == want
+
+    # path 100..159 in scrambled edge order: one component rooted at 100
+    path = [{"id_a": i + 1, "id_b": i} for i in range(100, 159)]
+    path = [path[i] for i in (list(range(1, 59, 2)) + list(range(0, 59, 2)))]
+    pdf = spark.createDataFrame(pd.DataFrame(path))
+    labels = {r["id"]: r["label"] for r in connected_components_star(pdf).collect()}
+    assert labels == {i: 100 for i in range(100, 160)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pdf, max_iter=20)
+
+    # the real near-dup pipeline input: both variants agree edge-for-edge
+    # on the LSH candidate pairs (the frame the oracled near_dup_clusters
+    # query clusters)
+    from ocr_model_spark.operators.dedup import minhash_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cands = minhash_candidates(docs, "doc_id", "text").localCheckpoint(eager=True)
+    a = {(r["id"], r["label"]) for r in connected_components(cands).collect()}
+    b = {(r["id"], r["label"]) for r in connected_components_star(cands).collect()}
+    assert a == b and len(a) > 0
