@@ -127,12 +127,26 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # per-doc-type kernel cost (in-UDF wall micros): decomposes a headline
+    # regression into payload classes right from the bench artifact
+    from ocr_model_spark.pipeline import extraction_cost_by_type
+
+    cost = {
+        r["doc_type"]: {
+            "n": r["n_docs"],
+            "total_ms": round(r["total_us"] / 1000, 1),
+            "mean_us": r["mean_us"],
+        }
+        for r in extraction_cost_by_type(res["docs"]).collect()
+    }
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "extracted docs/sec (full materialization of the docs table)",
         "value": round(n_docs / extract_sec, 2),
         "unit": "docs/sec",
         "queries": timings,
+        "cost_by_doc_type": cost,
         "sf": sf,
         "suite_seconds": total,
         "n_pages": n_pages,

@@ -104,6 +104,13 @@ def q_extract_lineage(spark, sf_dir):
             "n_ok",
             "n_failed",
             "n_regions",
+            # per-doc-type counts (round 4) — deterministic, so pinned;
+            # the summed kernel wall time (lineage's extract_us) is NOT
+            # projected here: wall clocks can't live in a snapshot oracle
+            "n_html",
+            "n_pdf",
+            "n_docx",
+            "n_text",
             F.unix_micros("max_warc_ts").alias("max_warc_us"),
             F.unix_micros("min_warc_ts").alias("min_warc_us"),
         )

@@ -81,3 +81,69 @@ def write_snapshot(df, sf_dir: str, name: str) -> str:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
     return path
+
+
+# files whose behavior the snapshot pins depend on: a change to ANY of
+# these without re-running tools/make_expected (which refreshes the
+# manifest) fails tests/test_snapshot_oracles.py's guard — and a pin file
+# edited outside the tool mismatches its recorded hash. Pins and kernels
+# can only move TOGETHER, through the tool.
+PIN_OWNING_SOURCES = (
+    "ocr_model_spark/kernels",  # every kernel file (extract/html/pdf/docx/…)
+    "ocr_model_spark/operators/extract.py",
+    "ocr_model_spark/operators/dispatch.py",
+    "ocr_model_spark/operators/multimodal.py",
+    "ocr_model_spark/operators/similarity.py",
+    "ocr_model_spark/sources/warc.py",
+    "ocr_model_spark/sources/synth.py",
+    "ocr_model_spark/sources/pages.py",
+    "ocr_model_spark/pipeline.py",
+    "ocr_model_spark/entry.py",  # the pinned queries' projections live here
+)
+
+
+def _repo_root() -> str:
+    return os.path.dirname(expected_dir())
+
+
+def pin_manifest() -> dict:
+    """Recompute {source file: sha256} over PIN_OWNING_SOURCES and
+    {pin file: sha256} over expected/ — the manifest committed as
+    expected/MANIFEST.json must equal this."""
+    import hashlib
+
+    root = _repo_root()
+
+    def file_sha(path: str) -> str:
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
+    sources: dict[str, str] = {}
+    for entry in PIN_OWNING_SOURCES:
+        p = os.path.join(root, entry)
+        if os.path.isdir(p):
+            for fn in sorted(os.listdir(p)):
+                if fn.endswith(".py"):
+                    sources[f"{entry}/{fn}"] = file_sha(os.path.join(p, fn))
+        elif os.path.isfile(p):
+            sources[entry] = file_sha(p)
+    pins: dict[str, str] = {}
+    exp = expected_dir()
+    for tag in sorted(os.listdir(exp)):
+        d = os.path.join(exp, tag)
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                pins[f"{tag}/{fn}"] = file_sha(os.path.join(d, fn))
+    return {"sources": sources, "pins": pins}
+
+
+def write_pin_manifest() -> str:
+    import json
+
+    path = os.path.join(expected_dir(), "MANIFEST.json")
+    with open(path, "w") as f:
+        json.dump(pin_manifest(), f, indent=1, sort_keys=True)
+        f.write("\n")
+    return path

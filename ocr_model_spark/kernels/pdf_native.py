@@ -273,11 +273,17 @@ def _read_stream_body(
 
 def _scan_objects(
     data: bytes,
-) -> tuple[dict[int, tuple[dict | object, bytes | None]], list[tuple[int, int]], dict[int, int]]:
+) -> tuple[
+    dict[int, tuple[dict | object, bytes | None]],
+    list[tuple[int, int]],
+    dict[int, int],
+    dict[int, int],
+]:
     """num → (parsed value, raw stream bytes or None), the byte spans of
     every stream body (so trailer scanning can skip content that merely
-    CONTAINS PDF-syntax-looking text), and num → byte offset of the winning
-    definition. Scan-based fallback (no xref): for incremental updates the
+    CONTAINS PDF-syntax-looking text), num → byte offset of the winning
+    definition, and num → generation (decryption derives per-object keys
+    from it). Scan-based fallback (no xref): for incremental updates the
     LAST definition of an object number wins, which scanning start-to-end
     gives for free. Object headers whose match starts INSIDE an already
     recorded stream body are skipped — an uncompressed content stream
@@ -286,6 +292,7 @@ def _scan_objects(
     objects: dict[int, tuple[object, bytes | None]] = {}
     spans: list[tuple[int, int]] = []
     offsets: dict[int, int] = {}
+    gens: dict[int, int] = {}
     covered_end = -1  # spans are recorded in increasing file order
     for m in _OBJ_HEAD_RE.finditer(data):
         if m.start() < covered_end and any(a <= m.start() < b for a, b in spans):
@@ -304,9 +311,10 @@ def _scan_objects(
             continue  # stream keyword but no endstream: unterminated, skip
         objects[num] = (value, stream)
         offsets[num] = m.start()
+        gens[num] = int(m.group(2))
     if not objects:
         raise PdfParseError("no objects found")
-    return objects, spans, offsets
+    return objects, spans, offsets, gens
 
 
 _TRAILER_RE = re.compile(rb"trailer\b")
@@ -467,6 +475,7 @@ def _load_via_xref(data: bytes, dead: set[int]):
     if last is None:
         raise PdfParseError("no startxref")
     offsets: dict[int, int] = {}
+    containers: dict[int, int] = {}  # type-2: num → designated ObjStm num
     trailers: list[dict] = []
     seen: set[int] = set()
     claimed: set[int] = set()  # object numbers the NEWEST section decided
@@ -494,13 +503,18 @@ def _load_via_xref(data: bytes, dead: set[int]):
                 dead.add(num)
             elif typ == 1:
                 offsets[num] = f2
-            # typ 2: lives in ObjStm f2 — the container has its own
-            # type-1 entry and generic ObjStm expansion recovers it
+            elif typ == 2:
+                # lives in ObjStm f2: record the DESIGNATED container so
+                # expansion takes this object from the container the newest
+                # xref actually points at — a stale copy in an older
+                # still-live ObjStm must not shadow it
+                containers[num] = f2
         if prev is not None:
             walk(int(prev), depth + 1)
 
     walk(int(last.group(1)), 0)
     objects: dict[int, tuple[object, bytes | None]] = {}
+    gens: dict[int, int] = {}
     for num, off in offsets.items():
         m = _OBJ_HEAD_RE.match(data, off) or _OBJ_HEAD_RE.search(data, off, off + 64)
         if not m or int(m.group(1)) != num:
@@ -512,9 +526,10 @@ def _load_via_xref(data: bytes, dead: set[int]):
             continue
         stream, _span = _read_stream_body(data, value, lex.pos)
         objects[num] = (value, stream)
+        gens[num] = int(m.group(2))
     if not objects:
         raise PdfParseError("xref chain resolved no objects")
-    return objects, trailers
+    return objects, trailers, gens, containers
 
 
 # ------------------------------------------- standard security handler (RC4)
@@ -639,15 +654,16 @@ def _security_handler_key(enc: dict, id0: bytes) -> tuple[bytes, str] | None:
     return None
 
 
-def _object_key(file_key: bytes, num: int, aes: bool = False) -> bytes:
-    # generation 0 assumed (we don't track generations; non-zero gens on
-    # encrypted strings are vanishingly rare in crawl PDFs)
+def _object_key(file_key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
+    # generation comes from the object header (both load paths record it);
+    # a gen>0 object under /Encrypt decrypts with the wrong key if 0 is
+    # assumed — silent garbage, not a typed failure
     d = hashlib.md5(
         file_key
-        # spec: the 3 LOW-ORDER bytes — a hostile/corrupt object number
-        # >= 2^24 must mask, not raise OverflowError mid-decryption
+        # spec: the 3 (resp. 2) LOW-ORDER bytes — a hostile/corrupt object
+        # number >= 2^24 must mask, not raise OverflowError mid-decryption
         + (num & 0xFFFFFF).to_bytes(3, "little")
-        + (0).to_bytes(2, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
         + (b"sAlT" if aes else b"")
     ).digest()
     return d[: min(len(file_key) + 5, 16)]
@@ -672,9 +688,13 @@ class _Doc:
         # ObjStm expansion: the containers themselves are encrypted streams.
         self._dead: set[int] = set()
         self.decrypted = False
+        self.gens: dict[int, int] = {}
+        self._objstm_bind: dict[int, int] = {}
         loaded = False
         try:
-            self.objects, newest_first = _load_via_xref(data, self._dead)
+            self.objects, newest_first, self.gens, self._objstm_bind = _load_via_xref(
+                data, self._dead
+            )
             # stored oldest-first so info_dict()'s reversed() scan sees the
             # newest trailer first, same convention as the scan path
             self.trailers = list(reversed(newest_first))
@@ -689,7 +709,8 @@ class _Doc:
         if not loaded:
             self._dead = set()
             self.decrypted = False
-            self.objects, stream_spans, obj_offsets = _scan_objects(data)
+            self._objstm_bind = {}
+            self.objects, stream_spans, obj_offsets, self.gens = _scan_objects(data)
             # trailer dicts (classic) + xref-stream dicts (PDF 1.5+) carry
             # /Root, /Info and /Encrypt — ordered by BYTE OFFSET so an
             # incremental update's newer classic trailer outranks an older
@@ -735,11 +756,12 @@ class _Doc:
         key, method = got
 
         def dec(num: int, data: bytes) -> bytes:
+            gen = self.gens.get(num, 0)
             if method == "rc4":
-                return _rc4(_object_key(key, num), data)
+                return _rc4(_object_key(key, num, gen), data)
             from ocr_model_spark.kernels.aes import cbc_decrypt
 
-            k = _object_key(key, num, aes=True) if method == "aesv2" else key
+            k = _object_key(key, num, gen, aes=True) if method == "aesv2" else key
             if len(data) < 32 or (len(data) - 16) % 16:
                 return b""  # malformed AES payload: empty beats garbage
             return cbc_decrypt(k, data[:16], data[16:])
@@ -767,31 +789,71 @@ class _Doc:
                 return info
         return None
 
+    def _parse_objstm(self, num: int):
+        """Decoded body, /First, and the {objnum: offset} header map of
+        ObjStm ``num`` — None if absent or broken."""
+        got = self.objects.get(num)
+        if got is None:
+            return None
+        value, stream = got
+        if not (isinstance(value, dict) and value.get("Type") == "ObjStm" and stream):
+            return None
+        try:
+            body = _decode_stream(self, value, stream)
+            n = int(self.resolve(value.get("N")) or 0)
+            first = int(self.resolve(value.get("First")) or 0)
+            header = body[:first].split()
+            hmap = {
+                int(header[2 * i]): int(header[2 * i + 1]) for i in range(n)
+            }
+        except (PdfParseError, ValueError, IndexError, zlib.error):
+            return None
+        return body, first, hmap
+
     def _expand_object_streams(self) -> None:
         """PDF 1.5+ compressed object streams (/Type /ObjStm): page dicts and
         friends often live INSIDE a FlateDecoded stream of serialized
         objects. Header = ``/N`` pairs of "objnum offset" ints in the first
         ``/First`` bytes; objects follow back-to-back. Embedded objects never
         override a directly-scanned one (direct definitions are newer in
-        incremental updates)."""
-        for num in list(self.objects):
-            value, stream = self.objects[num]
-            if not (isinstance(value, dict) and value.get("Type") == "ObjStm" and stream):
+        incremental updates).
+
+        Expansion order: objects with a DESIGNATED container (type-2 xref
+        entries) come from that container first — an older still-live ObjStm
+        holding a stale copy must not define the object just because it
+        iterates earlier. Generic expansion then fills whatever remains
+        (scan mode has no bindings; a broken designated container falls
+        back here — recovering a stale copy beats losing the object)."""
+        by_container: dict[int, list[int]] = {}
+        for onum, cnum in self._objstm_bind.items():
+            by_container.setdefault(cnum, []).append(onum)
+        for cnum, wanted in by_container.items():
+            parsed = self._parse_objstm(cnum)
+            if parsed is None:
                 continue
-            try:
-                body = _decode_stream(self, value, stream)
-                n = int(self.resolve(value.get("N")) or 0)
-                first = int(self.resolve(value.get("First")) or 0)
-                header = body[:first].split()
-                for i in range(n):
-                    onum = int(header[2 * i])
-                    off = int(header[2 * i + 1])
-                    if onum in self.objects or onum in self._dead:
-                        continue
-                    lex = _Lexer(body, first + off)
-                    self.objects[onum] = (lex.parse_value(), None)
-            except (PdfParseError, ValueError, IndexError, zlib.error):
-                continue  # tolerant: a broken ObjStm degrades, never raises
+            body, first, hmap = parsed
+            for onum in wanted:
+                if onum in self.objects or onum in self._dead or onum not in hmap:
+                    continue
+                try:
+                    self.objects[onum] = (
+                        _Lexer(body, first + hmap[onum]).parse_value(),
+                        None,
+                    )
+                except PdfParseError:
+                    continue
+        for num in list(self.objects):
+            parsed = self._parse_objstm(num)
+            if parsed is None:
+                continue
+            body, first, hmap = parsed
+            for onum, off in hmap.items():
+                if onum in self.objects or onum in self._dead:
+                    continue
+                try:
+                    self.objects[onum] = (_Lexer(body, first + off).parse_value(), None)
+                except PdfParseError:
+                    continue
 
     def resolve(self, v):
         seen = 0
@@ -1001,13 +1063,29 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     return cmap
 
 
-def _page_fonts(doc: "_Doc", page: dict) -> dict[str, tuple[bool, dict | None, bool]]:
+# Predefined Unicode CMaps (ISO 32000-1 §9.7.5.2, Adobe CMap resources):
+# the Uni*-UCS2-* and Uni*-UTF16-* encodings map UNICODE values to CIDs,
+# i.e. the 2-byte codes in the content stream ARE UTF-16BE text — no CMap
+# data file needed, the decode is pure arithmetic. The reference gets these
+# for free via its PDF library (pdf_processor.py:49-76); without this a
+# slice of CJK PDFs yields empty spans.
+_UNICODE_CMAP_NAMES = frozenset(
+    f"Uni{reg}-{enc}-{wm}"
+    for reg in ("GB", "CNS", "JIS", "JIS2004", "KS")
+    for enc in ("UCS2", "UTF16")
+    for wm in ("H", "V")
+)
+
+
+def _page_fonts(
+    doc: "_Doc", page: dict
+) -> dict[str, tuple[bool, dict | None, bool, bool]]:
     """font resource name → (is_two_byte, ToUnicode cmap or None,
-    is_identity_encoding), from the page's (possibly inherited)
-    /Resources /Font dictionary."""
+    is_identity_encoding, is_predefined_unicode_encoding), from the page's
+    (possibly inherited) /Resources /Font dictionary."""
     res = doc.inherited(page, "Resources")
     fonts = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
-    out: dict[str, tuple[bool, dict | None, bool]] = {}
+    out: dict[str, tuple[bool, dict | None, bool, bool]] = {}
     if not isinstance(fonts, dict):
         return out
     for name, ref in fonts.items():
@@ -1017,6 +1095,7 @@ def _page_fonts(doc: "_Doc", page: dict) -> dict[str, tuple[bool, dict | None, b
         two_byte = fobj.get("Subtype") == "Type0"
         enc = doc.resolve(fobj.get("Encoding"))
         identity = isinstance(enc, str) and enc in ("Identity-H", "Identity-V")
+        uni_cmap = isinstance(enc, str) and enc in _UNICODE_CMAP_NAMES
         cmap = None
         if fobj.get("ToUnicode") is not None:
             stream = doc.stream_of(fobj["ToUnicode"])
@@ -1025,7 +1104,7 @@ def _page_fonts(doc: "_Doc", page: dict) -> dict[str, tuple[bool, dict | None, b
                     cmap = parse_tounicode_cmap(stream) or None
                 except Exception:
                     cmap = None
-        out[str(name)] = (two_byte, cmap, identity)
+        out[str(name)] = (two_byte, cmap, identity, uni_cmap)
     return out
 
 
@@ -1057,14 +1136,23 @@ def _identity_cid_text(raw: bytes) -> str:
         return ""
     if n_ok * 3 < len(chars) * 2:
         return ""
-    return "".join(c for c in chars if c != "\x00")
+    # dropped codes BETWEEN kept runs become one space: silently deleting
+    # them would concatenate adjacent words ("foo<bad>bar" → "foobar") —
+    # partial silent text loss. Edge gaps still vanish (no stray padding).
+    return re.sub("\x00+", " ", "".join(chars).strip("\x00"))
 
 
-def _decode_with_font(raw: bytes, font: tuple[bool, dict | None, bool] | None) -> str:
+def _decode_with_font(
+    raw: bytes, font: tuple[bool, dict | None, bool, bool] | None
+) -> str:
     if font is None:
         return _decode_text(raw)
-    two_byte, cmap, identity = font
+    two_byte, cmap, identity, uni_cmap = font
     if cmap is None:
+        if two_byte and uni_cmap:
+            # predefined Uni*-UCS2/UTF16 encoding: the codes ARE UTF-16BE
+            # (declared by the font, not a heuristic — no printability gate)
+            return raw.decode("utf-16-be", errors="ignore")
         if two_byte and identity:
             return _identity_cid_text(raw)
         # Type0 codes without a ToUnicode map are font-internal glyph ids:

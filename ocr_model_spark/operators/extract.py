@@ -48,6 +48,10 @@ EXTRACT_TYPE = T.StructType(
         T.StructField("error", T.StringType()),
         T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
         T.StructField("regions", T.ArrayType(REGION_TYPE)),
+        # kernel wall-time per document (microseconds) — the ONLY
+        # nondeterministic field; never selected by oracled/pinned queries,
+        # consumed by bench.py's per-doc-type cost breakdown
+        T.StructField("elapsed_us", T.LongType()),
     ]
 )
 
@@ -66,9 +70,13 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
     gc.disable()
     from ocr_model_spark.kernels.extract import extract_document
 
+    from time import perf_counter_ns
+
     rows = []
     for payload in html:
+        t0 = perf_counter_ns()
         r = extract_document(bytes(payload) if payload is not None else None)
+        r["elapsed_us"] = (perf_counter_ns() - t0) // 1000
         r["regions"] = [{k: reg[k] for k in _REGION_KEYS} for reg in r["regions"]]
         rows.append({k: r[k] for k in _FIELDS})
     return pd.DataFrame(rows, columns=_FIELDS)
@@ -85,6 +93,7 @@ def _empty_extract_struct(doc_type: Column, error: str) -> Column:
         F.lit(error).alias("error"),
         F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("metadata"),
         F.lit(None).cast(T.ArrayType(REGION_TYPE)).alias("regions"),
+        F.lit(0).cast("long").alias("elapsed_us"),
     )
 
 
@@ -135,6 +144,7 @@ def extract_pages(pages: DataFrame) -> DataFrame:
         F.col("extracted.text").alias("text_extracted"),
         F.col("extracted.metadata").alias("metadata"),
         F.col("extracted.regions").alias("regions"),
+        F.col("extracted.elapsed_us").alias("extract_us"),
         "provenance",
     )
 

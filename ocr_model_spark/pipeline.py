@@ -70,9 +70,19 @@ def resume_filter(pages: DataFrame, snapshot: DataFrame | None) -> DataFrame:
     return keyed.join(done, ["url", "content_sha256"], "left_anti").drop("content_sha256")
 
 
+LINEAGE_DOC_TYPES = ("html", "pdf", "docx", "text")
+
+
 def partition_lineage(docs: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics rows committed with every snapshot
-    (north rule): input file, partition id, row counts, failure counters."""
+    (north rule): input file, partition id, row counts, failure counters,
+    per-doc-type counts (deterministic — snapshot-pinned) and the summed
+    kernel wall time (``extract_us`` — NONdeterministic, excluded from the
+    pinned driver projection; bench/ops decompose regressions from it)."""
+    per_type = [
+        F.sum(F.when(F.col("doc_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in LINEAGE_DOC_TYPES
+    ]
     return docs.groupBy(
         F.col("provenance.partition_id").alias("partition_id"),
         F.col("provenance.input_file").alias("input_file"),
@@ -81,8 +91,23 @@ def partition_lineage(docs: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
         F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_failed"),
         F.sum(F.coalesce(F.size("regions"), F.lit(0))).alias("n_regions"),
+        *per_type,
+        F.sum(F.coalesce(F.col("extract_us"), F.lit(0))).alias("extract_us"),
         F.max("warc_ts").alias("max_warc_ts"),
         F.min("warc_ts").alias("min_warc_ts"),
+    )
+
+
+def extraction_cost_by_type(docs: DataFrame) -> DataFrame:
+    """Per-doc-type kernel cost profile (docs, total/mean wall micros) — the
+    artifact that decomposes a throughput regression into payload classes
+    (heavier PDFs? slower HTML?) without re-instrumenting anything."""
+    return docs.groupBy("doc_type").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(F.col("extract_us"), F.lit(0))).alias("total_us"),
+        F.round(
+            F.sum(F.coalesce(F.col("extract_us"), F.lit(0))) / F.count("*"), 1
+        ).alias("mean_us"),
     )
 
 

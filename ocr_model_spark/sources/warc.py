@@ -193,7 +193,16 @@ def _parse_records_buffer(buf: bytes, final: bool) -> tuple[list[dict], int]:
     two CRLFs (EOF and a next header line are tolerated). A record whose
     claimed length lands anywhere else has a CORRUPT length — the parser
     resyncs at the next ``WARC/`` magic AFTER the bad header, so the
-    records a too-large length would have swallowed are recovered."""
+    records a too-large length would have swallowed are recovered.
+
+    Content-injection surface (accepted recovery tradeoff): resync scans
+    INSIDE the bad record's claimed body, so a response payload embedding a
+    well-formed fake ``WARC/1.0 … response`` block can inject forged
+    records — but ONLY when an adjacent record's length is already corrupt
+    (records with valid lengths are consumed whole and their payload bytes
+    are never scanned). Downstream must not treat WARC record fields as
+    trusted provenance; the alternative (dropping everything after a bad
+    length) loses real records to recover nothing."""
     out: list[dict] = []
     pos = 0
     n = len(buf)

@@ -19,24 +19,29 @@ BT /F1 10 Tf 72 600 Td <4865782074657874> Tj ET
 
 
 def assemble_with_xref(
-    objects: list, trailer_entries: bytes, header: bytes = b"%PDF-1.4\n"
+    objects: list,
+    trailer_entries: bytes,
+    header: bytes = b"%PDF-1.4\n",
+    gens: dict[int, int] | None = None,
 ) -> bytes:
     """Shared body/xref/trailer emitter for the fixture builders (the
     independent-derivation rationale covers the CRYPTO, not the file
     assembly). ``trailer_entries`` goes verbatim inside the trailer dict
-    after /Size."""
+    after /Size; ``gens`` overrides the generation (default 0) per object —
+    header AND xref row stay consistent."""
+    g = gens or {}
     out = bytearray(header)
     offsets: dict[int, int] = {}
     for num, dct, stream in objects:
         offsets[num] = len(out)
-        out += b"%d 0 obj\n%s\n" % (num, dct)
+        out += b"%d %d obj\n%s\n" % (num, g.get(num, 0), dct)
         if stream is not None:
             out += b"stream\n" + stream + b"\nendstream\n"
         out += b"endobj\n"
     xref_at = len(out)
     out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
     for num in range(1, len(objects) + 1):
-        out += b"%010d 00000 n \n" % offsets[num]
+        out += b"%010d %05d n \n" % (offsets[num], g.get(num, 0))
     out += b"trailer\n<< /Size %d %s>>\nstartxref\n%d\n%%%%EOF\n" % (
         len(objects) + 1,
         trailer_entries,
@@ -243,11 +248,13 @@ def build_real_pdf(extra_trailer: bytes = b"") -> bytes:
     )
 
 
-def build_rc4_encrypted_pdf(rev: int = 2) -> bytes:
+def build_rc4_encrypted_pdf(rev: int = 2, content_gen: int = 0) -> bytes:
     """A REALLY RC4-encrypted one-page PDF (standard handler, empty user
     password, R2 or R3). The key schedule here is written independently of
     ocr_model_spark.kernels.pdf_native — both sides implement the spec, so
-    a derivation bug in either cannot self-cancel."""
+    a derivation bug in either cannot self-cancel. ``content_gen`` gives
+    the content-stream object a non-zero generation (its per-object key
+    then includes the 2 generation bytes, per Algorithm 1)."""
     import hashlib
     import struct
 
@@ -292,12 +299,14 @@ def build_rc4_encrypted_pdf(rev: int = 2) -> bytes:
             t = rc4(bytes(b ^ i for b in key), t)
         u_entry = t + bytes(16)
 
-    def okey(num: int) -> bytes:
-        d = hashlib.md5(key + num.to_bytes(3, "little") + b"\x00\x00").digest()
+    def okey(num: int, gen: int = 0) -> bytes:
+        d = hashlib.md5(
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()
         return d[: min(n + 5, 16)]
 
     content = b"BT /F1 12 Tf 72 700 Td (Secret but readable.) Tj ET"
-    enc_content = rc4(okey(4), content)
+    enc_content = rc4(okey(4, content_gen), content)
     title = rc4(okey(6), b"Secret Title")
     length_entry = b"/Length 128 " if rev == 3 else b""
     objects = [
@@ -324,6 +333,7 @@ def build_rc4_encrypted_pdf(rev: int = 2) -> bytes:
         objects,
         b"/Root 1 0 R /Info 6 0 R /Encrypt 5 0 R /ID [<%s> <%s>] "
         % (id0.hex().encode(), id0.hex().encode()),
+        gens={4: content_gen} if content_gen else None,
     )
 
 
@@ -446,3 +456,111 @@ def build_aes_encrypted_pdf(rev: int = 4) -> bytes:
         % (id0.hex().encode(), id0.hex().encode()),
         header=b"%PDF-1.6\n",
     )
+
+
+def build_unicode_cmap_pdf(text: str) -> bytes:
+    """One-page PDF whose Type0 font uses a PREDEFINED Unicode CMap
+    (/Encoding /UniGB-UCS2-H) and carries NO /ToUnicode: the 2-byte codes
+    in the hex string are UTF-16BE by definition of the encoding."""
+    codes = text.encode("utf-16-be")
+    content = b"BT /F1 12 Tf 72 700 Td <%s> Tj ET" % codes.hex().encode()
+    c = zlib.compress(content)
+    objects = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>", None),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>",
+            None,
+        ),
+        (4, b"<< /Length %d /Filter /FlateDecode >>" % len(c), c),
+        (
+            5,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-GB "
+            b"/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>",
+            None,
+        ),
+        (6, b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Fake >>", None),
+    ]
+    return assemble_with_xref(objects, b"/Root 1 0 R ")
+
+
+def _objstm_obj(embedded: list[tuple[int, bytes]]) -> tuple[bytes, bytes]:
+    """(dict bytes sans num, compressed stream) for an ObjStm holding
+    ``embedded`` [(objnum, dict-bytes)]."""
+    body = bytearray()
+    header = []
+    for num, dct in embedded:
+        header.append(b"%d %d" % (num, len(body)))
+        body += dct + b"\n"
+    head = b" ".join(header) + b"\n"
+    stm = zlib.compress(bytes(head + body))
+    return (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        % (len(embedded), len(head), len(stm)),
+        stm,
+    )
+
+
+def build_shadowed_objstm_pdf() -> bytes:
+    """Incremental-update shape where object 3 (the page) exists in TWO
+    live ObjStms: a STALE copy in container 4 (pointing at old content 5)
+    and the current copy in container 7 (pointing at content 8). The xref
+    stream's type-2 entry designates container 7 for object 3 — a reader
+    that expands whichever ObjStm iterates first resurrects the stale
+    page."""
+    old_content = zlib.compress(b"BT /F1 12 Tf 72 700 Td (Stale shadowed text.) Tj ET")
+    new_content = zlib.compress(b"BT /F1 12 Tf 72 700 Td (Current page text.) Tj ET")
+    objstm_old_dct, objstm_old = _objstm_obj(
+        [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),  # STALE
+        ]
+    )
+    objstm_new_dct, objstm_new = _objstm_obj(
+        [(3, b"<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>")]
+    )
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, dct: bytes, stream: bytes | None) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n%s\n" % (num, dct))
+        if stream is not None:
+            out.extend(b"stream\n" + stream + b"\nendstream\n")
+        out.extend(b"endobj\n")
+
+    emit(4, objstm_old_dct, objstm_old)
+    emit(
+        5,
+        b"<< /Length %d /Filter /FlateDecode >>" % len(old_content),
+        old_content,
+    )
+    emit(7, objstm_new_dct, objstm_new)
+    emit(
+        8,
+        b"<< /Length %d /Filter /FlateDecode >>" % len(new_content),
+        new_content,
+    )
+    xref_at = len(out)
+    rows = [
+        bytes([0, 0, 0, 255]),  # 0 free
+        bytes([2, 0, 4, 0]),  # 1: in old container (still current)
+        bytes([2, 0, 4, 1]),  # 2: in old container (still current)
+        bytes([2, 0, 7, 0]),  # 3: DESIGNATED to the NEW container
+        bytes([1, (offsets[4] >> 8) & 0xFF, offsets[4] & 0xFF, 0]),
+        bytes([1, (offsets[5] >> 8) & 0xFF, offsets[5] & 0xFF, 0]),
+        bytes([1, (xref_at >> 8) & 0xFF, xref_at & 0xFF, 0]),  # 6: xref self
+        bytes([1, (offsets[7] >> 8) & 0xFF, offsets[7] & 0xFF, 0]),
+        bytes([1, (offsets[8] >> 8) & 0xFF, offsets[8] & 0xFF, 0]),
+    ]
+    xstm = zlib.compress(_png_predict_up(rows))
+    out += (
+        b"6 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Index [0 9] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> "
+        b"/Length %d >>\nstream\n" % len(xstm)
+    ) + xstm + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)

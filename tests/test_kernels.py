@@ -838,7 +838,7 @@ def test_xref_stream_pdf_extracts_via_xref_path():
     from tests.pdf_fixture import build_xrefstream_pdf
 
     data = build_xrefstream_pdf()
-    objects, trailers = _load_via_xref(data, set())
+    objects, trailers, _gens, _bind = _load_via_xref(data, set())
     assert set(objects) == {4, 5, 6}  # top-level: ObjStm, content, xref stream
     assert trailers[0].get("Root") is not None
     r = extract_pdf(data)
@@ -852,7 +852,7 @@ def test_classic_xref_chain_is_primary_locator():
     from ocr_model_spark.kernels.pdf_native import _load_via_xref
     from tests.pdf_fixture import build_real_pdf
 
-    objects, trailers = _load_via_xref(build_real_pdf(), set())
+    objects, trailers, _gens, _bind = _load_via_xref(build_real_pdf(), set())
     assert set(objects) == set(range(1, 9))
     assert trailers[0]["Info"].num == 8
 
@@ -1121,3 +1121,58 @@ def extract_document_for_pdf(data):
     if (r.get("metadata") or {}).get("encryption") == "standard-decrypted":
         return r
     return None
+
+
+def test_rc4_encrypted_object_with_nonzero_generation_uses_gen_key():
+    """Per-object keys include the 2 generation bytes (Algorithm 1): a
+    gen-1 content stream decrypted with an assumed gen 0 yields silent
+    garbage instead of text — both load paths record the header's
+    generation."""
+    from tests.pdf_fixture import build_rc4_encrypted_pdf
+
+    for rev in (2, 3):
+        r = extract_pdf(build_rc4_encrypted_pdf(rev, content_gen=1))
+        assert r["ok"], (rev, r["error"])
+        assert [reg["text"] for reg in r["regions"]] == ["Secret but readable."], rev
+
+
+def test_predefined_unicode_cmap_font_decodes_as_utf16():
+    """Type0 font with /Encoding /UniGB-UCS2-H and NO /ToUnicode: the
+    2-byte codes ARE UTF-16BE, so CJK text extracts without any CMap data
+    file (the slice of PDFs that previously yielded empty spans)."""
+    from tests.pdf_fixture import build_unicode_cmap_pdf
+
+    text = "你好 GB 混合 text"
+    r = extract_pdf(build_unicode_cmap_pdf(text))
+    assert r["ok"], r["error"]
+    assert [reg["text"] for reg in r["regions"]] == [text]
+
+
+def test_designated_objstm_container_beats_stale_copy():
+    """Two live ObjStms both hold object 3; the xref's type-2 entry
+    designates the newer container. Expansion must honor the binding —
+    iteration order must not resurrect the stale page."""
+    from tests.pdf_fixture import build_shadowed_objstm_pdf
+
+    r = extract_pdf(build_shadowed_objstm_pdf())
+    assert r["ok"], r["error"]
+    texts = [reg["text"] for reg in r["regions"]]
+    assert texts == ["Current page text."], texts
+
+
+def test_identity_cid_gaps_become_spaces_not_concatenation():
+    """Dropped (unprintable) CIDs BETWEEN kept runs must separate them —
+    'foo<bad>bar' reads 'foo bar', never 'foobar'; edge gaps still vanish."""
+    from ocr_model_spark.kernels.pdf_native import _identity_cid_text
+
+    def codes(s: str) -> bytes:
+        return s.encode("utf-16-be")
+
+    raw = codes("Hi") + (7).to_bytes(2, "big") + codes("yo")
+    assert _identity_cid_text(raw) == "Hi yo"
+    # leading/trailing dropped codes add no padding
+    raw = (7).to_bytes(2, "big") + codes("Hello world") + (1).to_bytes(2, "big")
+    assert _identity_cid_text(raw) == "Hello world"
+    # consecutive gaps collapse to ONE space
+    raw = codes("ab") + (7).to_bytes(2, "big") * 2 + codes("cdefgh")
+    assert _identity_cid_text(raw) == "ab cdefgh"

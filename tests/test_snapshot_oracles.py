@@ -70,3 +70,34 @@ def test_encrypted_pdfs_are_counted(spark):
     # encrypted rows are failed, typed, and sniffed as pdf
     bad = df.filter("is_encrypted AND (ok OR error != 'pdf-encrypted' OR doc_type != 'pdf')")
     assert bad.count() == 0
+
+
+def test_pin_manifest_guards_drift():
+    """expected/MANIFEST.json keys every pin file AND every pin-owning
+    source file to its sha256 at regeneration time. A kernel edit without
+    re-running tools/make_expected, or a pin file changed outside the tool,
+    fails here — drift cannot land silently (VERDICT r3 item 10)."""
+    import json
+    import os
+
+    from ocr_model_spark.expected import expected_dir, pin_manifest
+
+    path = os.path.join(expected_dir(), "MANIFEST.json")
+    assert os.path.isfile(path), "run: python -m tools.make_expected"
+    committed = json.load(open(path))
+    current = pin_manifest()
+    stale_sources = [
+        k
+        for k in set(committed["sources"]) | set(current["sources"])
+        if committed["sources"].get(k) != current["sources"].get(k)
+    ]
+    assert not stale_sources, (
+        f"pin-owning sources changed without regenerating pins: {stale_sources}"
+        " — run python -m tools.make_expected and commit expected/"
+    )
+    stale_pins = [
+        k
+        for k in set(committed["pins"]) | set(current["pins"])
+        if committed["pins"].get(k) != current["pins"].get(k)
+    ]
+    assert not stale_pins, f"pin files drifted outside the tool: {stale_pins}"

@@ -14,7 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ocr_model_spark.entry import SNAPSHOT_QUERIES
-from ocr_model_spark.expected import write_snapshot
+from ocr_model_spark.expected import write_pin_manifest, write_snapshot
 from ocr_model_spark.session import get_spark
 
 
@@ -28,6 +28,7 @@ def main(sf_dirs: list[str]) -> None:
 
                 n = len(pd.read_parquet(path))
                 print(f"{os.path.basename(sf_dir)}/{name}: {n} rows -> {path}")
+        print("manifest ->", write_pin_manifest())
     finally:
         spark.stop()
 
