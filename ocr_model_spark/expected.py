@@ -94,6 +94,13 @@ PIN_OWNING_SOURCES = (
     "ocr_model_spark/operators/dispatch.py",
     "ocr_model_spark/operators/multimodal.py",
     "ocr_model_spark/operators/similarity.py",
+    # transitive deps of pinned outputs (review finding): extract_lineage's
+    # partition layout goes through salted_repartition → urls.url_host;
+    # similarity imports windows.top_k_per_group and dedup._spread/
+    # stable_hash — an edit to any of these can shift pinned values
+    "ocr_model_spark/operators/urls.py",
+    "ocr_model_spark/operators/windows.py",
+    "ocr_model_spark/operators/dedup.py",
     "ocr_model_spark/sources/warc.py",
     "ocr_model_spark/sources/synth.py",
     "ocr_model_spark/sources/pages.py",

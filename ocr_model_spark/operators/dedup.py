@@ -405,10 +405,11 @@ def connected_components_star(
 
     Both steps preserve connectivity and only ever link toward smaller
     ids; the fixpoint is a forest of stars rooted at component minima.
-    Convergence check is EXACT (one anti-join per round, not a
-    fingerprint); non-convergence raises loudly, mirroring the sibling.
-    Deterministic: integer mins only; per-round ``localCheckpoint`` keeps
-    the plan O(1)-deep."""
+    Convergence check is EXACT (one symmetric-difference job per round —
+    both frames are distinct, so a union→count-per-edge pass finds any
+    edge present on only one side; no fingerprints); non-convergence
+    raises loudly, mirroring the sibling. Deterministic: integer mins
+    only; per-round ``localCheckpoint`` keeps the plan O(1)-deep."""
     e = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -446,7 +447,12 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         changed = (
-            ss.exceptAll(e).limit(1).count() + e.exceptAll(ss).limit(1).count()
+            ss.unionByName(e)
+            .groupBy("u", "v")
+            .count()
+            .filter(F.col("count") == 1)  # edge on exactly one side
+            .limit(1)
+            .count()
         )
         e = ss
         if changed == 0:
@@ -540,6 +546,8 @@ def simhash_candidates(
             .cast("int")
             .alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+        # duplicate input ids sort adjacent and would emit a self-pair —
+        # the strict ordering also matches the SQL oracle's a.id < b.id
+        .filter((F.col("hamming") <= max_hamming) & (F.col("id_a") < F.col("id_b")))
         .distinct()
     )

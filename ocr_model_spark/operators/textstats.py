@@ -226,9 +226,11 @@ def unigram_logprob_quality(
     ``vocab_top_k`` caps it: keep the top-K words by corpus count (ties by
     word — a total order, so the capped vocab is deterministic) and give
     every out-of-vocabulary word the FLOOR probability 1/total (the
-    probability of a count-1 word — OOV words are by construction rarer
-    than every retained word, so the floor only ever overstates their
-    probability, i.e. capping can only LOWER a document's score). With
+    probability of a count-1 word). OOV words have true counts anywhere in
+    [1, K-th count], so the floor UNDERSTATES (or matches) their
+    probability — capping can only RAISE a document's mean neg-logprob,
+    i.e. capped scores are an upper bound on the uncapped score (pinned by
+    the test below). With
     K >= |vocab| the capped path is bitwise-identical to the uncapped one
     (pinned by tests/test_operators_misc.py).
 

@@ -184,10 +184,11 @@ def run_versioned(
     # extraction runs on scan partitions — payloads never shuffle (see
     # run_extraction docstring)
     docs = extract_pages(pages).withColumn("params_fingerprint", F.lit(fp))
-    lineage = partition_lineage(docs)
+    # committed artifacts carry no wall-clock columns (see commit_snapshot)
+    lineage = partition_lineage(docs).drop("extract_us")
     if docs.limit(1).count() == 0:
         return None
-    return commit_version(docs.drop("regions"), lineage, base, fp)
+    return commit_version(docs.drop("regions", "extract_us"), lineage, base, fp)
 
 
 def commit_snapshot(results: dict[str, DataFrame], out_dir: str) -> None:
@@ -197,6 +198,12 @@ def commit_snapshot(results: dict[str, DataFrame], out_dir: str) -> None:
     real cluster this is an Iceberg append transaction; parquet emulates it.
     """
     mode = "append" if os.path.exists(os.path.join(out_dir, "_SUCCESS")) else "overwrite"
-    docs = results["docs"].drop("regions")
+    # extract_us is a wall-clock reading — COMMITTED artifacts must stay a
+    # pure function of the input (CLAUDE.md determinism rule: replays of
+    # identical input produce identical snapshot bytes); timing lives on
+    # the live frame for bench/monitoring only
+    docs = results["docs"].drop("regions", "extract_us")
     docs.write.mode(mode).parquet(out_dir)
-    results["lineage"].write.mode(mode).parquet(os.path.join(out_dir, "_lineage"))
+    results["lineage"].drop("extract_us").write.mode(mode).parquet(
+        os.path.join(out_dir, "_lineage")
+    )
