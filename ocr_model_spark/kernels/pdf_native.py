@@ -11,8 +11,10 @@ confidence 1.0):
     objects stay dead, and parse cost is O(live objects) not O(file); a
     full tolerant scan (``N G obj … endobj``, last definition wins, stream
     bodies skipped) remains the fallback for damaged or xref-less files;
-  * FlateDecode via ``zlib`` (the only filter classic text PDFs use; any
-    other filter fails typed, caught by the caller);
+  * stream filters: FlateDecode (``zlib``), LZWDecode (TIFF-style
+    variable-width codes, /EarlyChange), ASCII85Decode, ASCIIHexDecode,
+    RunLengthDecode — chains and abbreviated names included; anything
+    else (JBIG2/CCITT image codecs) fails typed, caught by the caller;
   * page tree walk (``/Catalog → /Pages → /Kids``) with attribute
     inheritance for ``/MediaBox``;
   * content-stream text operators: BT/ET, Tf, Td/TD/Tm/T*, TL, Tj, TJ
@@ -946,12 +948,111 @@ def _apply_decode_parms(out: bytes, parms) -> bytes:
     raise PdfParseError(f"unsupported predictor {pred}")
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4): TIFF-style variable-width codes
+    9→12 bits, 256 = clear table, 257 = EOD, ``early`` = /EarlyChange
+    (default 1: the code width bumps one code early)."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    buf = nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfParseError("bad first LZW code")
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise PdfParseError("LZW code out of sequence")
+            out += entry
+            prev = entry
+            if next_code >= (1 << width) - early and width < 12:
+                width += 1
+        buf &= (1 << nbits) - 1  # keep the bit buffer bounded
+    return bytes(out)  # EOD-less streams: tolerate, emit what decoded
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    s = b"".join(data.split())  # whitespace is insignificant
+    if s.endswith(b"~>"):
+        s = s[:-2]
+    if s.startswith(b"<~"):
+        s = s[2:]
+    try:
+        return base64.a85decode(s)
+    except ValueError as e:
+        raise PdfParseError(f"bad ASCII85 stream: {e}") from None
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    s = data.split(b">")[0]  # '>' is EOD
+    s = b"".join(s.split())
+    if len(s) % 2:
+        s += b"0"  # spec: odd final digit behaves as if followed by 0
+    try:
+        return bytes.fromhex(s.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise PdfParseError(f"bad ASCIIHex stream: {e}") from None
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:  # EOD
+            break
+        if ln < 128:
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise PdfParseError("truncated RunLength stream")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
 def _decode_filters(filters: list, parms_list: list, raw: bytes, resolve) -> bytes:
     out = raw
     for f, p in zip(filters, parms_list):
         f = resolve(f)
-        if f == "FlateDecode":
+        if f == "FlateDecode" or f == "Fl":
             out = _apply_decode_parms(zlib.decompress(out), resolve(p))
+        elif f == "LZWDecode" or f == "LZW":
+            parms = resolve(p)
+            early = (
+                int(parms.get("EarlyChange", 1)) if isinstance(parms, dict) else 1
+            )
+            out = _apply_decode_parms(_lzw_decode(out, early), parms)
+        elif f == "ASCII85Decode" or f == "A85":
+            out = _ascii85_decode(out)
+        elif f == "ASCIIHexDecode" or f == "AHx":
+            out = _asciihex_decode(out)
+        elif f == "RunLengthDecode" or f == "RL":
+            out = _runlength_decode(out)
         else:
             raise PdfParseError(f"unsupported filter {f}")
     return out

@@ -564,3 +564,90 @@ def build_shadowed_objstm_pdf() -> bytes:
     ) + xstm + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Independent PDF/TIFF LZW encoder (9→12-bit variable codes, clear=256,
+    EOD=257, /EarlyChange semantics) for filter fixtures — written from the
+    spec, not from the reader's decoder, so a width-accounting bug in either
+    side cannot self-cancel."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+            buf &= (1 << nbits) - 1
+
+    emit(256)  # spec: streams begin with a clear code
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # the decoder reconstructs each table entry one code LATER than the
+        # encoder assigns it (it needs the next code's first byte), so the
+        # encoder's width switch lags the decoder's threshold by one entry:
+        # decoder bumps at next_code >= 2^w - early, encoder at 2^w+1-early
+        if next_code >= (1 << width) + 1 - early and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def runlength_encode(data: bytes) -> bytes:
+    """Simple spec-correct RunLengthDecode inverse: literal runs only,
+    plus repeat runs for ≥3 identical bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j - i >= 2:  # repeat run of length j-i+1 (3..128)
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+            continue
+        j = i
+        while (
+            j < n
+            and j - i < 128
+            and not (j < n - 2 and data[j] == data[j + 1] == data[j + 2])
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def build_filtered_pdf(filters: bytes, stream: bytes, parms: bytes = b"") -> bytes:
+    """One-page PDF whose content stream uses ``filters`` (raw /Filter
+    value, e.g. b"/LZWDecode" or b"[/ASCII85Decode /FlateDecode]") with
+    pre-encoded ``stream`` bytes."""
+    objects = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>", None),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+        (
+            4,
+            b"<< /Length %d /Filter %s %s>>" % (len(stream), filters, parms),
+            stream,
+        ),
+    ]
+    return assemble_with_xref(objects, b"/Root 1 0 R ")

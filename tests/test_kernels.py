@@ -1176,3 +1176,57 @@ def test_identity_cid_gaps_become_spaces_not_concatenation():
     # consecutive gaps collapse to ONE space
     raw = codes("ab") + (7).to_bytes(2, "big") * 2 + codes("cdefgh")
     assert _identity_cid_text(raw) == "ab cdefgh"
+
+
+def test_lzw_ascii85_asciihex_runlength_filters_decode():
+    """The four non-Flate stream filters real crawl PDFs use, each built by
+    an INDEPENDENT encoder (LZW/RunLength written from the spec; ASCII85 /
+    ASCIIHex via stdlib base64/hex), plus a two-stage chain and the
+    abbreviated filter names."""
+    import base64
+    import zlib as _z
+
+    from tests.pdf_fixture import build_filtered_pdf, lzw_encode, runlength_encode
+
+    content = b"BT /F1 12 Tf 72 700 Td (Filtered stream text.) Tj ET"
+    cases = [
+        (b"/LZWDecode", lzw_encode(content), b""),
+        (b"/ASCIIHexDecode", content.hex().encode() + b">", b""),
+        (b"/ASCII85Decode", base64.a85encode(content) + b"~>", b""),
+        (b"/RunLengthDecode", runlength_encode(content), b""),
+        # chain: Flate then ASCII85 on the wire → decode A85 first
+        (
+            b"[/ASCII85Decode /FlateDecode]",
+            base64.a85encode(_z.compress(content)) + b"~>",
+            b"",
+        ),
+        # abbreviated names (table H.1 short forms appear in the wild)
+        (b"/AHx", content.hex().encode() + b">", b""),
+    ]
+    for filt, enc, parms in cases:
+        r = extract_pdf(build_filtered_pdf(filt, enc, parms))
+        assert r["ok"], (filt, r["error"])
+        assert [reg["text"] for reg in r["regions"]] == ["Filtered stream text."], filt
+
+
+def test_lzw_decoder_width_transitions_and_runs():
+    """LZW at table sizes that force 9→10→11-bit code widths (repetitive
+    input grows the table fast), round-tripped against the independent
+    encoder; RunLength repeat-run edge (128-byte run) included."""
+    from ocr_model_spark.kernels.pdf_native import _lzw_decode, _runlength_decode
+    from tests.pdf_fixture import lzw_encode, runlength_encode
+
+    for early in (0, 1):
+        for payload in (
+            b"ab" * 2000,
+            bytes(range(256)) * 12,
+            b"the quick brown fox " * 300,
+            b"",
+            b"x",
+        ):
+            assert _lzw_decode(lzw_encode(payload, early), early) == payload, (
+                early,
+                payload[:16],
+            )
+    for payload in (b"\x00" * 128, b"abc", b"aaabbbccc", b"a" * 300 + b"xyz"):
+        assert _runlength_decode(runlength_encode(payload)) == payload
