@@ -210,6 +210,45 @@ def jaccard_verify(
     )
 
 
+def duplicate_ngram_coverage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Cross-document duplicate n-gram coverage — the exact-substring
+    dedup signal training pipelines compute corpus-wide (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, how many of its distinct word n-grams appear in at least one
+    OTHER document, and the shared fraction. High coverage = boilerplate /
+    template / copied content even when no single pair crosses a
+    near-dup threshold.
+
+    Plan shape: reuses the distinct (id, shingle) frame, marks each
+    shingle shared iff min(id) != max(id) — one COMBINING groupBy on the
+    shingle key (min/max partials, no count-distinct) — then joins the
+    flags back (co-partitioned on the shingle key from the same shuffle)
+    and folds per doc. Boilerplate-hot shingles skew the join-back; AQE's
+    skew-join split handles it (the marks side is one row per shingle).
+    At 10^12 rows run the same plan over ``hashed=True`` shingles: 64-bit
+    collisions can only overcount sharing by ~n_shingles/2^64."""
+    sh = shingle_frame(df, id_col, text_col, n, hashed=False)
+    marks = sh.groupBy("shingle").agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx")
+    )
+    return (
+        sh.join(marks, "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum((F.col("mn") != F.col("mx")).cast("long")).alias(
+                "n_shared_ngrams"
+            ),
+        )
+        .withColumn(
+            "shared_ngram_frac",
+            F.round(F.col("n_shared_ngrams") / F.col("n_ngrams") + 1e-9, 4),
+        )
+    )
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 

@@ -894,9 +894,15 @@ FROM c5 GROUP BY u ORDER BY canonical_url
 
 def q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition metrics per document (duplicate-content
-    quality filters: distinct-word / top-word / top-bigram fractions)."""
+    quality filters: distinct-word / top-word / top-bigram fractions),
+    joined with the CROSS-document duplicate n-gram coverage signal
+    (Lee-et-al exact-substring dedup: fraction of a doc's distinct
+    3-grams appearing in another doc) — one driver slot verifies both
+    per-doc duplication profiles."""
     d = _t(spark, sf_dir, "documents")
-    return X.repetition_profile(d, "doc_id", "text").orderBy("doc_id")
+    rep = X.repetition_profile(d, "doc_id", "text")
+    cov = D.duplicate_ngram_coverage(d, "doc_id", "text", 3)
+    return rep.join(cov, "doc_id", "left").orderBy("doc_id")
 
 
 _SQL_REPETITION_PROFILE = r"""
@@ -924,11 +930,37 @@ wx AS (
     SELECT doc_id, MAX(cnt) AS top_bigram_n, CAST(SUM(cnt) AS BIGINT) AS n_bigrams
     FROM bx GROUP BY doc_id
 )
+-- cross-document duplicate n-gram coverage: SAME tokenization, 3-gram
+-- shingles with the short-doc fallback (mirrors operators/dedup.py::
+-- shingle_frame), shared iff min(doc)!=max(doc) over the distinct frame
+, shw AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+), shx AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM shw
+), shn AS (SELECT DISTINCT doc_id, shingle FROM shx),
+marks AS (
+    SELECT shingle, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM shn GROUP BY shingle
+), cov AS (
+    SELECT shn.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_ngrams
+    FROM shn JOIN marks USING (shingle) GROUP BY shn.doc_id
+)
 SELECT ws.doc_id, ws.n_words,
        ROUND(CAST(n_distinct AS DOUBLE) / n_words + 1e-9, 4) AS distinct_word_frac,
        ROUND(CAST(top_word_n AS DOUBLE) / n_words + 1e-9, 4) AS top_word_frac,
-       ROUND(COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) + 1e-9, 4) AS top_bigram_frac
-FROM ws LEFT JOIN bs USING (doc_id)
+       ROUND(COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) + 1e-9, 4) AS top_bigram_frac,
+       cov.n_ngrams, cov.n_shared_ngrams,
+       ROUND(CAST(n_shared_ngrams AS DOUBLE) / n_ngrams + 1e-9, 4) AS shared_ngram_frac
+FROM ws LEFT JOIN bs USING (doc_id) LEFT JOIN cov USING (doc_id)
 ORDER BY doc_id
 """
 

@@ -417,3 +417,38 @@ def test_connected_components_star_matches_minlabel_and_handles_long_paths(spark
     a = {(r["id"], r["label"]) for r in connected_components(cands).collect()}
     b = {(r["id"], r["label"]) for r in connected_components_star(cands).collect()}
     assert a == b and len(a) > 0
+
+
+def test_duplicate_ngram_coverage_semantics(spark):
+    """Hand-built corpus: a doc that copies another's sentence shares its
+    3-grams; a fully unique doc shares none; identical docs share all."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import duplicate_ngram_coverage
+
+    boiler = "all rights reserved contact us for more information today"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a", "b", "c", "d"],
+                "text": [
+                    f"unique alpha sentence one {boiler}",
+                    f"different beta content here {boiler}",
+                    "totally distinct gamma words nothing shared here at all",
+                    "totally distinct gamma words nothing shared here at all",
+                ],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_shared_ngrams"], r["shared_ngram_frac"])
+        for r in duplicate_ngram_coverage(docs).collect()
+    }
+    # identical docs: every n-gram shared
+    assert got["c"][0] == got["c"][1] and got["c"][2] == 1.0
+    assert got["d"] == got["c"]
+    # boilerplate-sharing docs: some but not all 3-grams shared
+    assert 0 < got["a"][1] < got["a"][0]
+    # the shared count equals the boilerplate window count (8 3-grams) is
+    # NOT asserted (bridge 3-grams across the unique prefix differ) — only
+    # the sane range above
