@@ -210,6 +210,52 @@ def jaccard_verify(
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination signal: per document, how many of its
+    distinct word n-grams appear in the BENCHMARK set (eval/test data that
+    must not leak into training), plus a ``contaminated`` flag at
+    ``min_hits``. The standard n-gram-overlap decontamination step (GPT-3
+    appendix C / PaLM-style 13-gram checks use the same shape at larger n).
+
+    Scale shape: the benchmark is small by definition (eval sets are
+    thousands of docs, the corpus is billions), so its DISTINCT shingle set
+    is built once and BROADCAST — the corpus-side shingle frame is probed
+    map-side with no shuffle of corpus data; the only corpus shuffle is the
+    final per-doc fold, keyed on the doc id. Left join keeps clean docs
+    (hits = 0)."""
+    doc_sh = shingle_frame(docs, id_col, text_col, n, hashed=False)
+    bench_sh = (
+        shingle_frame(benchmark, bench_id_col, bench_text_col, n, hashed=False)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_bench_hits"),
+            F.count("*").alias("n_ngrams"),
+        )
+        .select(
+            id_col,
+            "n_bench_hits",
+            (F.col("n_bench_hits") >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def duplicate_ngram_coverage(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

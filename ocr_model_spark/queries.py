@@ -1252,8 +1252,12 @@ def q_corpus_filter_verdict(spark, sf_dir):
     """The composed training-data filter a webtext pipeline actually ships:
     keep a document iff quality ≥ 0.3 AND it is not the dropped side of a
     near-duplicate pair (LSH candidates; keep the smaller doc_id — the
-    standard deterministic tie-break). One relational plan composing the
-    quality scorer and the MinHash-LSH candidate generator."""
+    standard deterministic tie-break) AND it is not benchmark-contaminated
+    (≥2 distinct 3-grams overlapping the held-out benchmark slice — here a
+    deterministic 1-in-20 hash slice of the corpus standing in for an eval
+    set, so benchmark members self-flag). One relational plan composing the
+    quality scorer, the MinHash-LSH candidate generator, and the broadcast
+    decontamination probe."""
     d = _t(spark, sf_dir, "documents")
     quality = d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
     losers = (
@@ -1262,18 +1266,23 @@ def q_corpus_filter_verdict(spark, sf_dir):
         .distinct()
         .withColumn("near_dup_loser", F.lit(True))
     )
+    bench = d.filter(D.stable_hash(F.col("doc_id").cast("string")) % 20 == 0)
+    cont = D.benchmark_contamination(d, bench, "doc_id", "text")
+    keep = (
+        (F.col("quality") >= 0.3)
+        & ~F.coalesce("near_dup_loser", F.lit(False))
+        & ~F.coalesce("contaminated", F.lit(False))
+    )
     return (
         quality.join(losers, "doc_id", "left")
+        .join(cont, "doc_id", "left")
         .select(
             "doc_id",
             "quality",
             F.coalesce("near_dup_loser", F.lit(False)).alias("near_dup_loser"),
-            F.when(
-                (F.col("quality") >= 0.3) & ~F.coalesce("near_dup_loser", F.lit(False)),
-                F.lit("keep"),
-            )
-            .otherwise(F.lit("drop"))
-            .alias("verdict"),
+            F.coalesce("n_bench_hits", F.lit(0)).alias("n_bench_hits"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            F.when(keep, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
         )
         .orderBy("doc_id")
     )
@@ -1307,12 +1316,42 @@ feat AS (
                     ELSE 0.0 END) <= 10.0 THEN 1.0 ELSE 0.5 END)
                - LEAST(0.5, 2.0 * punct_ratio)), 6) AS quality
     FROM feat
+),
+-- benchmark decontamination: the 1-in-20 md5-hash slice is the benchmark;
+-- a doc is contaminated at >= 2 distinct 3-gram hits. Shingles mirror
+-- operators/dedup.py::shingle_frame (same tokenization + short-doc fallback)
+cw AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+), csx AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM cw
+), csh AS (SELECT DISTINCT doc_id, shingle FROM csx),
+bsh AS (
+    SELECT DISTINCT shingle FROM csh
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0
+), cont AS (
+    SELECT csh.doc_id,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bench_hits
+    FROM csh LEFT JOIN bsh b ON csh.shingle = b.shingle
+    GROUP BY csh.doc_id
 )
 SELECT s.doc_id, s.quality,
        COALESCE(l.near_dup_loser, FALSE) AS near_dup_loser,
+       COALESCE(c.n_bench_hits, 0) AS n_bench_hits,
+       COALESCE(c.n_bench_hits >= 2, FALSE) AS contaminated,
        CASE WHEN s.quality >= 0.3 AND NOT COALESCE(l.near_dup_loser, FALSE)
+                 AND NOT COALESCE(c.n_bench_hits >= 2, FALSE)
             THEN 'keep' ELSE 'drop' END AS verdict
 FROM scored s LEFT JOIN losers l ON s.doc_id = l.doc_id
+               LEFT JOIN cont c ON s.doc_id = c.doc_id
 ORDER BY s.doc_id
 """
 

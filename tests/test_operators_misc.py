@@ -452,3 +452,38 @@ def test_duplicate_ngram_coverage_semantics(spark):
     # the shared count equals the boilerplate window count (8 3-grams) is
     # NOT asserted (bridge 3-grams across the unique prefix differ) — only
     # the sane range above
+
+
+def test_benchmark_contamination_broadcast_and_semantics(spark):
+    """Decontamination: a doc sharing >= min_hits 3-grams with the
+    benchmark flags contaminated, clean docs report 0 hits, and the plan
+    BROADCASTS the benchmark shingle set (no corpus-side shuffle to probe)."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["q1"],
+                "text": ["what is the capital of france answer in one word"],
+            }
+        )
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["train1", "train2"],
+                "text": [
+                    "quiz page what is the capital of france please respond",
+                    "completely unrelated cooking recipe with fresh basil leaves",
+                ],
+            }
+        )
+    )
+    out = benchmark_contamination(docs, bench)
+    got = {r["doc_id"]: (r["n_bench_hits"], r["contaminated"]) for r in out.collect()}
+    assert got["train1"][0] >= 2 and got["train1"][1] is True
+    assert got["train2"] == (0, False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
