@@ -110,6 +110,8 @@ def q_extract_lineage(spark, sf_dir):
             "n_html",
             "n_pdf",
             "n_docx",
+            "n_pptx",
+            "n_xlsx",
             "n_text",
             F.unix_micros("max_warc_ts").alias("max_warc_us"),
             F.unix_micros("min_warc_ts").alias("min_warc_us"),

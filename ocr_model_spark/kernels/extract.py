@@ -19,7 +19,7 @@ Deterministic: identical bytes → identical result, always.
 from __future__ import annotations
 
 from ocr_model_spark.kernels import sniff
-from ocr_model_spark.kernels.docx_extract import extract_docx
+from ocr_model_spark.kernels.ooxml_extract import extract_ooxml
 from ocr_model_spark.kernels.encoding import decode_with_fallback
 from ocr_model_spark.kernels.html_extract import extract_html
 from ocr_model_spark.kernels.pdf_extract import extract_pdf
@@ -79,7 +79,11 @@ def extract_document(data: bytes | None, max_pages: int | None = None) -> dict:
     elif doc_type == sniff.TEXT:
         out = _extract_text_plain(data)
     elif doc_type == sniff.DOCX:
-        out = extract_docx(data)
+        # sniff sees only the zip magic; the OOXML kernel opens the
+        # container and REFINES doc_type to docx/pptx/xlsx (or a typed
+        # unknown-container failure) from the member names
+        out = extract_ooxml(data)
+        doc_type = out.get("doc_type", doc_type)
     else:  # IMAGE / UNKNOWN: engines not present in this build
         out = dict(EMPTY_RESULT, error=f"engine-unavailable:{doc_type}")
     out.setdefault("metadata", {})  # error branches may omit it

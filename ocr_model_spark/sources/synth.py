@@ -7,7 +7,7 @@ scale yields byte-identical payloads, which is what makes the byte-identity
 pytest replay possible.
 
 Payload mix (fractions of rows, chosen per-row by a seeded RNG):
-  * ~86% HTML: boilerplate shell (nav/header/sidebar/footer with high link
+  * ~83% HTML: boilerplate shell (nav/header/sidebar/footer with high link
     density, short promo blurbs) around main content (h1 + paragraphs + list
     + blockquote with high text density) — exercises the density scorer;
   * ~8% PDFs — half the ``%%SYNTHPAGE`` content-stream subset
@@ -19,6 +19,8 @@ Payload mix (fractions of rows, chosen per-row by a seeded RNG):
   * ~2% plain text — exercises the verbatim-text branch;
   * ~2% DOCX (real zip + WordprocessingML, fixed zip timestamps) —
     exercises the stdlib DOCX kernel (paragraph/heading/list/table walk);
+  * ~1.5% PPTX and ~1.5% XLSX (v10) — the OOXML container dispatch +
+    slide/sheet kernels (``kernels/ooxml_extract.py``);
   * ~1% truncated HTML — parser tolerance path;
   * ~1% PNG magic bytes — the extraction-failure / lineage-counter path.
 
@@ -42,7 +44,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 9
+GEN_VERSION = 10  # v10: pptx + xlsx payload slices
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -351,6 +353,120 @@ def _docx_doc(rng: random.Random, words: list[str]) -> bytes:
     return buf.getvalue()
 
 
+def _pptx_doc(rng: random.Random, words: list[str]) -> bytes:
+    """Minimal deterministic .pptx: 1-3 slides, each a title placeholder +
+    body paragraphs. Fixed zip timestamps (byte-identity rule)."""
+    import zipfile
+    from io import BytesIO
+
+    def slide(title: str, paras: list[str]) -> str:
+        def sp(texts: list[str], ph: str | None) -> str:
+            nv = (
+                '<p:nvSpPr><p:nvPr>'
+                + (f'<p:ph type="{ph}"/>' if ph else "")
+                + "</p:nvPr></p:nvSpPr>"
+            )
+            body = "".join(
+                f"<a:p><a:r><a:t>{_xml_esc(t)}</a:t></a:r></a:p>" for t in texts
+            )
+            return f"<p:sp>{nv}<p:txBody>{body}</p:txBody></p:sp>"
+
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+            'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+            "<p:cSld><p:spTree>"
+            + sp([title], "title")
+            + sp(paras, None)
+            + "</p:spTree></p:cSld></p:sld>"
+        )
+
+    n_slides = rng.randint(1, 3)
+    entries: list[tuple[str, str]] = [
+        (
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types '
+            'xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        ),
+        (
+            "ppt/presentation.xml",
+            '<?xml version="1.0"?><p:presentation '
+            'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"/>',
+        ),
+    ]
+    for s in range(1, n_slides + 1):
+        title = " ".join(words[rng.randrange(len(words))] for _ in range(3)).title()
+        paras = [
+            " ".join(_sentences(words, rng, rng.randint(1, 3)))
+            for _ in range(rng.randint(1, 4))
+        ]
+        entries.append((f"ppt/slides/slide{s}.xml", slide(title, paras)))
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, content in entries:
+            info = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zf.writestr(info, content)
+    return buf.getvalue()
+
+
+def _xlsx_doc(rng: random.Random, words: list[str]) -> bytes:
+    """Minimal deterministic .xlsx: one or two sheets of shared-string and
+    inline-numeric cells. Fixed zip timestamps (byte-identity rule)."""
+    import zipfile
+    from io import BytesIO
+
+    n_sheets = rng.randint(1, 2)
+    shared: list[str] = []
+
+    def sidx(text: str) -> int:
+        shared.append(text)
+        return len(shared) - 1
+
+    sheets_xml: list[str] = []
+    names: list[str] = []
+    for s in range(1, n_sheets + 1):
+        names.append(f"Data{s}")
+        rows = []
+        for r in range(1, rng.randint(3, 6) + 1):
+            cells = []
+            for c in range(rng.randint(2, 4)):
+                if rng.random() < 0.6:
+                    text = " ".join(_sentences(words, rng, 1))
+                    cells.append(f'<c t="s"><v>{sidx(text)}</v></c>')
+                else:
+                    cells.append(f"<c><v>{rng.randint(1, 9999)}</v></c>")
+            rows.append(f'<row r="{r}">' + "".join(cells) + "</row>")
+        sheets_xml.append(
+            '<?xml version="1.0"?><worksheet '
+            'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<sheetData>" + "".join(rows) + "</sheetData></worksheet>"
+        )
+    workbook = (
+        '<?xml version="1.0"?><workbook '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets>'
+        + "".join(
+            f'<sheet name="{n}" sheetId="{i + 1}"/>' for i, n in enumerate(names)
+        )
+        + "</sheets></workbook>"
+    )
+    sst = (
+        '<?xml version="1.0"?><sst '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{_xml_esc(t)}</t></si>" for t in shared)
+        + "</sst>"
+    )
+    entries = [("xl/workbook.xml", workbook), ("xl/sharedStrings.xml", sst)]
+    entries += [
+        (f"xl/worksheets/sheet{i + 1}.xml", x) for i, x in enumerate(sheets_xml)
+    ]
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, content in entries:
+            info = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zf.writestr(info, content)
+    return buf.getvalue()
+
+
 def _pdf_doc(rng: random.Random, words: list[str]) -> bytes:
     # half the PDFs are real classic files (native stdlib reader path),
     # half the %%SYNTHPAGE subset (deterministic reference grammar)
@@ -384,6 +500,10 @@ def build_page_row(seed: int, i: int, base_text: str, base_lang: str) -> dict:
         html = b"\x89PNG\r\n\x1a\n" + bytes(rng.randrange(256) for _ in range(128))
     elif roll < 0.14:
         html = _docx_doc(rng, words)
+    elif roll < 0.155:
+        html = _pptx_doc(rng, words)
+    elif roll < 0.17:
+        html = _xlsx_doc(rng, words)
     else:
         accented = rng.random() < 0.03
         if accented:

@@ -1230,3 +1230,72 @@ def test_lzw_decoder_width_transitions_and_runs():
             )
     for payload in (b"\x00" * 128, b"abc", b"aaabbbccc", b"a" * 300 + b"xyz"):
         assert _runlength_decode(runlength_encode(payload)) == payload
+
+
+def test_ooxml_dispatch_and_pptx_xlsx_extraction():
+    """Zip containers refine to docx/pptx/xlsx from member names; slide
+    paragraphs and sheet rows come out as regions with correct types; an
+    unknown zip (odt-shaped) fails typed instead of garbling."""
+    import io
+    import zipfile
+
+    from ocr_model_spark.kernels.extract import extract_document
+    from ocr_model_spark.sources.synth import _docx_doc, _pptx_doc, _xlsx_doc
+    import random
+
+    rng = random.Random("fixed")
+    words = "alpha beta gamma delta epsilon".split()
+
+    r = extract_document(_pptx_doc(random.Random("p"), words))
+    assert r["doc_type"] == "pptx" and r["ok"]
+    assert r["regions"][0]["type"] == "heading"  # title placeholder
+    assert r["title"] is not None
+    assert int(r["metadata"]["n_slides"]) >= 1
+    full = r["text"]
+    for reg in r["regions"]:
+        assert full[reg["span_start"] : reg["span_end"]] == reg["text"]
+
+    r = extract_document(_xlsx_doc(random.Random("x"), words))
+    assert r["doc_type"] == "xlsx" and r["ok"]
+    types = {reg["type"] for reg in r["regions"]}
+    assert "heading" in types and "table_row" in types
+    assert any("|" in reg["text"] for reg in r["regions"] if reg["type"] == "table_row")
+
+    r = extract_document(_docx_doc(rng, words))
+    assert r["doc_type"] == "docx" and r["ok"]
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("content.xml", "<office/>")  # odt-shaped container
+    r = extract_document(buf.getvalue())
+    assert r["ok"] is False and r["error"].startswith("ooxml-unknown-container")
+    assert r["doc_type"] == "ooxml"
+
+
+def test_xlsx_shared_inline_and_numeric_cells():
+    """Cell decoding: shared strings, inline strings, numerics; missing
+    sharedStrings index yields empty, not a crash."""
+    import io
+    import zipfile
+
+    from ocr_model_spark.kernels.ooxml_extract import extract_xlsx
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c t="s"><v>0</v></c><c><v>42.5</v></c>'
+        '<c t="inlineStr"><is><t>inline text</t></is></c>'
+        '<c t="s"><v>99</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst = f'<?xml version="1.0"?><sst {ns}><si><t>shared one</t></si></sst>'
+    wb = f'<?xml version="1.0"?><workbook {ns}><sheets><sheet name="S" sheetId="1"/></sheets></workbook>'
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    r = extract_xlsx(buf.getvalue())
+    assert r["ok"]
+    row = [reg for reg in r["regions"] if reg["type"] == "table_row"][0]
+    assert row["text"] == "shared one | 42.5 | inline text"
