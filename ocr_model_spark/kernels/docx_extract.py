@@ -117,40 +117,14 @@ def extract_docx(data: bytes) -> dict:
             "regions": [],
         }
     raw_regions, n_paragraphs, n_tables = _walk_body(body)
-    regions: list[dict] = []
-    offset = 0
-    parts: list[str] = []
-    title = None
-    for i, r in enumerate(raw_regions):
-        text = r["text"]
-        if title is None and r["type"] == "heading":
-            title = text
-        regions.append(
-            {
-                "idx": i,
-                "type": r["type"],
-                "text": text,
-                "span_start": offset,
-                "span_end": offset + len(text),
-                "link_density": 0.0,
-                "text_density": float(len(text)),
-                # native text layer: perfect extraction confidence (same
-                # rule as the plain-text branch / reference native path)
-                "confidence": 1.0,
-                "needs_review": False,
-            }
-        )
-        offset += len(text) + 2
-        parts.append(text)
-    return {
-        "text": "\n\n".join(parts),
-        "title": title,
-        "encoding": "utf-8",
-        "ok": True,
-        "error": None,
-        "metadata": {
-            "n_paragraphs": str(n_paragraphs),
-            "n_tables": str(n_tables),
-        },
-        "regions": regions,
-    }
+    # shared span-offset/title assembly — ONE implementation of the
+    # offset-+2 / first-heading-title / native-confidence invariant for
+    # every OOXML kernel (no top-level import cycle: ooxml_extract imports
+    # this module only inside its dispatch function)
+    from ocr_model_spark.kernels.ooxml_extract import _assemble
+
+    return _assemble(
+        raw_regions,
+        {"n_paragraphs": str(n_paragraphs), "n_tables": str(n_tables)},
+        "docx",
+    )

@@ -28,9 +28,35 @@ import zipfile
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
 _S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 _SLIDE_RE = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
 _SHEET_RE = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+
+
+def _part_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
+    """rId → resolved member name from a part's .rels (e.g.
+    ``ppt/_rels/presentation.xml.rels``); {} when absent/broken."""
+    base, _, fname = part.rpartition("/")
+    rels_name = f"{base}/_rels/{fname}.rels" if base else f"_rels/{fname}.rels"
+    try:
+        with zf.open(rels_name) as f:
+            root = ET.parse(f).getroot()
+    except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
+        return {}
+    out: dict[str, str] = {}
+    for rel in root.iter(f"{_REL}Relationship"):
+        rid, target = rel.get("Id"), rel.get("Target")
+        if not rid or not target:
+            continue
+        # targets are part-relative ("slides/slide1.xml", "worksheets/…")
+        # unless rooted ("/ppt/…")
+        if target.startswith("/"):
+            out[rid] = target[1:]
+        else:
+            out[rid] = f"{base}/{target}" if base else target
+    return out
 
 
 def _norm(s: str) -> str:
@@ -114,24 +140,45 @@ def _slide_regions(root: ET.Element) -> list[dict]:
     return out
 
 
-def extract_pptx(data: bytes) -> dict:
-    """Slides in numeric order (``ppt/slides/slideN.xml``); one region per
-    non-empty paragraph. Broken individual slides degrade (skipped), a
-    broken container fails typed."""
+def _slide_order(zf: zipfile.ZipFile) -> list[str]:
+    """Slide member names in PRESENTATION order: ``p:sldIdLst`` r:ids
+    resolved through presentation.xml.rels (a deck reordered in the editor
+    keeps its original file names and changes only the id list). Falls back
+    to numeric file order for decks without the list."""
+    matched = [
+        (int(m.group(1)), nm) for nm in zf.namelist() if (m := _SLIDE_RE.match(nm))
+    ]
+    numeric = [name for _n, name in sorted(matched)]
     try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
+        with zf.open("ppt/presentation.xml") as f:
+            root = ET.parse(f).getroot()
+    except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
+        return numeric
+    rels = _part_rels(zf, "ppt/presentation.xml")
+    ordered = [
+        rels[sld.get(f"{_R}id")]
+        for sld in root.iter(f"{_P}sldId")
+        if sld.get(f"{_R}id") in rels
+    ]
+    ordered = [name for name in ordered if _SLIDE_RE.match(name)]
+    if not ordered:
+        return numeric
+    # any slide files the id list misses (broken rels) append in file order
+    return ordered + [n for n in numeric if n not in ordered]
+
+
+def extract_pptx(data: bytes, _zf: zipfile.ZipFile | None = None) -> dict:
+    """Slides in presentation order (``sldIdLst`` via rels, numeric-file
+    fallback); one region per non-empty paragraph. Broken individual slides
+    degrade (skipped), a broken container fails typed."""
+    try:
+        zf = _zf or zipfile.ZipFile(io.BytesIO(data))
     except (zipfile.BadZipFile, OSError) as e:
         return _fail("pptx-parse-failed", type(e).__name__)
-    slides = sorted(
-        (
-            (int(m.group(1)), name)
-            for name in zf.namelist()
-            if (m := _SLIDE_RE.match(name))
-        ),
-    )
+    slides = _slide_order(zf)
     raw: list[dict] = []
     n_broken = 0
-    for _num, name in slides:
+    for name in slides:
         try:
             with zf.open(name) as f:
                 raw.extend(_slide_regions(ET.parse(f).getroot()))
@@ -146,37 +193,58 @@ def extract_pptx(data: bytes) -> dict:
 # ------------------------------------------------------------------- XLSX
 
 
+def _rich_text(el: ET.Element) -> str:
+    """Text of an ``si``/``is`` rich-string node: ``t`` runs EXCLUDING
+    phonetic ``rPh`` subtrees (furigana annotations duplicate the base text
+    if naively collected — openpyxl/pandas exclude them too)."""
+    parts: list[str] = []
+
+    def walk(node: ET.Element) -> None:
+        if node.tag == f"{_S}rPh":
+            return
+        if node.tag == f"{_S}t":
+            parts.append(node.text or "")
+            return
+        for ch in node:
+            walk(ch)
+
+    walk(el)
+    return "".join(parts)
+
+
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     try:
         with zf.open("xl/sharedStrings.xml") as f:
             root = ET.parse(f).getroot()
     except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
         return []
-    out = []
-    for si in root.findall(f"{_S}si"):
-        out.append("".join(t.text or "" for t in si.iter(f"{_S}t")))
-    return out
+    return [_rich_text(si) for si in root.findall(f"{_S}si")]
 
 
-def _sheet_names(zf: zipfile.ZipFile) -> list[str]:
+def _workbook_sheets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """(name, worksheet member) in WORKBOOK order, resolved through
+    ``xl/_rels/workbook.xml.rels`` — positional pairing misattributes names
+    when chartsheets interleave or sheets were reordered. Entries whose
+    rel target is not a worksheet part (chartsheets) are skipped."""
     try:
         with zf.open("xl/workbook.xml") as f:
             root = ET.parse(f).getroot()
     except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
         return []
-    return [
-        s.get("name") or ""
-        for s in root.iter(f"{_S}sheet")
-    ]
+    rels = _part_rels(zf, "xl/workbook.xml")
+    out: list[tuple[str, str]] = []
+    for s in root.iter(f"{_S}sheet"):
+        target = rels.get(s.get(f"{_R}id") or "")
+        if target and _SHEET_RE.match(target):
+            out.append((s.get("name") or "", target))
+    return out
 
 
 def _cell_text(c: ET.Element, shared: list[str]) -> str:
     t = c.get("t")
     if t == "inlineStr":
         is_el = c.find(f"{_S}is")
-        if is_el is not None:
-            return "".join(x.text or "" for x in is_el.iter(f"{_S}t"))
-        return ""
+        return _rich_text(is_el) if is_el is not None else ""
     v = c.find(f"{_S}v")
     val = (v.text or "") if v is not None else ""
     if t == "s":
@@ -187,29 +255,43 @@ def _cell_text(c: ET.Element, shared: list[str]) -> str:
     return val
 
 
-def extract_xlsx(data: bytes) -> dict:
-    """Worksheets in numeric order; a heading region per sheet (its
-    workbook name, positional — or ``sheet N``) and a ``table_row`` region
-    per non-empty row, cells joined with ``" | "`` (the engine's
-    rows-of-cells layout, same as DOCX tables)."""
+def extract_xlsx(data: bytes, _zf: zipfile.ZipFile | None = None) -> dict:
+    """Worksheets in workbook order (names bound via workbook rels, with a
+    numeric-file fallback when workbook.xml/rels are broken); a heading
+    region per sheet and a ``table_row`` region per non-empty row, cells
+    joined with ``" | "`` (the engine's rows-of-cells layout, same as DOCX
+    tables)."""
     try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
+        zf = _zf or zipfile.ZipFile(io.BytesIO(data))
     except (zipfile.BadZipFile, OSError) as e:
         return _fail("xlsx-parse-failed", type(e).__name__)
     shared = _shared_strings(zf)
-    names = _sheet_names(zf)
-    sheets = sorted(
-        (
-            (int(m.group(1)), name)
-            for name in zf.namelist()
-            if (m := _SHEET_RE.match(name))
-        ),
-    )
+    sheets = _workbook_sheets(zf)
+    if not sheets:
+        # no usable rels: numeric file order, names paired positionally
+        # from workbook.xml only when the counts line up exactly
+        matched = [
+            (int(m.group(1)), nm)
+            for nm in zf.namelist()
+            if (m := _SHEET_RE.match(nm))
+        ]
+        numeric = sorted(matched)
+        names: list[str] = []
+        try:
+            with zf.open("xl/workbook.xml") as f:
+                names = [
+                    s.get("name") or ""
+                    for s in ET.parse(f).getroot().iter(f"{_S}sheet")
+                ]
+        except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
+            pass
+        if len(names) != len(numeric):
+            names = [f"sheet {num}" for num, _nm in numeric]
+        sheets = [(names[i], nm) for i, (_num, nm) in enumerate(numeric)]
     raw: list[dict] = []
     n_rows = 0
-    for pos, (num, entry) in enumerate(sheets):
-        label = names[pos] if pos < len(names) else f"sheet {num}"
-        raw.append({"type": "heading", "text": _norm(label) or f"sheet {num}"})
+    for label, entry in sheets:
+        raw.append({"type": "heading", "text": _norm(label) or entry})
         try:
             with zf.open(entry) as f:
                 root = ET.parse(f).getroot()
@@ -236,21 +318,24 @@ def extract_ooxml(data: bytes) -> dict:
     from ocr_model_spark.kernels.docx_extract import extract_docx
 
     try:
-        with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            members = set(zf.namelist())
+        zf = zipfile.ZipFile(io.BytesIO(data))
     except (zipfile.BadZipFile, OSError):
         # unreadable container: keep the historical docx-typed failure
         out = extract_docx(data)
         out["doc_type"] = "docx"
         return out
-    if "word/document.xml" in members:
-        out = extract_docx(data)
-        out["doc_type"] = "docx"
-        return out
-    if "ppt/presentation.xml" in members or any(
-        _SLIDE_RE.match(m) for m in members
-    ):
-        return extract_pptx(data)
-    if "xl/workbook.xml" in members or any(_SHEET_RE.match(m) for m in members):
-        return extract_xlsx(data)
+    with zf:
+        members = set(zf.namelist())
+        if "word/document.xml" in members:
+            out = extract_docx(data)
+            out["doc_type"] = "docx"
+            return out
+        # the already-open ZipFile rides along: the central directory is
+        # parsed once per document, not once for dispatch + once for extract
+        if "ppt/presentation.xml" in members or any(
+            _SLIDE_RE.match(m) for m in members
+        ):
+            return extract_pptx(data, _zf=zf)
+        if "xl/workbook.xml" in members or any(_SHEET_RE.match(m) for m in members):
+            return extract_xlsx(data, _zf=zf)
     return _fail("ooxml-unknown-container", "no-known-main-part")

@@ -995,8 +995,9 @@ def _ascii85_decode(data: bytes) -> bytes:
     import base64
 
     s = b"".join(data.split())  # whitespace is insignificant
-    if s.endswith(b"~>"):
-        s = s[:-2]
+    # '~>' is EOD — spec: anything AFTER it shall be IGNORED (padding /
+    # stray bytes inside the /Length extent must not kill the stream)
+    s = s.split(b"~>")[0]
     if s.startswith(b"<~"):
         s = s[2:]
     try:

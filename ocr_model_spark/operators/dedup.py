@@ -251,6 +251,7 @@ def benchmark_contamination(
         .select(
             id_col,
             "n_bench_hits",
+            "n_ngrams",  # denominator for a contamination fraction
             (F.col("n_bench_hits") >= min_hits).alias("contaminated"),
         )
     )

@@ -44,7 +44,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 10  # v10: pptx + xlsx payload slices
+GEN_VERSION = 11  # v10: pptx + xlsx slices; v11: OOXML rels + sldIdLst
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -382,6 +382,19 @@ def _pptx_doc(rng: random.Random, words: list[str]) -> bytes:
         )
 
     n_slides = rng.randint(1, 3)
+    sld_ids = "".join(
+        f'<p:sldId id="{255 + i}" r:id="rId{i}"/>' for i in range(1, n_slides + 1)
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/slide" Target="slides/slide{i}.xml"/>'
+            for i in range(1, n_slides + 1)
+        )
+        + "</Relationships>"
+    )
     entries: list[tuple[str, str]] = [
         (
             "[Content_Types].xml",
@@ -391,8 +404,11 @@ def _pptx_doc(rng: random.Random, words: list[str]) -> bytes:
         (
             "ppt/presentation.xml",
             '<?xml version="1.0"?><p:presentation '
-            'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"/>',
+            'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f"<p:sldIdLst>{sld_ids}</p:sldIdLst></p:presentation>",
         ),
+        ("ppt/_rels/presentation.xml.rels", rels),
     ]
     for s in range(1, n_slides + 1):
         title = " ".join(words[rng.randrange(len(words))] for _ in range(3)).title()
@@ -443,11 +459,25 @@ def _xlsx_doc(rng: random.Random, words: list[str]) -> bytes:
         )
     workbook = (
         '<?xml version="1.0"?><workbook '
-        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets>'
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        "<sheets>"
         + "".join(
-            f'<sheet name="{n}" sheetId="{i + 1}"/>' for i, n in enumerate(names)
+            f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, n in enumerate(names)
         )
         + "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
     )
     sst = (
         '<?xml version="1.0"?><sst '
@@ -455,7 +485,11 @@ def _xlsx_doc(rng: random.Random, words: list[str]) -> bytes:
         + "".join(f"<si><t>{_xml_esc(t)}</t></si>" for t in shared)
         + "</sst>"
     )
-    entries = [("xl/workbook.xml", workbook), ("xl/sharedStrings.xml", sst)]
+    entries = [
+        ("xl/workbook.xml", workbook),
+        ("xl/_rels/workbook.xml.rels", wb_rels),
+        ("xl/sharedStrings.xml", sst),
+    ]
     entries += [
         (f"xl/worksheets/sheet{i + 1}.xml", x) for i, x in enumerate(sheets_xml)
     ]

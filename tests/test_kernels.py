@@ -1299,3 +1299,97 @@ def test_xlsx_shared_inline_and_numeric_cells():
     assert r["ok"]
     row = [reg for reg in r["regions"] if reg["type"] == "table_row"][0]
     assert row["text"] == "shared one | 42.5 | inline text"
+
+
+def test_pptx_slide_order_follows_sldidlst():
+    """A deck reordered in the editor keeps file names and changes only
+    sldIdLst: extraction must follow PRESENTATION order, not file order."""
+    import io
+    import zipfile
+
+    from ocr_model_spark.kernels.ooxml_extract import extract_pptx
+
+    pns = 'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+    ans = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+
+    def slide(text):
+        return (
+            f'<?xml version="1.0"?><p:sld {pns} {ans}><p:cSld><p:spTree>'
+            f"<p:sp><p:txBody><a:p><a:r><a:t>{text}</a:t></a:r></a:p></p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>"
+        )
+
+    pres = (
+        f'<?xml version="1.0"?><p:presentation {pns} {rns}><p:sldIdLst>'
+        '<p:sldId id="257" r:id="rId2"/><p:sldId id="256" r:id="rId1"/>'
+        "</p:sldIdLst></p:presentation>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="slides/slide1.xml"/>'
+        '<Relationship Id="rId2" Type="t" Target="slides/slide2.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml", pres)
+        zf.writestr("ppt/_rels/presentation.xml.rels", rels)
+        zf.writestr("ppt/slides/slide1.xml", slide("first file"))
+        zf.writestr("ppt/slides/slide2.xml", slide("second file"))
+    r = extract_pptx(buf.getvalue())
+    assert [reg["text"] for reg in r["regions"]] == ["second file", "first file"]
+
+
+def test_xlsx_chartsheet_rels_and_rph_exclusion():
+    """Sheet names bind through workbook rels (a chartsheet entry must not
+    shift names onto the wrong worksheet) and phonetic rPh runs are
+    EXCLUDED from shared-string text."""
+    import io
+    import zipfile
+
+    from ocr_model_spark.kernels.ooxml_extract import extract_xlsx
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    wb = (
+        f'<?xml version="1.0"?><workbook {ns} {rns}><sheets>'
+        '<sheet name="ChartOnly" sheetId="1" r:id="rId1"/>'
+        '<sheet name="RealData" sheetId="2" r:id="rId2"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="chartsheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="t" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst {ns}>'
+        "<si><r><t>base</t></r><rPh><r><t>FURIGANA</t></r></rPh></si></sst>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c t="s"><v>0</v></c></row></sheetData></worksheet>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    r = extract_xlsx(buf.getvalue())
+    texts = [reg["text"] for reg in r["regions"]]
+    # the single worksheet carries the RealData name, not the chartsheet's
+    assert texts == ["RealData", "base"], texts
+
+
+def test_ascii85_ignores_bytes_after_eod():
+    import base64
+
+    from ocr_model_spark.kernels.pdf_native import _ascii85_decode
+
+    enc = base64.a85encode(b"payload bytes") + b"~>\x00\x00junk"
+    assert _ascii85_decode(enc) == b"payload bytes"
