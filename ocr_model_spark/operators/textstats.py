@@ -19,7 +19,14 @@ LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
     "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    # round 4: broader coverage (accent-free function words so the \b
+    # word-boundary semantics stay identical across regex engines)
+    "es": ["el", "los", "las", "por", "para", "como", "pero", "esta"],
+    "it": ["il", "gli", "che", "della", "sono", "anche", "nel", "alla"],
+    "pt": ["os", "das", "dos", "uma", "mais", "quando", "isso", "ele"],
 }
+# fixed priority = tie order (earlier wins ties); both engines share it
+LANG_PRIORITY = ("en", "de", "fr", "es", "it", "pt")
 _EN_STOPWORDS = LANG_MARKERS["en"] + ["for", "on", "with", "as", "this", "that"]
 
 FINGERPRINT_MOD = 2147483647
@@ -32,14 +39,18 @@ def _marker_hits(text: Column, markers: list[str]) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: argmax of per-language function-word hits;
-     'und' (undetermined) when nothing matches. Fixed tie order en>de>fr."""
-    en, de, fr = (_marker_hits(text, LANG_MARKERS[lang]) for lang in ("en", "de", "fr"))
-    return (
-        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
-        .when((de >= fr) & (de > 0), F.lit("de"))
-        .when(fr > 0, F.lit("fr"))
-        .otherwise(F.lit("und"))
-    )
+    'und' (undetermined) when nothing matches. Fixed tie order =
+    LANG_PRIORITY (a language wins when its count is positive and >= every
+    LOWER-priority language's count — the when-chain makes higher-priority
+    wins structural). The DuckDB oracle mirrors the chain exactly."""
+    hits = [_marker_hits(text, LANG_MARKERS[lang]) for lang in LANG_PRIORITY]
+    result = F.lit("und")
+    for i in range(len(LANG_PRIORITY) - 1, -1, -1):
+        cond = hits[i] > 0
+        for j in range(i + 1, len(LANG_PRIORITY)):
+            cond = cond & (hits[i] >= hits[j])
+        result = F.when(cond, F.lit(LANG_PRIORITY[i])).otherwise(result)
+    return result
 
 
 def ws_token_count(text: Column) -> Column:

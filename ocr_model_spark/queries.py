@@ -1099,17 +1099,36 @@ def q_text_profile(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_EN = "|".join(X.LANG_MARKERS["en"])
-_DE = "|".join(X.LANG_MARKERS["de"])
-_FR = "|".join(X.LANG_MARKERS["fr"])
 _EN_STOPS = "|".join(X._EN_STOPWORDS)
+
+
+def _lang_hits_sql() -> str:
+    """One ``<lang>_hits`` expression per language, markers interpolated
+    from the SHARED LANG_MARKERS table."""
+    return ",\n           ".join(
+        "len(regexp_extract_all(lower(text), '\\b({m})\\b')) AS {l}_hits".format(
+            m="|".join(X.LANG_MARKERS[lang]), l=lang
+        )
+        for lang in X.LANG_PRIORITY
+    )
+
+
+def _lang_case_sql() -> str:
+    """The priority-ordered argmax CASE — the exact twin of
+    textstats.lang_id's when-chain (earlier languages win ties)."""
+    langs = X.LANG_PRIORITY
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"{lang}_hits > 0"] + [
+            f"{lang}_hits >= {other}_hits" for other in langs[i + 1 :]
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
 
 _SQL_TEXT_PROFILE = f"""
 WITH scored AS (
     SELECT doc_id, text,
-           len(regexp_extract_all(lower(text), '\\b({_EN})\\b')) AS en_hits,
-           len(regexp_extract_all(lower(text), '\\b({_DE})\\b')) AS de_hits,
-           len(regexp_extract_all(lower(text), '\\b({_FR})\\b')) AS fr_hits,
+           {_lang_hits_sql()},
            CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
@@ -1119,10 +1138,7 @@ WITH scored AS (
     FROM documents
 )
 SELECT doc_id,
-       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
-            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-            WHEN fr_hits > 0 THEN 'fr'
-            ELSE 'und' END AS lang_guess,
+       {_lang_case_sql()} AS lang_guess,
        ws_tokens, bpe_tokens,
        CASE WHEN ws_tokens > 0 THEN ROUND(CAST(stop_hits AS DOUBLE) / ws_tokens, 6) ELSE 0.0 END AS stopword_ratio,
        CASE WHEN len(w) > 0

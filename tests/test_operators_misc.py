@@ -487,3 +487,31 @@ def test_benchmark_contamination_broadcast_and_semantics(spark):
     assert got["train2"] == (0, False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_lang_id_six_languages_and_tie_priority(spark):
+    """Marker-based language ID covers en/de/fr/es/it/pt with the fixed
+    priority tie-break; no-marker text is 'und'."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.textstats import lang_id
+
+    samples = {
+        "the cat and the dog in the house": "en",
+        "der hund und die katze ist nicht da": "de",
+        "le chat et la maison dans les rues": "fr",
+        "los gatos el perro por la casa para como pero esta bien": "es",
+        "il gatto che corre nel giardino della casa sono anche alla festa": "it",
+        "os gatos e uma casa dos animais quando ele quer mais isso": "pt",
+        "zzz qqq xxx": "und",
+        # equal en/de hit counts: priority order keeps 'en'
+        "the der": "en",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"text": list(samples)}))
+    got = {
+        r["text"]: r["g"]
+        for r in df.select("text", lang_id(F.col("text")).alias("g")).collect()
+    }
+    for t, want in samples.items():
+        assert got[t] == want, (t, got[t], want)
