@@ -35,11 +35,77 @@ EMPTY_RESULT = {
 }
 
 
+def _rtf_to_text(text: str) -> str:
+    """De-markup an RTF body (reference behavior: .rtf reads through the
+    plain-TEXT branch, document_processor.py:379-391 — but raw control
+    words are noise, not text). Minimal spec-following pass: drop
+    ``{\\*…}`` ignorable destinations and header-only groups (fonttbl /
+    colortbl / stylesheet / info / pict), map ``\\par``/``\\line`` to
+    newlines and ``\\tab`` to spaces, decode ``\\'hh`` hex escapes
+    (cp1252) and ``\\uN`` unicode escapes, strip remaining control words,
+    unescape ``\\{ \\} \\\\``. Deterministic, tolerant: never raises."""
+    import re as _re
+
+    # remove ignorable/header destination groups (balanced-brace scan)
+    out: list[str] = []
+    i, n = 0, len(text)
+    drop_res = _re.compile(
+        r"\{\\\*|\{\\(?:fonttbl|colortbl|stylesheet|info|pict)\b"
+    )
+    while i < n:
+        m = drop_res.search(text, i)
+        if not m:
+            out.append(text[i:])
+            break
+        out.append(text[i : m.start()])
+        depth = 0
+        j = m.start()
+        while j < n:
+            c = text[j]
+            if c == "\\":
+                j += 2
+                continue
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        i = j + 1
+    s = "".join(out)
+    s = _re.sub(r"\\par\b|\\line\b", "\n", s)
+    s = _re.sub(r"\\tab\b", " ", s)
+    s = _re.sub(
+        r"\\'([0-9a-fA-F]{2})",
+        lambda m: bytes([int(m.group(1), 16)]).decode("cp1252", "replace"),
+        s,
+    )
+    # \uN takes a signed 16-bit code point; the following fallback char
+    # (usually '?') is consumed by the \uc convention's default of 1
+    s = _re.sub(
+        r"\\u(-?\d+)\s?.?",
+        lambda m: chr(int(m.group(1)) & 0xFFFF),
+        s,
+    )
+    s = _re.sub(r"\\[a-zA-Z]+-?\d* ?", "", s)  # remaining control words
+    # escaped literals survive GROUP-brace removal via placeholders
+    s = s.replace("\\{", "\x00").replace("\\}", "\x01").replace("\\\\", "\x02")
+    s = s.replace("{", "").replace("}", "")
+    s = s.replace("\x00", "{").replace("\x01", "}").replace("\x02", "\\")
+    return "\n".join(" ".join(ln.split()) for ln in s.split("\n")).strip()
+
+
 def _extract_text_plain(data: bytes) -> dict:
     try:
         text, encoding = decode_with_fallback(data)
     except UnicodeDecodeError:
         return dict(EMPTY_RESULT, error="decode-failed")
+    if text.startswith("{\\rtf"):
+        # .rtf sniffs as TEXT (reference reads it on the text path too);
+        # emitting control words as document text would poison dedup and
+        # quality scoring downstream
+        text = _rtf_to_text(text)
     regions = []
     if text:
         regions.append(

@@ -1393,3 +1393,23 @@ def test_ascii85_ignores_bytes_after_eod():
 
     enc = base64.a85encode(b"payload bytes") + b"~>\x00\x00junk"
     assert _ascii85_decode(enc) == b"payload bytes"
+
+
+def test_rtf_payloads_demarkup_on_the_text_path():
+    """.rtf sniffs as text; the kernel strips RTF markup instead of
+    emitting control words: header tables dropped, \\par → newline,
+    hex/unicode escapes decoded, braces/escapes unescaped."""
+    rtf = (
+        rb"{\rtf1\ansi\deff0{\fonttbl{\f0 Times New Roman;}}"
+        rb"{\colortbl;\red0\green0\blue0;}"
+        rb"{\*\generator Acme Writer 1.0;}"
+        rb"\f0\fs24 Hello \b bold\b0  world.\par"  # next group starts with a space delimiter
+        rb" Caf\'e9 costs \u8364 ?5 \{really\}.\par}"
+    )
+    r = extract_document(rtf)
+    assert r["doc_type"] == "text" and r["ok"]
+    lines = r["text"].split("\n")
+    assert lines[0] == "Hello bold world."
+    assert lines[1] == "Café costs €5 {really}."
+    assert "fonttbl" not in r["text"] and "Acme" not in r["text"]
+    assert r["regions"][0]["text"] == r["text"]
