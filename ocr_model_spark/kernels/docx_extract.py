@@ -87,14 +87,16 @@ def _walk_body(body: ET.Element) -> tuple[list[dict], int, int]:
     return regions, n_paragraphs, n_tables
 
 
-def extract_docx(data: bytes) -> dict:
+def extract_docx(data: bytes, _zf: "zipfile.ZipFile | None" = None) -> dict:
     """Extract text from DOCX bytes. Unified kernel result dict; never
     raises — malformed zips / XML come back as ``ok=False`` with a typed
-    error (the lineage failure counters pick those up)."""
+    error (the lineage failure counters pick those up). ``_zf`` lets the
+    OOXML dispatcher pass its already-open archive (one central-directory
+    parse per document)."""
     try:
-        with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            with zf.open("word/document.xml") as f:
-                root = ET.parse(f).getroot()
+        zf = _zf or zipfile.ZipFile(io.BytesIO(data))
+        with zf.open("word/document.xml") as f:
+            root = ET.parse(f).getroot()
     except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError) as e:
         return {
             "text": "",

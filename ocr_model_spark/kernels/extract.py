@@ -76,16 +76,26 @@ def _rtf_to_text(text: str) -> str:
     s = "".join(out)
     s = _re.sub(r"\\par\b|\\line\b", "\n", s)
     s = _re.sub(r"\\tab\b", " ", s)
+    # control SYMBOLS (single non-letter after backslash): \~ nbsp,
+    # \- optional hyphen (drop), \_ non-breaking hyphen
+    s = s.replace("\\~", " ").replace("\\-", "").replace("\\_", "-")
+
+    # decoded characters must survive the later brace-strip / control-word
+    # passes even when they ARE braces or backslashes — emit placeholders
+    def protect(ch: str) -> str:
+        return {"{": "\x00", "}": "\x01", "\\": "\x02"}.get(ch, ch)
+
+    # \uN (signed 16-bit code point) BEFORE \'hh: its optional fallback is
+    # consumed only when it is the conventional '?' or a raw \'hh escape —
+    # never an arbitrary character (a \uc0 writer emits no fallback at all)
     s = _re.sub(
-        r"\\'([0-9a-fA-F]{2})",
-        lambda m: bytes([int(m.group(1), 16)]).decode("cp1252", "replace"),
+        r"\\u(-?\d+) ?(\\'[0-9a-fA-F]{2}|\?)?",
+        lambda m: protect(chr(int(m.group(1)) & 0xFFFF)),
         s,
     )
-    # \uN takes a signed 16-bit code point; the following fallback char
-    # (usually '?') is consumed by the \uc convention's default of 1
     s = _re.sub(
-        r"\\u(-?\d+)\s?.?",
-        lambda m: chr(int(m.group(1)) & 0xFFFF),
+        r"\\'([0-9a-fA-F]{2})",
+        lambda m: protect(bytes([int(m.group(1), 16)]).decode("cp1252", "replace")),
         s,
     )
     s = _re.sub(r"\\[a-zA-Z]+-?\d* ?", "", s)  # remaining control words

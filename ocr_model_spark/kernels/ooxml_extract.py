@@ -35,9 +35,12 @@ _SLIDE_RE = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
 _SHEET_RE = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
 
 
-def _part_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
-    """rId → resolved member name from a part's .rels (e.g.
-    ``ppt/_rels/presentation.xml.rels``); {} when absent/broken."""
+def _part_rels(zf: zipfile.ZipFile, part: str) -> dict[str, tuple[str, str]]:
+    """rId → (relationship Type, resolved member name) from a part's .rels
+    (e.g. ``ppt/_rels/presentation.xml.rels``); {} when absent/broken. The
+    TYPE is the spec's part discriminator — OPC part NAMES are arbitrary
+    (a worksheet may legally live at worksheets/data.xml), so filename
+    patterns must never be the primary filter."""
     base, _, fname = part.rpartition("/")
     rels_name = f"{base}/_rels/{fname}.rels" if base else f"_rels/{fname}.rels"
     try:
@@ -45,7 +48,7 @@ def _part_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
             root = ET.parse(f).getroot()
     except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
         return {}
-    out: dict[str, str] = {}
+    out: dict[str, tuple[str, str]] = {}
     for rel in root.iter(f"{_REL}Relationship"):
         rid, target = rel.get("Id"), rel.get("Target")
         if not rid or not target:
@@ -53,9 +56,10 @@ def _part_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
         # targets are part-relative ("slides/slide1.xml", "worksheets/…")
         # unless rooted ("/ppt/…")
         if target.startswith("/"):
-            out[rid] = target[1:]
+            resolved = target[1:]
         else:
-            out[rid] = f"{base}/{target}" if base else target
+            resolved = f"{base}/{target}" if base else target
+        out[rid] = (rel.get("Type") or "", resolved)
     return out
 
 
@@ -155,12 +159,21 @@ def _slide_order(zf: zipfile.ZipFile) -> list[str]:
     except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
         return numeric
     rels = _part_rels(zf, "ppt/presentation.xml")
+    members = set(zf.namelist())
     ordered = [
         rels[sld.get(f"{_R}id")]
         for sld in root.iter(f"{_P}sldId")
         if sld.get(f"{_R}id") in rels
     ]
-    ordered = [name for name in ordered if _SLIDE_RE.match(name)]
+    # the rel TYPE (…/relationships/slide) is the discriminator; accept a
+    # filename match too for writers with nonstandard Type strings, and
+    # require the part to exist
+    ordered = [
+        name
+        for rtype, name in ordered
+        if name in members
+        and (rtype.endswith("/slide") or _SLIDE_RE.match(name))
+    ]
     if not ordered:
         return numeric
     # any slide files the id list misses (broken rels) append in file order
@@ -232,10 +245,19 @@ def _workbook_sheets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
         return []
     rels = _part_rels(zf, "xl/workbook.xml")
+    members = set(zf.namelist())
     out: list[tuple[str, str]] = []
     for s in root.iter(f"{_S}sheet"):
-        target = rels.get(s.get(f"{_R}id") or "")
-        if target and _SHEET_RE.match(target):
+        got = rels.get(s.get(f"{_R}id") or "")
+        if got is None:
+            continue
+        rtype, target = got
+        # worksheet rel TYPE is the discriminator (chartsheets carry
+        # …/chartsheet); filename is only a fallback for odd Type strings.
+        # OPC part names are arbitrary, so worksheets/data.xml is legal.
+        if target in members and (
+            rtype.endswith("/worksheet") or _SHEET_RE.match(target)
+        ):
             out.append((s.get("name") or "", target))
     return out
 
@@ -249,7 +271,10 @@ def _cell_text(c: ET.Element, shared: list[str]) -> str:
     val = (v.text or "") if v is not None else ""
     if t == "s":
         try:
-            return shared[int(val)]
+            idx = int(val)
+            # negative indices would WRAP via Python list indexing and
+            # return the wrong string
+            return shared[idx] if idx >= 0 else ""
         except (ValueError, IndexError):
             return ""
     return val
@@ -327,7 +352,7 @@ def extract_ooxml(data: bytes) -> dict:
     with zf:
         members = set(zf.namelist())
         if "word/document.xml" in members:
-            out = extract_docx(data)
+            out = extract_docx(data, _zf=zf)
             out["doc_type"] = "docx"
             return out
         # the already-open ZipFile rides along: the central directory is

@@ -1413,3 +1413,88 @@ def test_rtf_payloads_demarkup_on_the_text_path():
     assert lines[1] == "Café costs €5 {really}."
     assert "fonttbl" not in r["text"] and "Acme" not in r["text"]
     assert r["regions"][0]["text"] == r["text"]
+
+
+def test_rtf_escape_edge_cases():
+    """Review-confirmed failure inputs: \\uc0 writers (no fallback char to
+    swallow), hex escapes decoding to braces/backslash survive the
+    brace-strip, and control SYMBOLS (\\~ \\- \\_) are handled."""
+    from ocr_model_spark.kernels.extract import _rtf_to_text
+
+    # the single space after a control word is its DELIMITER (consumed per
+    # spec) — two spaces = delimiter + one content space; with \uc0 no
+    # fallback character exists, so nothing beyond the delimiter is eaten
+    assert _rtf_to_text(r"{\rtf1\ansi\uc0 caf\u233 test}") == "cafétest"
+    assert _rtf_to_text(r"{\rtf1\ansi\uc0 caf\u233  test}") == "café test"
+    assert _rtf_to_text(r"{\rtf1 caf\u233 ? next\par done}") == "café next\ndone"
+    assert _rtf_to_text(r"{\rtf1 set \'7bx\'7d ok\par}") == "set {x} ok"
+    assert _rtf_to_text(r"{\rtf1 C:\'5cUsers ok\par}") == "C:\\Users ok"
+    assert _rtf_to_text(r"{\rtf1 hello\~world\par}") == "hello world"
+    assert _rtf_to_text(r"{\rtf1 co\-operate non\_breaking\par}") == (
+        "cooperate non-breaking"
+    )
+
+
+def test_ooxml_nonstandard_part_names_resolve_via_rel_type():
+    """OPC part names are arbitrary: a worksheet at worksheets/data.xml and
+    a slide at slides/intro.xml must still extract when the rel Type says
+    what they are; a negative shared-string index must not wrap."""
+    import io
+    import zipfile
+
+    from ocr_model_spark.kernels.ooxml_extract import extract_pptx, extract_xlsx
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    wb = (
+        f'<?xml version="1.0"?><workbook {ns} {rns}><sheets>'
+        '<sheet name="Odd" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/data.xml"/>'
+        "</Relationships>"
+    )
+    sst = f'<?xml version="1.0"?><sst {ns}><si><t>LAST</t></si></sst>'
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c t="s"><v>-1</v></c><c><v>7</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/data.xml", sheet)
+    r = extract_xlsx(buf.getvalue())
+    texts = [reg["text"] for reg in r["regions"]]
+    assert texts == ["Odd", "7"], texts  # found via Type; -1 index NOT 'LAST'
+
+    pns = 'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+    ans = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+    pres = (
+        f'<?xml version="1.0"?><p:presentation {pns} {rns}><p:sldIdLst>'
+        '<p:sldId id="256" r:id="rId1"/></p:sldIdLst></p:presentation>'
+    )
+    prels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/slide" Target="slides/intro.xml"/>'
+        "</Relationships>"
+    )
+    slide = (
+        f'<?xml version="1.0"?><p:sld {pns} {ans}><p:cSld><p:spTree>'
+        "<p:sp><p:txBody><a:p><a:r><a:t>odd slide name</a:t></a:r></a:p>"
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml", pres)
+        zf.writestr("ppt/_rels/presentation.xml.rels", prels)
+        zf.writestr("ppt/slides/intro.xml", slide)
+    r = extract_pptx(buf.getvalue())
+    assert [reg["text"] for reg in r["regions"]] == ["odd slide name"]
