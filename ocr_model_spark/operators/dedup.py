@@ -92,18 +92,36 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ----------------------------------------------------- n-gram Jaccard pairs
 
 
+def words_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared (id, w: array<string>) tokenized projection — ONE regex
+    tokenization pass feeding every gram-family consumer (shingle_frame,
+    repetition_profile, duplicate_ngram_coverage). When a single slot
+    computes several of those aggregates, ``localCheckpoint`` the result
+    so the tokenize work runs once instead of once per branch (the
+    tokenize regex dominates; the checkpointed frame is narrow —
+    id + words array, no payloads)."""
+    # spread first: a single-file scan is one partition, which would run the
+    # (CPU-bound) tokenization expressions single-threaded
+    spread = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    return spread.select("id", normalized_words(F.col("t")).alias("w"))
+
+
 def shingle_frame(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, hashed: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hashed: bool = True,
+    *,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle) long frame, distinct per doc; the fat text column is
     projected away before any shuffle. ``hashed=True`` replaces the shingle
     string with its 32-bit stable hash (for minhash); exact Jaccard keeps the
-    strings so 32-bit collisions can't merge distinct shingles."""
-    # spread first: a single-file scan is one partition, which would run the
-    # (CPU-bound) shingling + hashing expressions single-threaded; then
-    # materialize the words array so the shingle lambda sees a column ref
-    spread = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
-    worded = spread.select("id", normalized_words(F.col("t")).alias("w"))
+    strings so 32-bit collisions can't merge distinct shingles. Pass a
+    pre-built ``words`` frame (``words_frame``) to share one tokenization
+    pass across sibling aggregates."""
+    worded = words if words is not None else words_frame(df, id_col, text_col)
     out = worded.select(
         "id",
         F.explode(F.array_distinct(shingles_of(F.col("w"), n))).alias("shingle"),
@@ -258,7 +276,12 @@ def benchmark_contamination(
 
 
 def duplicate_ngram_coverage(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    *,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicate n-gram coverage — the exact-substring
     dedup signal training pipelines compute corpus-wide (Lee et al. 2022,
@@ -276,7 +299,7 @@ def duplicate_ngram_coverage(
     skew-join split handles it (the marks side is one row per shingle).
     At 10^12 rows run the same plan over ``hashed=True`` shingles: 64-bit
     collisions can only overcount sharing by ~n_shingles/2^64."""
-    sh = shingle_frame(df, id_col, text_col, n, hashed=False)
+    sh = shingle_frame(df, id_col, text_col, n, hashed=False, words=words)
     marks = sh.groupBy("shingle").agg(
         F.min("id").alias("mn"), F.max("id").alias("mx")
     )

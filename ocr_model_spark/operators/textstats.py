@@ -154,7 +154,7 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
 # ------------------------------------------------- repetition (Gopher-style)
 
 
-def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text"):
+def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text", *, words=None):
     """Per-document repetition metrics in the spirit of the published
     Gopher/MassiveText quality filters (duplicate-content fractions):
     distinct-word fraction, most-frequent-word fraction, most-frequent-
@@ -165,14 +165,17 @@ def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text"):
     Relational shape: explode → per-(doc, gram) counts (map-side combined)
     → per-doc max/sum — two narrow shuffles keyed by (doc, gram), safe at
     corpus scale; no quadratic work. Uses the engine-wide normalized
-    tokenization (shared with the dedup family and its oracles)."""
+    tokenization (shared with the dedup family and its oracles). Pass a
+    pre-built ``words`` frame (``dedup.words_frame``, ideally
+    localCheckpoint'ed) to share one tokenization pass with sibling
+    gram aggregates in the same slot."""
     from pyspark.sql import functions as F
 
-    from ocr_model_spark.operators.dedup import normalized_words
+    from ocr_model_spark.operators.dedup import words_frame
 
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), normalized_words(F.col(text_col)).alias("w")
-    ).filter(F.size("w") > 0)
+    # w is null iff text was null, so the null filter is equivalent either way
+    worded = words if words is not None else words_frame(df, id_col, text_col)
+    base = worded.filter(F.col("w").isNotNull() & (F.size("w") > 0))
 
     words = base.select("id", F.explode("w").alias("g"))
     wstats = (

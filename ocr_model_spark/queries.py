@@ -801,13 +801,34 @@ FROM s GROUP BY source ORDER BY source
 def q_near_dup_clusters(spark, sf_dir):
     """LSH candidate pairs → connected components: (doc_id, cluster_id)
     with cluster_id = min doc id in the component — the grouping step
-    between pair generation and keep-one-per-cluster."""
+    between pair generation and keep-one-per-cluster.
+
+    BOTH CC variants run in this one driver slot, method-tagged (the
+    host_counters pattern): 'star' = large-star/small-star contraction
+    (O(log n) rounds, the 10^12-edge plan) and 'minlabel' = min-label
+    propagation (O(diameter) rounds, fine for shallow near-dup chains).
+    The oracle emits the recursive-CTE transitive closure once per
+    method, so a divergence in EITHER algorithm fails the gate."""
     d = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_candidates(d, "doc_id", "text")
-    comp = D.connected_components(pairs)
-    return comp.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    # checkpoint the candidate pairs: both CC variants iterate over them
+    # (min-label re-reads the edge list every round), so without this the
+    # whole minhash/LSH pipeline would recompute per round per variant
+    pairs = D.minhash_candidates(d, "doc_id", "text").localCheckpoint(eager=True)
+    star = D.connected_components_star(pairs).withColumn(
+        "method", F.lit("star")
+    )
+    minlabel = D.connected_components(pairs).withColumn(
+        "method", F.lit("minlabel")
+    )
+    return (
+        star.unionByName(minlabel)
+        .select(
+            "method",
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+        )
+        .orderBy("method", "doc_id")
+    )
 
 
 def _near_dup_clusters_sql() -> str:
@@ -824,9 +845,14 @@ reach(id, label) AS (
     SELECT id, id FROM nodes
     UNION
     SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (
+    SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
 )
-SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
-FROM reach GROUP BY id ORDER BY doc_id
+SELECT m.method, c.doc_id, c.cluster_id
+FROM comp c CROSS JOIN (SELECT unnest(['minlabel', 'star']) AS method) m
+ORDER BY m.method, c.doc_id
 """
 
 
@@ -900,8 +926,13 @@ def q_repetition_profile(spark, sf_dir):
     3-grams appearing in another doc) — one driver slot verifies both
     per-doc duplication profiles."""
     d = _t(spark, sf_dir, "documents")
-    rep = X.repetition_profile(d, "doc_id", "text")
-    cov = D.duplicate_ngram_coverage(d, "doc_id", "text", 3)
+    # ONE tokenization pass feeds both aggregates: the (id, words) frame is
+    # localCheckpoint'ed (lazy) so the regex tokenize — the dominant cost of
+    # this slot, previously run twice — materializes once and both join
+    # branches read the cached narrow frame (VERDICT r4 "what's wrong" #2)
+    w = D.words_frame(d, "doc_id", "text").localCheckpoint(eager=False)
+    rep = X.repetition_profile(d, "doc_id", "text", words=w)
+    cov = D.duplicate_ngram_coverage(d, "doc_id", "text", 3, words=w)
     return rep.join(cov, "doc_id", "left").orderBy("doc_id")
 
 

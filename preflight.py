@@ -31,6 +31,9 @@ def norm(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 qs, oracles = e.queries(), e.oracle_sql()
+only = [s for s in os.environ.get("PREFLIGHT_ONLY", "").split(",") if s]
+if only:
+    qs = {k: v for k, v in qs.items() if k in only}
 bad = []
 for name, fn in qs.items():
     try:
