@@ -58,15 +58,73 @@ def _sniff_format(data: bytes) -> str:
     return "unknown"
 
 
+def _header_dims(data: bytes, fmt: str) -> tuple[int, int] | None:
+    """Pure-stdlib (width, height) from image CONTAINER HEADERS — no pixel
+    decode, no imaging library: PNG IHDR (big-endian u32 pair after the
+    8-byte signature + chunk header, first chunk must be IHDR per spec),
+    GIF logical-screen descriptor (little-endian u16 pair at offset 6),
+    JPEG SOFn marker walk (height then width, big-endian u16, in any
+    C0–CF frame marker except DHT/JPG/DAC). Returns None on truncated or
+    malformed headers — callers fall back to the marked fake.
+
+    Reference reads dims via PIL (worker/pipeline/processors/
+    image_ingestion.py:17-36); at corpus scale header parsing gives the
+    same two columns for ~free without shipping pixels anywhere."""
+    try:
+        if fmt == "png":
+            if len(data) < 24 or data[12:16] != b"IHDR":
+                return None
+            w = int.from_bytes(data[16:20], "big")
+            h = int.from_bytes(data[20:24], "big")
+            return (w, h) if w and h else None
+        if fmt == "gif":
+            if len(data) < 10:
+                return None
+            w = int.from_bytes(data[6:8], "little")
+            h = int.from_bytes(data[8:10], "little")
+            return (w, h) if w and h else None
+        if fmt == "jpeg":
+            i, n = 2, len(data)
+            while i + 4 <= n:
+                if data[i] != 0xFF:
+                    return None  # lost marker sync
+                marker = data[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                # standalone markers carry no length segment
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+                if seg_len < 2:
+                    return None
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if i + 9 > n:
+                        return None
+                    h = int.from_bytes(data[i + 5 : i + 7], "big")
+                    w = int.from_bytes(data[i + 7 : i + 9], "big")
+                    return (w, h) if w and h else None
+                i += 2 + seg_len
+            return None
+    except Exception:
+        return None
+    return None
+
+
 def _decode_image(data: bytes) -> tuple[int, int, str]:
-    """Return (width, height, decoder). STUB when PIL is absent: dimensions
-    are a deterministic function of the content hash — NOT real pixel data —
-    marked by decoder='fake'."""
+    """Return (width, height, decoder). Priority: PIL when importable
+    (decoder='pil') → stdlib container-header parse (decoder='header') →
+    deterministic content-hash fake (decoder='fake', NOT real pixel data)
+    so the distributed path always yields stable, typed output."""
     if _HAS_PIL:  # pragma: no cover
         import io
 
         with Image.open(io.BytesIO(data)) as im:
             return im.width, im.height, "pil"
+    dims = _header_dims(data, _sniff_format(data))
+    if dims is not None:
+        return dims[0], dims[1], "header"
     h = hashlib.sha256(data).digest()
     width = 64 + (h[0] << 4 | h[1] >> 4)  # deterministic fake dims
     height = 64 + (h[2] << 4 | h[3] >> 4)

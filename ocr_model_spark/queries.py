@@ -1087,6 +1087,88 @@ ORDER BY query_id, rank
 """
 
 
+# fixed query set for the BM25 driver slot: literal (query_id, terms)
+# pairs over the synthetic corpus vocabulary — literals on BOTH engines
+_BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q_hash_join", ["hash", "join"]),
+    ("q_stream_window", ["window", "agg", "stream"]),
+    ("q_vector_scan", ["vector", "column", "scan"]),
+    ("q_customer_value", ["customer", "order", "value"]),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-5 per query (operators/retrieval.py::bm25_topk):
+    inverted-index postings, broadcast query-term pruning, per-term idf
+    (rounded to 6 on both engines so libm ln() ulp drift can't cross a
+    boundary), sorted-fold double summation, windowed top-k. The oracle
+    computes the identical closed form in DuckDB."""
+    from ocr_model_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_QUERIES, "doc_id", "text", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _bm25_sql() -> str:
+    vals = ",\n        ".join(
+        f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+WITH wds AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
+                       x -> x <> '') AS w
+    FROM documents WHERE text IS NOT NULL
+), nz AS (SELECT * FROM wds WHERE len(w) > 0),
+post AS (
+    SELECT doc_id, g AS term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(w) AS g FROM nz) GROUP BY doc_id, g
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM dl
+),
+qt(query_id, term) AS (VALUES
+        {vals}
+),
+hits AS (
+    SELECT p.* FROM post p JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term),
+idf AS (
+    SELECT term, round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) + 1e-9, 6) AS idf
+    FROM dfreq CROSS JOIN stats
+),
+contrib AS (
+    -- operation ORDER mirrors the Spark expression exactly (IEEE ops are
+    -- deterministic given identical order): idf*(tf*2.2) / (tf + 1.2*(0.25
+    -- + 0.75*(dl/avgdl)))
+    SELECT q.query_id, h.doc_id, h.term,
+           i.idf * (h.tf * 2.2) / (h.tf + 1.2 * (0.25 + 0.75 * (d.dl /
+               (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS c
+    FROM hits h
+    JOIN dl d USING (doc_id)
+    JOIN idf i USING (term)
+    JOIN qt q USING (term)
+    CROSS JOIN stats s
+),
+folded AS (
+    -- fixed-order fold (sorted by term) = the Spark sorted HOF-aggregate
+    SELECT query_id, doc_id,
+           round(list_sum(list(c ORDER BY term)) + 1e-9, 4) AS score
+    FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+FROM folded
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup detection. The driver corpus is random
     (max pairwise cosine ≈ 0.51), so near-duplicates are CONSTRUCTED in-plan
@@ -1650,8 +1732,8 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "value_histogram": (q_value_histogram, _SQL_VALUE_HISTOGRAM),
     "user_sessions": (q_user_sessions, _SQL_USER_SESSIONS),
     "first_events": (q_first_events, _SQL_FIRST_EVENTS),
-    "daily_running": (q_daily_running, _SQL_DAILY_RUNNING),
     "topk_users": (q_topk_users, _SQL_TOPK_USERS),
+    "bm25_topk": (q_bm25_topk, _bm25_sql()),
     "revenue_by_nation": (q_revenue_by_nation, _SQL_REVENUE_BY_NATION),
     "customers_without_orders": (q_customers_without_orders, _SQL_CUSTOMERS_WITHOUT_ORDERS),
     "corpus_span_offsets": (q_corpus_span_offsets, _SQL_CORPUS_SPAN_OFFSETS),
@@ -1693,6 +1775,10 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
 # demos (pagination / set-presence / CUBE / pivot / range-frame / rank-1
 # dedup) whose machinery the retained queries already exercise.
 DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
+    # demoted r5 to make room for bm25_topk: running-total windows stay
+    # driver-verified via first_events/user_sessions/corpus_span_offsets,
+    # and the demoted sliding_window_sum exercises the same range frames
+    "daily_running": (q_daily_running, _SQL_DAILY_RUNNING),
     "dedup_max_value": (q_dedup_max_value, _SQL_DEDUP_MAX_VALUE),
     "event_type_presence": (q_event_type_presence, _SQL_EVENT_TYPE_PRESENCE),
     "pagination": (q_pagination, _SQL_PAGINATION),

@@ -44,7 +44,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 11  # v10: pptx + xlsx slices; v11: OOXML rels + sldIdLst
+GEN_VERSION = 12  # v11: OOXML rels + sldIdLst; v12: valid image headers (PNG IHDR / GIF LSD / JPEG SOF0)
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -501,6 +501,42 @@ def _xlsx_doc(rng: random.Random, words: list[str]) -> bytes:
     return buf.getvalue()
 
 
+def _image_doc(rng: random.Random) -> bytes:
+    """Image payload with a VALID container header (v12): PNG IHDR, GIF89a
+    logical-screen descriptor, or JPEG APP0+SOF0 — dims parseable by the
+    stdlib header scanner (operators/multimodal.py::_header_dims) and, for
+    png/gif, by fixed-offset hex arithmetic in the DuckDB oracle. The random
+    tail keeps payloads opaque (no real pixel data — these exercise the
+    metadata path, not a decoder)."""
+    import zlib
+
+    w = rng.randint(16, 2048)
+    h = rng.randint(16, 2048)
+    tail = bytes(rng.randrange(256) for _ in range(96))
+    kind = rng.random()
+    if kind < 0.5:  # PNG: signature + IHDR(width, height, 8-bit RGB) + tail
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+        crc = zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big") + b"IHDR" + ihdr + crc + tail
+        )
+    if kind < 0.8:  # GIF89a: logical screen descriptor (little-endian dims)
+        return (
+            b"GIF89a"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\xf7\x00\x00" + tail
+        )
+    # JPEG: SOI + APP0(JFIF) + SOF0 carrying (height, width) big-endian
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + tail
+
+
 def _pdf_doc(rng: random.Random, words: list[str]) -> bytes:
     # half the PDFs are real classic files (native stdlib reader path),
     # half the %%SYNTHPAGE subset (deterministic reference grammar)
@@ -531,7 +567,7 @@ def build_page_row(seed: int, i: int, base_text: str, base_lang: str) -> dict:
         full = _html_page(i, rng, words, accented=False)
         html = full[: max(64, len(full) * 2 // 3)]  # truncated mid-document
     elif roll < 0.12:
-        html = b"\x89PNG\r\n\x1a\n" + bytes(rng.randrange(256) for _ in range(128))
+        html = _image_doc(rng)
     elif roll < 0.14:
         html = _docx_doc(rng, words)
     elif roll < 0.155:

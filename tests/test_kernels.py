@@ -518,6 +518,56 @@ def test_pil_decode_path_with_fake_module(monkeypatch):
     assert (w1, h1, d1) == (w2, h2, d2) and d1 == "fake"
 
 
+def _png_bytes(w, h):
+    import zlib
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    crc = zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+    return b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + ihdr + crc
+
+
+def _jpeg_bytes(w, h, marker=b"\xff\xc0", junk_segments=1):
+    """SOI + N APP0 segments + SOFn(h, w)."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = (
+        marker + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 * junk_segments + sof + b"\x00" * 16
+
+
+def test_header_dims_parses_png_gif_jpeg_headers():
+    """VERDICT r4 item 3: stdlib container-header dims — no imaging lib.
+    Crafted fixtures per format, plus truncation/malformed fallbacks."""
+    from ocr_model_spark.operators.multimodal import _decode_image, _header_dims
+
+    assert _header_dims(_png_bytes(640, 480), "png") == (640, 480)
+    # GIF dims are little-endian u16 pairs (87a and 89a both carry them)
+    for sig in (b"GIF87a", b"GIF89a"):
+        data = sig + (300).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+        assert _header_dims(data, "gif") == (300, 200)
+    # baseline SOF0, progressive SOF2, and APP-segment skipping
+    assert _header_dims(_jpeg_bytes(800, 600), "jpeg") == (800, 600)
+    assert _header_dims(_jpeg_bytes(31, 17, marker=b"\xff\xc2"), "jpeg") == (31, 17)
+    assert _header_dims(_jpeg_bytes(64, 64, junk_segments=3), "jpeg") == (64, 64)
+    # DHT (C4) must NOT be taken for a frame header
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"\x00\x01\x02"
+    data = b"\xff\xd8" + dht + _jpeg_bytes(99, 98)[2:]
+    assert _header_dims(data, "jpeg") == (99, 98)
+    # malformed/truncated → None → _decode_image falls back to the fake
+    assert _header_dims(b"\x89PNG\r\n\x1a\nxxxx", "png") is None
+    assert _header_dims(_png_bytes(640, 480)[:20], "png") is None
+    assert _header_dims(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"JUNK" + b"\x00" * 8, "png") is None
+    assert _header_dims(b"GIF89a\x01", "gif") is None
+    assert _header_dims(b"\xff\xd8\xff", "jpeg") is None
+    assert _header_dims(b"\xff\xd8" + b"\x00" * 8, "jpeg") is None
+    w, h, d = _decode_image(_png_bytes(12, 2048))
+    assert (w, h, d) == (12, 2048, "header")
+    w, h, d = _decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+    assert d == "fake"
+
+
 def test_objstm_pdf_reads_pages_from_object_stream():
     """PDF 1.5+: page tree living inside a compressed /ObjStm must extract."""
     from tests.pdf_fixture import build_objstm_pdf

@@ -39,7 +39,9 @@ def test_multimodal_media_meta_deterministic(spark, pages_path):
     assert len(a) > 0
     assert (a["format"] == "png").all()
     assert a.equals(b)
-    assert (a["decoder"] == "fake").all()  # stub marked, plumbing real
+    # v12 synth images carry valid IHDR chunks → the stdlib header parser
+    # (not the content-hash fake) supplies the dims
+    assert (a["decoder"] == "header").all()
 
 
 def test_streaming_extraction_commits_snapshot(spark, pages_path, tmp_path):
