@@ -307,7 +307,17 @@ def q_pdf_images_meta(spark, sf_dir):
 
     pages = spark.read.parquet(pages_for(sf_dir))
     pdfs = pages.filter(F.substring("html", 1, 4) == F.lit(b"%PDF"))
-    return image_quality_filter(pdf_embedded_images(pdfs)).orderBy("url", "image_idx")
+    gated = image_quality_filter(pdf_embedded_images(pdfs))
+    # drop_reason is TOTAL on the driver surface ('kept' instead of null):
+    # an all-null string column is a comparison edge case (null-only object
+    # columns invite NaT/None coercion drift between engines) with zero
+    # information content
+    return (
+        gated.withColumn(
+            "drop_reason", F.coalesce(F.col("drop_reason"), F.lit("kept"))
+        )
+        .orderBy("url", "image_idx")
+    )
 
 
 def q_streaming_windowed(spark, sf_dir):
@@ -571,10 +581,13 @@ def all_queries() -> dict:
     out["multimodal_media_meta"] = q_multimodal_media_meta
     for name, (fn, _sql) in {**EXTRA_SQL_QUERIES, **SQL_QUERIES}.items():
         out[name] = fn
-    assert len(out) <= DRIVER_QUERY_CAP, (
-        f"{len(out)} queries registered; the driver verifies only the first "
-        f"{DRIVER_QUERY_CAP} — demote the excess to queries.DEMOTED_SQL_QUERIES"
-    )
+    # a driver-facing contract must survive python -O, so no bare assert
+    if len(out) > DRIVER_QUERY_CAP:
+        raise ValueError(
+            f"{len(out)} queries registered; the driver verifies only the "
+            f"first {DRIVER_QUERY_CAP} — demote the excess to "
+            "queries.DEMOTED_SQL_QUERIES"
+        )
     return out
 
 

@@ -94,9 +94,16 @@ def extract_docx(data: bytes, _zf: "zipfile.ZipFile | None" = None) -> dict:
     OOXML dispatcher pass its already-open archive (one central-directory
     parse per document)."""
     try:
-        zf = _zf or zipfile.ZipFile(io.BytesIO(data))
-        with zf.open("word/document.xml") as f:
-            root = ET.parse(f).getroot()
+        # caller-owned handles stay open; a locally-opened one is closed
+        # before return (contextlib.nullcontext keeps one code path)
+        import contextlib
+
+        ctx = contextlib.nullcontext(_zf) if _zf is not None else zipfile.ZipFile(
+            io.BytesIO(data)
+        )
+        with ctx as zf:
+            with zf.open("word/document.xml") as f:
+                root = ET.parse(f).getroot()
     except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError) as e:
         return {
             "text": "",

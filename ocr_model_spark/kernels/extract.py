@@ -81,9 +81,19 @@ def _rtf_to_text(text: str) -> str:
     s = s.replace("\\~", " ").replace("\\-", "").replace("\\_", "-")
 
     # decoded characters must survive the later brace-strip / control-word
-    # passes even when they ARE braces or backslashes — emit placeholders
+    # passes even when they ARE braces or backslashes — emit placeholders.
+    # Sentinels are PRIVATE-USE-AREA codepoints, not C0 controls: literal
+    # \x00-\x02 bytes (or \'00-\'02 escapes) in real documents would have
+    # collided and transmuted into {, }, \. Any pre-existing sentinel chars
+    # in the input (only producible via \uN aimed at E000-E002) are dropped
+    # below in protect(), so they can't be transmuted either.
+    _SENT = {"{": "\ue000", "}": "\ue001", "\\": "\ue002"}
+    s = s.replace("\ue000", "").replace("\ue001", "").replace("\ue002", "")
+
     def protect(ch: str) -> str:
-        return {"{": "\x00", "}": "\x01", "\\": "\x02"}.get(ch, ch)
+        if ch in ("\ue000", "\ue001", "\ue002"):
+            return ""  # a \uN escape aimed at our sentinels: drop, never alias
+        return _SENT.get(ch, ch)
 
     # \uN (signed 16-bit code point) BEFORE \'hh: its optional fallback is
     # consumed only when it is the conventional '?' or a raw \'hh escape —
@@ -100,9 +110,9 @@ def _rtf_to_text(text: str) -> str:
     )
     s = _re.sub(r"\\[a-zA-Z]+-?\d* ?", "", s)  # remaining control words
     # escaped literals survive GROUP-brace removal via placeholders
-    s = s.replace("\\{", "\x00").replace("\\}", "\x01").replace("\\\\", "\x02")
+    s = s.replace("\\{", "\ue000").replace("\\}", "\ue001").replace("\\\\", "\ue002")
     s = s.replace("{", "").replace("}", "")
-    s = s.replace("\x00", "{").replace("\x01", "}").replace("\x02", "\\")
+    s = s.replace("\ue000", "{").replace("\ue001", "}").replace("\ue002", "\\")
     return "\n".join(" ".join(ln.split()) for ln in s.split("\n")).strip()
 
 

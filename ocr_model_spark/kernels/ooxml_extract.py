@@ -21,6 +21,7 @@ the unified kernel contract (regions with span offsets into the
 from __future__ import annotations
 
 import io
+import posixpath
 import re
 import xml.etree.ElementTree as ET
 import zipfile
@@ -53,13 +54,14 @@ def _part_rels(zf: zipfile.ZipFile, part: str) -> dict[str, tuple[str, str]]:
         rid, target = rel.get("Id"), rel.get("Target")
         if not rid or not target:
             continue
-        # targets are part-relative ("slides/slide1.xml", "worksheets/…")
-        # unless rooted ("/ppt/…")
+        # targets are part-relative ("slides/slide1.xml", "worksheets/…",
+        # "../notesSlides/…") unless rooted ("/ppt/…"); normalize '../'
+        # segments or such parts silently miss the membership check
         if target.startswith("/"):
             resolved = target[1:]
         else:
             resolved = f"{base}/{target}" if base else target
-        out[rid] = (rel.get("Type") or "", resolved)
+        out[rid] = (rel.get("Type") or "", posixpath.normpath(resolved))
     return out
 
 
@@ -180,27 +182,74 @@ def _slide_order(zf: zipfile.ZipFile) -> list[str]:
     return ordered + [n for n in numeric if n not in ordered]
 
 
+def _notes_regions(zf: zipfile.ZipFile, slide_name: str) -> list[dict]:
+    """Speaker-notes regions for one slide: the slide's rels point at its
+    notesSlide part (Type …/relationships/notesSlide — names arbitrary per
+    OPC). Every non-empty DrawingML paragraph becomes a ``note`` region;
+    slide-number/date placeholder shapes are skipped (they render layout
+    fields, not authored notes)."""
+    rels = _part_rels(zf, slide_name)
+    members = set(zf.namelist())
+    out: list[dict] = []
+    for rtype, target in rels.values():
+        if not rtype.endswith("/notesSlide") or target not in members:
+            continue
+        try:
+            with zf.open(target) as f:
+                root = ET.parse(f).getroot()
+        except (ET.ParseError, KeyError, OSError, zipfile.BadZipFile):
+            continue
+        for sp in root.iter(f"{_P}sp"):
+            if any(
+                ph.get("type") in ("sldNum", "dt", "ftr", "hdr")
+                for ph in sp.iter(f"{_P}ph")
+            ):
+                continue
+            for para in sp.iter(f"{_A}p"):
+                parts = [
+                    (node.text or "") if node.tag == f"{_A}t" else " "
+                    for node in para.iter()
+                    if node.tag in (f"{_A}t", f"{_A}br")
+                ]
+                text = _norm("".join(parts))
+                if text:
+                    out.append({"type": "note", "text": text})
+    return out
+
+
 def extract_pptx(data: bytes, _zf: zipfile.ZipFile | None = None) -> dict:
     """Slides in presentation order (``sldIdLst`` via rels, numeric-file
-    fallback); one region per non-empty paragraph. Broken individual slides
-    degrade (skipped), a broken container fails typed."""
+    fallback); one region per non-empty paragraph, followed by that slide's
+    speaker-notes paragraphs as ``note`` regions (rels-resolved). Broken
+    individual slides degrade (skipped), a broken container fails typed."""
     try:
         zf = _zf or zipfile.ZipFile(io.BytesIO(data))
     except (zipfile.BadZipFile, OSError) as e:
         return _fail("pptx-parse-failed", type(e).__name__)
-    slides = _slide_order(zf)
-    raw: list[dict] = []
-    n_broken = 0
-    for name in slides:
-        try:
-            with zf.open(name) as f:
-                raw.extend(_slide_regions(ET.parse(f).getroot()))
-        except (ET.ParseError, KeyError, OSError, zipfile.BadZipFile):
-            n_broken += 1
-    meta = {"n_slides": str(len(slides))}
-    if n_broken:
-        meta["n_broken_slides"] = str(n_broken)
-    return _assemble(raw, meta, "pptx")
+    try:
+        slides = _slide_order(zf)
+        raw: list[dict] = []
+        n_broken = 0
+        n_notes = 0
+        for name in slides:
+            try:
+                with zf.open(name) as f:
+                    raw.extend(_slide_regions(ET.parse(f).getroot()))
+            except (ET.ParseError, KeyError, OSError, zipfile.BadZipFile):
+                n_broken += 1
+                continue
+            notes = _notes_regions(zf, name)
+            n_notes += len(notes)
+            raw.extend(notes)
+        meta = {"n_slides": str(len(slides))}
+        if n_notes:
+            meta["n_notes"] = str(n_notes)
+        if n_broken:
+            meta["n_broken_slides"] = str(n_broken)
+        return _assemble(raw, meta, "pptx")
+    finally:
+        if _zf is None:  # close only locally-opened handles
+            zf.close()
 
 
 # ------------------------------------------------------------------- XLSX
@@ -262,7 +311,88 @@ def _workbook_sheets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     return out
 
 
-def _cell_text(c: ET.Element, shared: list[str]) -> str:
+# builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30): date,
+# time, and datetime families incl. the East Asian 27–36 block
+_DATE_NUMFMT_IDS = frozenset(range(14, 23)) | frozenset(range(27, 37)) | frozenset(
+    range(45, 48)
+) | frozenset(range(50, 59))
+# literal runs a formatCode can contain without being date-typed: quoted
+# text, [bracketed] sections (colors/conditions), and escaped chars
+_FMT_LITERAL_RE = re.compile(r'(\[[^\]]*\])|("[^"]*")|(\\.)')
+
+
+def _date_styles(zf: zipfile.ZipFile) -> tuple[frozenset[int], bool]:
+    """(style indices whose numFmt is a date/time format, date1904 flag).
+
+    Style index = cell ``s=`` attribute = position in ``cellXfs``; a style
+    is date-typed when its numFmtId is a builtin date id or a custom
+    formatCode that still contains y/m/d/h/s after literal runs are
+    stripped (the openpyxl ``is_date_format`` heuristic). Workbooks without
+    styles.xml get the empty set — raw serials pass through unchanged."""
+    custom_dates: set[int] = set()
+    styles: set[int] = set()
+    try:
+        with zf.open("xl/styles.xml") as f:
+            root = ET.parse(f).getroot()
+        for nf in root.iter(f"{_S}numFmt"):
+            code = _FMT_LITERAL_RE.sub("", nf.get("formatCode") or "")
+            if re.search(r"[dmhysDMHYS]", code):
+                try:
+                    custom_dates.add(int(nf.get("numFmtId") or ""))
+                except ValueError:
+                    pass
+        cellxfs = root.find(f"{_S}cellXfs")
+        if cellxfs is not None:
+            for i, xf in enumerate(cellxfs.findall(f"{_S}xf")):
+                try:
+                    fmt_id = int(xf.get("numFmtId") or "0")
+                except ValueError:
+                    continue
+                if fmt_id in _DATE_NUMFMT_IDS or fmt_id in custom_dates:
+                    styles.add(i)
+    except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
+        pass
+    date1904 = False
+    try:
+        with zf.open("xl/workbook.xml") as f:
+            root = ET.parse(f).getroot()
+        pr = root.find(f"{_S}workbookPr")
+        date1904 = pr is not None and (pr.get("date1904") or "").lower() in (
+            "1",
+            "true",
+        )
+    except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
+        pass
+    return frozenset(styles), date1904
+
+
+def _serial_to_iso(serial: float, date1904: bool) -> str | None:
+    """Excel serial number → ISO date / datetime string. 1900 system uses
+    the conventional 1899-12-30 epoch (absorbing Excel's phantom 1900-02-29
+    for serials ≥ 61, same convention openpyxl/pandas use); 1904 system
+    counts from 1904-01-01. Integral serials render date-only; fractional
+    ones append HH:MM:SS (fraction-of-day rounded to the nearest second)."""
+    import datetime as _dt
+
+    if serial < 0 or serial > 2_958_465:  # 9999-12-31 in the 1900 system
+        return None
+    epoch = _dt.datetime(1904, 1, 1) if date1904 else _dt.datetime(1899, 12, 30)
+    days = int(serial)
+    secs = round((serial - days) * 86400)
+    if secs >= 86400:
+        days, secs = days + 1, 0
+    stamp = epoch + _dt.timedelta(days=days, seconds=secs)
+    if secs == 0:
+        return stamp.strftime("%Y-%m-%d")
+    return stamp.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _cell_text(
+    c: ET.Element,
+    shared: list[str],
+    date_styles: frozenset[int] = frozenset(),
+    date1904: bool = False,
+) -> str:
     t = c.get("t")
     if t == "inlineStr":
         is_el = c.find(f"{_S}is")
@@ -277,6 +407,20 @@ def _cell_text(c: ET.Element, shared: list[str]) -> str:
             return shared[idx] if idx >= 0 else ""
         except (ValueError, IndexError):
             return ""
+    # numeric cell styled with a date numFmt: render the serial as ISO text
+    # (the reference's pandas path renders dates too; raw serials are noise)
+    if t in (None, "n") and val and date_styles:
+        try:
+            style = int(c.get("s") or "")
+        except ValueError:
+            style = -1
+        if style in date_styles:
+            try:
+                iso = _serial_to_iso(float(val), date1904)
+            except ValueError:
+                iso = None
+            if iso is not None:
+                return iso
     return val
 
 
@@ -290,7 +434,16 @@ def extract_xlsx(data: bytes, _zf: zipfile.ZipFile | None = None) -> dict:
         zf = _zf or zipfile.ZipFile(io.BytesIO(data))
     except (zipfile.BadZipFile, OSError) as e:
         return _fail("xlsx-parse-failed", type(e).__name__)
+    try:
+        return _extract_xlsx_open(zf)
+    finally:
+        if _zf is None:  # close only locally-opened handles
+            zf.close()
+
+
+def _extract_xlsx_open(zf: zipfile.ZipFile) -> dict:
     shared = _shared_strings(zf)
+    date_styles, date1904 = _date_styles(zf)
     sheets = _workbook_sheets(zf)
     if not sheets:
         # no usable rels: numeric file order, names paired positionally
@@ -323,7 +476,10 @@ def extract_xlsx(data: bytes, _zf: zipfile.ZipFile | None = None) -> dict:
         except (ET.ParseError, KeyError, OSError, zipfile.BadZipFile):
             continue
         for row in root.iter(f"{_S}row"):
-            cells = [_norm(_cell_text(c, shared)) for c in row.findall(f"{_S}c")]
+            cells = [
+                _norm(_cell_text(c, shared, date_styles, date1904))
+                for c in row.findall(f"{_S}c")
+            ]
             row_text = " | ".join(c for c in cells if c)
             if row_text:
                 raw.append({"type": "table_row", "text": row_text})

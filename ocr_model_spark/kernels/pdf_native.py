@@ -1178,16 +1178,48 @@ _UNICODE_CMAP_NAMES = frozenset(
     for wm in ("H", "V")
 )
 
+# Predefined LEGACY-encoding CMaps (ISO 32000-1 §9.7.5.2 table 118): these
+# map NATIONAL-CHARSET byte sequences (EUC-CN/GBK, Big5, Shift-JIS/EUC-JP,
+# EUC-KR/UHC) to CIDs — i.e. the show-string bytes in the content stream
+# ARE text in a standard charset with a Python STDLIB codec. Decoding the
+# raw bytes with that codec yields the same text the reference gets through
+# PyMuPDF's bundled CMap resources (pdf_processor.py:49-76) without any CID
+# table. The encodings are mixed single/multi-byte, so the codec — not the
+# 2-byte splitter — does the segmentation.
+_LEGACY_CMAP_CODECS = {
+    # Simplified Chinese (Adobe-GB1)
+    "GB-EUC-H": "gbk", "GB-EUC-V": "gbk",
+    "GBpc-EUC-H": "gbk", "GBpc-EUC-V": "gbk",
+    "GBK-EUC-H": "gbk", "GBK-EUC-V": "gbk",
+    "GBKp-EUC-H": "gbk", "GBKp-EUC-V": "gbk",
+    "GBK2K-H": "gb18030", "GBK2K-V": "gb18030",
+    # Traditional Chinese (Adobe-CNS1)
+    "B5pc-H": "big5", "B5pc-V": "big5",
+    "ETen-B5-H": "big5", "ETen-B5-V": "big5",
+    "ETenms-B5-H": "big5", "ETenms-B5-V": "big5",
+    "HKscs-B5-H": "big5hkscs", "HKscs-B5-V": "big5hkscs",
+    # Japanese (Adobe-Japan1)
+    "90ms-RKSJ-H": "shift_jis", "90ms-RKSJ-V": "shift_jis",
+    "90msp-RKSJ-H": "shift_jis", "90msp-RKSJ-V": "shift_jis",
+    "90pv-RKSJ-H": "shift_jis", "90pv-RKSJ-V": "shift_jis",
+    "EUC-H": "euc_jp", "EUC-V": "euc_jp",
+    # Korean (Adobe-Korea1)
+    "KSC-EUC-H": "euc_kr", "KSC-EUC-V": "euc_kr",
+    "KSCms-UHC-H": "cp949", "KSCms-UHC-V": "cp949",
+    "KSCms-UHC-HW-H": "cp949", "KSCms-UHC-HW-V": "cp949",
+}
+
 
 def _page_fonts(
     doc: "_Doc", page: dict
-) -> dict[str, tuple[bool, dict | None, bool, bool]]:
+) -> dict[str, tuple[bool, dict | None, bool, bool, str | None]]:
     """font resource name → (is_two_byte, ToUnicode cmap or None,
-    is_identity_encoding, is_predefined_unicode_encoding), from the page's
-    (possibly inherited) /Resources /Font dictionary."""
+    is_identity_encoding, is_predefined_unicode_encoding,
+    legacy_charset_codec or None), from the page's (possibly inherited)
+    /Resources /Font dictionary."""
     res = doc.inherited(page, "Resources")
     fonts = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
-    out: dict[str, tuple[bool, dict | None, bool, bool]] = {}
+    out: dict[str, tuple[bool, dict | None, bool, bool, str | None]] = {}
     if not isinstance(fonts, dict):
         return out
     for name, ref in fonts.items():
@@ -1198,6 +1230,7 @@ def _page_fonts(
         enc = doc.resolve(fobj.get("Encoding"))
         identity = isinstance(enc, str) and enc in ("Identity-H", "Identity-V")
         uni_cmap = isinstance(enc, str) and enc in _UNICODE_CMAP_NAMES
+        legacy = _LEGACY_CMAP_CODECS.get(enc) if isinstance(enc, str) else None
         cmap = None
         if fobj.get("ToUnicode") is not None:
             stream = doc.stream_of(fobj["ToUnicode"])
@@ -1206,7 +1239,7 @@ def _page_fonts(
                     cmap = parse_tounicode_cmap(stream) or None
                 except Exception:
                     cmap = None
-        out[str(name)] = (two_byte, cmap, identity, uni_cmap)
+        out[str(name)] = (two_byte, cmap, identity, uni_cmap, legacy)
     return out
 
 
@@ -1245,16 +1278,22 @@ def _identity_cid_text(raw: bytes) -> str:
 
 
 def _decode_with_font(
-    raw: bytes, font: tuple[bool, dict | None, bool, bool] | None
+    raw: bytes, font: tuple[bool, dict | None, bool, bool, str | None] | None
 ) -> str:
     if font is None:
         return _decode_text(raw)
-    two_byte, cmap, identity, uni_cmap = font
+    two_byte, cmap, identity, uni_cmap, legacy = font
     if cmap is None:
         if two_byte and uni_cmap:
             # predefined Uni*-UCS2/UTF16 encoding: the codes ARE UTF-16BE
             # (declared by the font, not a heuristic — no printability gate)
             return raw.decode("utf-16-be", errors="ignore")
+        if legacy is not None:
+            # predefined legacy-charset CMap (GB-EUC, ETen-B5, RKSJ, …):
+            # the bytes are national-charset text; the stdlib codec IS the
+            # decode (declared by the font — no printability gate). Mixed
+            # single/multi-byte, so this branch outranks the 2-byte split.
+            return raw.decode(legacy, errors="ignore")
         if two_byte and identity:
             return _identity_cid_text(raw)
         # Type0 codes without a ToUnicode map are font-internal glyph ids:

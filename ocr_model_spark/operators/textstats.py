@@ -24,9 +24,15 @@ LANG_MARKERS = {
     "es": ["el", "los", "las", "por", "para", "como", "pero", "esta"],
     "it": ["il", "gli", "che", "della", "sono", "anche", "nel", "alla"],
     "pt": ["os", "das", "dos", "uma", "mais", "quando", "isso", "ele"],
+    # round 5: nl/sv/pl from the same accent-free-marker recipe (markers
+    # chosen to avoid pan-Romance collisions: no nl 'de'/'van'-as-'des',
+    # no sv 'en' — those words inflate the wrong language's count)
+    "nl": ["het", "een", "niet", "voor", "maar", "zijn", "ook", "naar"],
+    "sv": ["och", "att", "det", "som", "inte", "har", "den", "ett"],
+    "pl": ["jest", "nie", "oraz", "jako", "przez", "tylko", "jednak", "czy"],
 }
 # fixed priority = tie order (earlier wins ties); both engines share it
-LANG_PRIORITY = ("en", "de", "fr", "es", "it", "pt")
+LANG_PRIORITY = ("en", "de", "fr", "es", "it", "pt", "nl", "sv", "pl")
 _EN_STOPWORDS = LANG_MARKERS["en"] + ["for", "on", "with", "as", "this", "that"]
 
 FINGERPRINT_MOD = 2147483647
@@ -51,6 +57,24 @@ def lang_id(text: Column) -> Column:
             cond = cond & (hits[i] >= hits[j])
         result = F.when(cond, F.lit(LANG_PRIORITY[i])).otherwise(result)
     return result
+
+
+def lang_confidence(text: Column) -> Column:
+    """Vote-share confidence for :func:`lang_id`: winner_hits / total_hits
+    in [0,1] (0.0 when no marker fires anywhere → lang_id said 'und').
+    The when-chain winner always carries the maximum count (it must beat
+    every lower-priority language and a higher-priority language with a
+    bigger count would have won instead), so greatest(hits) IS the
+    winner's count — no argmax recomputation. Downstream filters can
+    threshold: 1.0 = unambiguous, 0.5 = split two ways. Division-derived
+    double → the house +1e-9 nudge before round-4."""
+    hits = [_marker_hits(text, LANG_MARKERS[lang]) for lang in LANG_PRIORITY]
+    total = hits[0]
+    for h in hits[1:]:
+        total = total + h
+    return F.when(
+        total > 0, F.round(F.greatest(*hits) / total + 1e-9, 4)
+    ).otherwise(F.lit(0.0))
 
 
 def ws_token_count(text: Column) -> Column:

@@ -1205,6 +1205,7 @@ def q_text_profile(spark, sf_dir):
     return d.select(
         "doc_id",
         X.lang_id(t).alias("lang_guess"),
+        X.lang_confidence(t).alias("lang_conf"),
         X.ws_token_count(t).alias("ws_tokens"),
         X.bpe_ish_token_count(t).alias("bpe_tokens"),
         X.stopword_ratio(t).alias("stopword_ratio"),
@@ -1252,6 +1253,10 @@ WITH scored AS (
 )
 SELECT doc_id,
        {_lang_case_sql()} AS lang_guess,
+       CASE WHEN {" + ".join(f"{lang}_hits" for lang in X.LANG_PRIORITY)} > 0
+            THEN ROUND(CAST(greatest({", ".join(f"{lang}_hits" for lang in X.LANG_PRIORITY)}) AS DOUBLE)
+                       / ({" + ".join(f"{lang}_hits" for lang in X.LANG_PRIORITY)}) + 1e-9, 4)
+            ELSE 0.0 END AS lang_conf,
        ws_tokens, bpe_tokens,
        CASE WHEN ws_tokens > 0 THEN ROUND(CAST(stop_hits AS DOUBLE) / ws_tokens, 6) ELSE 0.0 END AS stopword_ratio,
        CASE WHEN len(w) > 0

@@ -44,7 +44,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 12  # v11: OOXML rels + sldIdLst; v12: valid image headers (PNG IHDR / GIF LSD / JPEG SOF0)
+GEN_VERSION = 14  # v13: pptx notes, xlsx inline-string/date cells; v14: legacy-CMap CJK PDF slice
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -137,6 +137,14 @@ def _pdf_page_bytes(page_num: int, rng: random.Random, words: list[str]) -> byte
     return b"".join(out)
 
 
+# (cmap name, python codec, deterministic vocabulary) — the v14 CJK slice
+_CJK_CMAPS: list[tuple[str, str, list[str]]] = [
+    ("GB-EUC-H", "gbk", ["数据", "处理", "文档", "提取", "中文", "网页"]),
+    ("ETen-B5-H", "big5", ["資料", "處理", "文件", "擷取", "中文", "網頁"]),
+    ("90ms-RKSJ-H", "shift_jis", ["データ", "処理", "文書", "抽出", "日本語", "ページ"]),
+]
+
+
 def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
     """Spec-correct classic PDF (FlateDecode streams, page tree, xref) —
     exercises the stdlib native reader (kernels/pdf_native.py) end-to-end in
@@ -156,6 +164,13 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
     import zlib
 
     identity_font = rng.random() < 0.15
+    # ~10% of non-Identity real PDFs use a predefined LEGACY-charset CMap
+    # (v14): the show strings are GBK/Big5/Shift-JIS bytes — the slice of
+    # CJK web PDFs pdf_native decodes via stdlib codecs, driver-verified
+    # through the extraction pins
+    legacy = None
+    if not identity_font and rng.random() < 0.10:
+        legacy = _CJK_CMAPS[rng.randrange(len(_CJK_CMAPS))]
     enc_roll = rng.random()
     encrypted = enc_roll < 0.10  # unverifiable /U → typed failure
     decryptable = 0.10 <= enc_roll < 0.20  # empty-user-password RC4
@@ -167,6 +182,18 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
                 "BT /F1 12 Tf 72 %d Td <%s> Tj ET\n"
                 % (y, t.encode("utf-16-be", "replace").hex())
                 for y, t in _pdf_page_lines(rng, words)
+            ]
+        elif legacy is not None:
+            cmap_name, codec, vocab = legacy
+            lines = [
+                "BT /F1 12 Tf 72 %d Td <%s> Tj ET\n"
+                % (
+                    y,
+                    " ".join(
+                        vocab[rng.randrange(len(vocab))] for _ in range(4)
+                    ).encode(codec).hex(),
+                )
+                for y, _t in _pdf_page_lines(rng, words)
             ]
         else:
             lines = [
@@ -214,6 +241,24 @@ def _real_pdf_doc(rng: random.Random, words: list[str]) -> bytes:
             (
                 font_num + 1,
                 b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth-Identity >>",
+                None,
+            )
+        )
+        next_num = font_num + 2
+    elif legacy is not None:
+        objects.append(
+            (
+                font_num,
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CJK "
+                b"/Encoding /%s /DescendantFonts [%d 0 R] >>"
+                % (legacy[0].encode(), font_num + 1),
+                None,
+            )
+        )
+        objects.append(
+            (
+                font_num + 1,
+                b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Synth-CJK >>",
                 None,
             )
         )
@@ -410,6 +455,7 @@ def _pptx_doc(rng: random.Random, words: list[str]) -> bytes:
         ),
         ("ppt/_rels/presentation.xml.rels", rels),
     ]
+    rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
     for s in range(1, n_slides + 1):
         title = " ".join(words[rng.randrange(len(words))] for _ in range(3)).title()
         paras = [
@@ -417,6 +463,29 @@ def _pptx_doc(rng: random.Random, words: list[str]) -> bytes:
             for _ in range(rng.randint(1, 4))
         ]
         entries.append((f"ppt/slides/slide{s}.xml", slide(title, paras)))
+        if rng.random() < 0.5:  # v13: speaker notes on about half the slides
+            note_text = " ".join(_sentences(words, rng, rng.randint(1, 2)))
+            entries.append(
+                (
+                    f"ppt/slides/_rels/slide{s}.xml.rels",
+                    f'<?xml version="1.0"?><Relationships xmlns="{rel_ns}">'
+                    '<Relationship Id="rIdN" Type="http://schemas.openxmlformats.org/'
+                    'officeDocument/2006/relationships/notesSlide" '
+                    f'Target="../notesSlides/notesSlide{s}.xml"/></Relationships>',
+                )
+            )
+            entries.append(
+                (
+                    f"ppt/notesSlides/notesSlide{s}.xml",
+                    '<?xml version="1.0"?>'
+                    '<p:notes xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+                    'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+                    "<p:cSld><p:spTree><p:sp><p:nvSpPr><p:nvPr>"
+                    '<p:ph type="body"/></p:nvPr></p:nvSpPr><p:txBody>'
+                    f"<a:p><a:r><a:t>{_xml_esc(note_text)}</a:t></a:r></a:p>"
+                    "</p:txBody></p:sp></p:spTree></p:cSld></p:notes>",
+                )
+            )
     buf = BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
         for name, content in entries:
@@ -446,9 +515,17 @@ def _xlsx_doc(rng: random.Random, words: list[str]) -> bytes:
         for r in range(1, rng.randint(3, 6) + 1):
             cells = []
             for c in range(rng.randint(2, 4)):
-                if rng.random() < 0.6:
+                roll = rng.random()
+                if roll < 0.55:
                     text = " ".join(_sentences(words, rng, 1))
                     cells.append(f'<c t="s"><v>{sidx(text)}</v></c>')
+                elif roll < 0.7:  # v13: inline string (no sharedStrings hop)
+                    text = " ".join(_sentences(words, rng, 1))
+                    cells.append(
+                        f'<c t="inlineStr"><is><t>{_xml_esc(text)}</t></is></c>'
+                    )
+                elif roll < 0.85:  # v13: date-styled serial (style 1 = numFmt 14)
+                    cells.append(f'<c s="1"><v>{rng.randint(40000, 46000)}</v></c>')
                 else:
                     cells.append(f"<c><v>{rng.randint(1, 9999)}</v></c>")
             rows.append(f'<row r="{r}">' + "".join(cells) + "</row>")
@@ -485,10 +562,17 @@ def _xlsx_doc(rng: random.Random, words: list[str]) -> bytes:
         + "".join(f"<si><t>{_xml_esc(t)}</t></si>" for t in shared)
         + "</sst>"
     )
+    styles = (
+        '<?xml version="1.0"?><styleSheet '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs>'
+        "</styleSheet>"
+    )
     entries = [
         ("xl/workbook.xml", workbook),
         ("xl/_rels/workbook.xml.rels", wb_rels),
         ("xl/sharedStrings.xml", sst),
+        ("xl/styles.xml", styles),
     ]
     entries += [
         (f"xl/worksheets/sheet{i + 1}.xml", x) for i, x in enumerate(sheets_xml)

@@ -25,7 +25,7 @@ def norm(df):
         elif pd.api.types.is_integer_dtype(s): df[c] = s.astype("int64")
         elif pd.api.types.is_float_dtype(s): df[c] = s.astype("float64")
         elif pd.api.types.is_datetime64_any_dtype(s): df[c] = pd.to_datetime(s).dt.tz_localize(None)
-        elif s.dtype == object and len(s) and not isinstance(s.iloc[0], str):
+        elif s.dtype == object and s.notna().any() and not isinstance(s.dropna().iloc[0], str):
             try: df[c] = pd.to_datetime(s)
             except (ValueError, TypeError): pass
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)

@@ -486,6 +486,34 @@ def build_unicode_cmap_pdf(text: str) -> bytes:
     return assemble_with_xref(objects, b"/Root 1 0 R ")
 
 
+def build_legacy_cmap_pdf(text: str, cmap_name: str, codec: str) -> bytes:
+    """One-page PDF whose Type0 font uses a PREDEFINED legacy-charset CMap
+    (GB-EUC-H / ETen-B5-H / 90ms-RKSJ-H / …) and carries NO /ToUnicode:
+    the show-string bytes are national-charset text in ``codec``."""
+    codes = text.encode(codec)
+    content = b"BT /F1 12 Tf 72 700 Td <%s> Tj ET" % codes.hex().encode()
+    c = zlib.compress(content)
+    objects = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>", None),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>",
+            None,
+        ),
+        (4, b"<< /Length %d /Filter /FlateDecode >>" % len(c), c),
+        (
+            5,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-CJK "
+            b"/Encoding /%s /DescendantFonts [6 0 R] >>" % cmap_name.encode(),
+            None,
+        ),
+        (6, b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Fake >>", None),
+    ]
+    return assemble_with_xref(objects, b"/Root 1 0 R ")
+
+
 def _objstm_obj(embedded: list[tuple[int, bytes]]) -> tuple[bytes, bytes]:
     """(dict bytes sans num, compressed stream) for an ObjStm holding
     ``embedded`` [(objnum, dict-bytes)]."""

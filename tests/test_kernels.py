@@ -1198,6 +1198,29 @@ def test_predefined_unicode_cmap_font_decodes_as_utf16():
     assert [reg["text"] for reg in r["regions"]] == [text]
 
 
+def test_predefined_legacy_cmap_fonts_decode_via_stdlib_codecs():
+    """Type0 fonts with predefined LEGACY-charset CMaps (GB-EUC, Big5,
+    Shift-JIS, EUC-KR families) and NO /ToUnicode: the show-string bytes
+    are national-charset text; each stdlib codec decodes them without any
+    CID table (VERDICT r4 item 5 — previously typed-empty)."""
+    from tests.pdf_fixture import build_legacy_cmap_pdf
+
+    cases = [
+        ("GB-EUC-H", "gbk", "你好世界 mixed ascii"),
+        ("GBK-EUC-H", "gbk", "汉字与 ASCII 123"),
+        ("GBK2K-H", "gb18030", "简体中文测试"),
+        ("ETen-B5-H", "big5", "繁體中文測試 ok"),
+        ("90ms-RKSJ-H", "shift_jis", "日本語テスト abc"),
+        ("EUC-H", "euc_jp", "漢字かなカナ"),
+        ("KSC-EUC-H", "euc_kr", "한국어 시험 x"),
+        ("KSCms-UHC-H", "cp949", "한글 텍스트"),
+    ]
+    for cmap_name, codec, text in cases:
+        r = extract_pdf(build_legacy_cmap_pdf(text, cmap_name, codec))
+        assert r["ok"], (cmap_name, r["error"])
+        assert [reg["text"] for reg in r["regions"]] == [text], cmap_name
+
+
 def test_designated_objstm_container_beats_stale_copy():
     """Two live ObjStms both hold object 3; the xref's type-2 entry
     designates the newer container. Expansion must honor the binding —
@@ -1349,6 +1372,106 @@ def test_xlsx_shared_inline_and_numeric_cells():
     assert r["ok"]
     row = [reg for reg in r["regions"] if reg["type"] == "table_row"][0]
     assert row["text"] == "shared one | 42.5 | inline text"
+
+
+def test_xlsx_date_numfmt_renders_iso_dates():
+    """Numeric cells styled with a date numFmt render as ISO dates, not raw
+    serials: builtin id 14, a custom y/m/d formatCode, fractional serials
+    (datetime), the date1904 epoch, and a NON-date style passing through."""
+    import io
+    import zipfile
+
+    from ocr_model_spark.kernels.ooxml_extract import _serial_to_iso, extract_xlsx
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    styles = (
+        f'<?xml version="1.0"?><styleSheet {ns}>'
+        '<numFmts count="2">'
+        '<numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd"/>'
+        # quoted/bracketed runs must NOT date-type a numeric format
+        '<numFmt numFmtId="165" formatCode="[Red]0.00&quot;m&quot;"/>'
+        "</numFmts>"
+        "<cellXfs count="'"4"'">"
+        '<xf numFmtId="0"/><xf numFmtId="14"/>'
+        '<xf numFmtId="164"/><xf numFmtId="165"/>'
+        "</cellXfs></styleSheet>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        # 45292 = 2024-01-01; .5 = noon; style 0/3 are not dates
+        '<row r="1"><c s="1"><v>45292</v></c><c s="2"><v>45292.5</v></c>'
+        '<c s="0"><v>45292</v></c><c s="3"><v>45292</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook {ns}>'
+        '<sheets><sheet name="S" sheetId="1"/></sheets></workbook>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/styles.xml", styles)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    r = extract_xlsx(buf.getvalue())
+    assert r["ok"]
+    row = [reg for reg in r["regions"] if reg["type"] == "table_row"][0]
+    assert row["text"] == "2024-01-01 | 2024-01-01 12:00:00 | 45292 | 45292"
+    # 1904 epoch: same serial lands 4 years + 1 day later
+    assert _serial_to_iso(0.0, True) == "1904-01-01"
+    assert _serial_to_iso(366.0, False) == "1900-12-31"
+    assert _serial_to_iso(-1.0, False) is None
+
+
+def test_pptx_notes_slides_follow_their_slide():
+    """Speaker notes resolve via the slide's rels (Type …/notesSlide) and
+    append as 'note' regions after that slide's paragraphs; slide-number
+    placeholders inside the notes slide are skipped."""
+    import io
+    import zipfile
+
+    from ocr_model_spark.kernels.ooxml_extract import extract_pptx
+
+    pns = 'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+    ans = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+
+    def slide_xml(text):
+        return (
+            f'<?xml version="1.0"?><p:sld {pns} {ans}><p:cSld><p:spTree>'
+            "<p:sp><p:nvSpPr><p:nvPr/></p:nvSpPr><p:txBody>"
+            f"<a:p><a:r><a:t>{text}</a:t></a:r></a:p>"
+            "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+        )
+
+    notes = (
+        f'<?xml version="1.0"?><p:notes {pns} {ans}><p:cSld><p:spTree>'
+        "<p:sp><p:nvSpPr><p:nvPr><p:ph type=\"body\"/></p:nvPr></p:nvSpPr>"
+        "<p:txBody><a:p><a:r><a:t>remember the demo</a:t></a:r></a:p></p:txBody></p:sp>"
+        "<p:sp><p:nvSpPr><p:nvPr><p:ph type=\"sldNum\"/></p:nvPr></p:nvSpPr>"
+        "<p:txBody><a:p><a:r><a:t>1</a:t></a:r></a:p></p:txBody></p:sp>"
+        "</p:spTree></p:cSld></p:notes>"
+    )
+    rels_ns = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+    slide_rels = (
+        f'<?xml version="1.0"?><Relationships {rels_ns}>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/notesSlide" '
+        'Target="../notesSlides/notesSlide1.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml", f'<?xml version="1.0"?><p:presentation {pns}/>')
+        zf.writestr("ppt/slides/slide1.xml", slide_xml("body one"))
+        zf.writestr("ppt/slides/slide2.xml", slide_xml("body two"))
+        zf.writestr("ppt/slides/_rels/slide1.xml.rels", slide_rels)
+        zf.writestr("ppt/notesSlides/notesSlide1.xml", notes)
+    r = extract_pptx(buf.getvalue())
+    assert r["ok"] and r["metadata"]["n_notes"] == "1"
+    seq = [(reg["type"], reg["text"]) for reg in r["regions"]]
+    assert seq == [
+        ("paragraph", "body one"),
+        ("note", "remember the demo"),
+        ("paragraph", "body two"),
+    ]
 
 
 def test_pptx_slide_order_follows_sldidlst():

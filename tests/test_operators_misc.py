@@ -491,13 +491,14 @@ def test_benchmark_contamination_broadcast_and_semantics(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
-def test_lang_id_six_languages_and_tie_priority(spark):
-    """Marker-based language ID covers en/de/fr/es/it/pt with the fixed
-    priority tie-break; no-marker text is 'und'."""
+def test_lang_id_nine_languages_tie_priority_and_confidence(spark):
+    """Marker-based language ID covers en/de/fr/es/it/pt/nl/sv/pl with the
+    fixed priority tie-break; no-marker text is 'und'. lang_confidence is
+    the winner's vote share: 1.0 unambiguous, 0.5 split two ways, 0.0 und."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    from ocr_model_spark.operators.textstats import lang_id
+    from ocr_model_spark.operators.textstats import lang_confidence, lang_id
 
     samples = {
         "the cat and the dog in the house": "en",
@@ -506,14 +507,25 @@ def test_lang_id_six_languages_and_tie_priority(spark):
         "los gatos el perro por la casa para como pero esta bien": "es",
         "il gatto che corre nel giardino della casa sono anche alla festa": "it",
         "os gatos e uma casa dos animais quando ele quer mais isso": "pt",
+        "het is een huis maar niet voor ons en ook niet zijn huis": "nl",
+        "det har och att vara som den inte ett hus": "sv",
+        "to jest dom oraz nie tylko jako przez jednak czy tak": "pl",
         "zzz qqq xxx": "und",
         # equal en/de hit counts: priority order keeps 'en'
         "the der": "en",
     }
     df = spark.createDataFrame(pd.DataFrame({"text": list(samples)}))
     got = {
-        r["text"]: r["g"]
-        for r in df.select("text", lang_id(F.col("text")).alias("g")).collect()
+        r["text"]: (r["g"], r["conf"])
+        for r in df.select(
+            "text",
+            lang_id(F.col("text")).alias("g"),
+            lang_confidence(F.col("text")).alias("conf"),
+        ).collect()
     }
     for t, want in samples.items():
-        assert got[t] == want, (t, got[t], want)
+        assert got[t][0] == want, (t, got[t], want)
+    # confidence semantics: und → 0.0; 50/50 tie → 0.5; clean match → high
+    assert got["zzz qqq xxx"][1] == 0.0
+    assert got["the der"][1] == 0.5
+    assert got["the cat and the dog in the house"][1] == 1.0
