@@ -182,14 +182,16 @@ def _slide_order(zf: zipfile.ZipFile) -> list[str]:
     return ordered + [n for n in numeric if n not in ordered]
 
 
-def _notes_regions(zf: zipfile.ZipFile, slide_name: str) -> list[dict]:
+def _notes_regions(
+    zf: zipfile.ZipFile, slide_name: str, members: set[str]
+) -> list[dict]:
     """Speaker-notes regions for one slide: the slide's rels point at its
     notesSlide part (Type …/relationships/notesSlide — names arbitrary per
     OPC). Every non-empty DrawingML paragraph becomes a ``note`` region;
     slide-number/date placeholder shapes are skipped (they render layout
-    fields, not authored notes)."""
+    fields, not authored notes). ``members`` is hoisted by the caller —
+    rebuilding the name set per slide made pptx O(slides × members)."""
     rels = _part_rels(zf, slide_name)
-    members = set(zf.namelist())
     out: list[dict] = []
     for rtype, target in rels.values():
         if not rtype.endswith("/notesSlide") or target not in members:
@@ -228,6 +230,7 @@ def extract_pptx(data: bytes, _zf: zipfile.ZipFile | None = None) -> dict:
         return _fail("pptx-parse-failed", type(e).__name__)
     try:
         slides = _slide_order(zf)
+        members = set(zf.namelist())
         raw: list[dict] = []
         n_broken = 0
         n_notes = 0
@@ -238,7 +241,7 @@ def extract_pptx(data: bytes, _zf: zipfile.ZipFile | None = None) -> dict:
             except (ET.ParseError, KeyError, OSError, zipfile.BadZipFile):
                 n_broken += 1
                 continue
-            notes = _notes_regions(zf, name)
+            notes = _notes_regions(zf, name, members)
             n_notes += len(notes)
             raw.extend(notes)
         meta = {"n_slides": str(len(slides))}
@@ -374,7 +377,10 @@ def _serial_to_iso(serial: float, date1904: bool) -> str | None:
     ones append HH:MM:SS (fraction-of-day rounded to the nearest second)."""
     import datetime as _dt
 
-    if serial < 0 or serial > 2_958_465:  # 9999-12-31 in the 1900 system
+    # ceiling = 9999-12-31 in the ACTIVE epoch (1904 counts 1462 fewer
+    # days to the same date); beyond it datetime overflows → typed None
+    ceiling = 2_958_465 - 1462 if date1904 else 2_958_465
+    if serial < 0 or serial > ceiling:
         return None
     epoch = _dt.datetime(1904, 1, 1) if date1904 else _dt.datetime(1899, 12, 30)
     days = int(serial)

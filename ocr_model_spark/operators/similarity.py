@@ -394,6 +394,59 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.97,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings into centroid cells, and within
+    each cell DROP every point that has a lower-id neighbor with cosine ≥
+    ``threshold``. Keep-one-per-near-dup-group falls out WITHOUT connected
+    components — the drop rule is local (x drops iff ∃ y < x in x's cell,
+    sim ≥ τ), and the survivor of each group is its minimum id, exactly
+    the convention the text-dedup family uses.
+
+    Plan shape (the paper's own scale design): centroid argmax per row
+    (broadcast literal array, same expression as ``ivf_cosine_topk``),
+    ONE equi-join on the cell id — never an all-pairs crossJoin; the cell
+    size bounds the quadratic term, and ``n_centroids`` grows with
+    corpus/target-cell-size at 10^12 rows. Returns (id, cell, dropped)."""
+    if centroids is None:
+        centroids = _seed_centroids(corpus, n_centroids, id_col, vec_col)
+    cent_arrays = [
+        (i, F.array(*[F.lit(float(x)) for x in c])) for i, c in enumerate(centroids)
+    ]
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.element_at(
+            F.array_sort(_cell_score_array(F.col(vec_col), cent_arrays), _desc_sim), 1
+        )["cell"].alias("cell"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")))
+        .filter(
+            F.round(cosine(F.col("a.v"), F.col("b.v")), round_to) >= threshold
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(dropped, "id", "left")
+        .select("id", "cell", F.coalesce("dropped", F.lit(False)).alias("dropped"))
+    )
+
+
 def _desc_sim(a: Column, b: Column) -> Column:
     """Comparator: descending by sim, ascending cell id for ties."""
     return (

@@ -856,6 +856,65 @@ ORDER BY m.method, c.doc_id
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup over embeddings (similarity.semantic_dedup):
+    centroid cells from the md5-reservoir seed, within-cell lower-id drop
+    rule at cosine ≥ 0.97. Near-dups are CONSTRUCTED in-plan exactly like
+    q_embedding_near_dups (vec_id < 20 shifted copies), so drops actually
+    occur; the oracle re-derives the same centroids, assignment (sim
+    rounded to 8, lower-cell tiebreak) and drop rule in pure SQL."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    aug = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.0005)).alias("embedding"),
+    )
+    corpus = emb.unionByName(aug)
+    return S.semantic_dedup(corpus, threshold=0.97).orderBy("id")
+
+
+_SQL_SEMANTIC_DEDUP = """
+WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aug AS (SELECT id + 100000 AS id, list_transform(v, x -> x + 0.0005) AS v
+        FROM base WHERE id < 20),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM aug),
+-- seed centroids: the 16 vectors with the smallest md5-prefix hash of the
+-- STRING id (the engine-wide stable_hash), id tiebreak — the exact
+-- derivation similarity._seed_centroids collects
+cent AS (
+    SELECT row_number() OVER (
+               ORDER BY CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT), id
+           ) - 1 AS cell,
+           v AS cv
+    FROM corpus
+    ORDER BY CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT), id
+    LIMIT 16
+),
+-- assignment mirrors _cell_score_array: sim rounded to 8, lower cell wins ties
+assigned AS (
+    SELECT id, v, cell FROM (
+        SELECT c.id, c.v, ct.cell,
+               row_number() OVER (
+                   PARTITION BY c.id
+                   ORDER BY ROUND(list_cosine_similarity(c.v, ct.cv), 8) DESC, ct.cell ASC
+               ) AS rn
+        FROM corpus c CROSS JOIN cent ct
+    ) WHERE rn = 1
+),
+drops AS (
+    SELECT DISTINCT a.id
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND b.id < a.id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.97
+)
+SELECT a.id, CAST(a.cell AS INTEGER) AS cell,
+       (d.id IS NOT NULL) AS dropped
+FROM assigned a LEFT JOIN drops d USING (id)
+ORDER BY a.id
+"""
+
+
 def q_url_canonical_dups(spark, sf_dir):
     """URL canonicalization gate: three messy variants of each document's
     url (case-shuffled host, :80 port, fragment, utm/gclid tracking
@@ -1112,9 +1171,11 @@ def q_bm25_topk(spark, sf_dir):
 
 
 def _bm25_sql() -> str:
-    vals = ",\n        ".join(
-        f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
-    )
+    # the SAME sorted-set normalization bm25_topk applies to its queries
+    # argument — a duplicate term in _BM25_QUERIES must not double-count
+    # in the oracle while the Spark side dedups (latent gate failure)
+    pairs = sorted({(qid, t) for qid, terms in _BM25_QUERIES for t in terms})
+    vals = ",\n        ".join(f"('{qid}', '{t}')" for qid, t in pairs)
     return f"""
 WITH wds AS (
     SELECT doc_id,
@@ -1784,6 +1845,10 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     # driver-verified via first_events/user_sessions/corpus_span_offsets,
     # and the demoted sliding_window_sum exercises the same range frames
     "daily_running": (q_daily_running, _SQL_DAILY_RUNNING),
+    # r5 beyond-reference addition: SemDeDup semantic dedup — suite-tier
+    # because the 50 driver slots are full; full oracle parity in
+    # tests/test_oracle_parity.py like every other entry here
+    "semantic_dedup": (q_semantic_dedup, _SQL_SEMANTIC_DEDUP),
     "dedup_max_value": (q_dedup_max_value, _SQL_DEDUP_MAX_VALUE),
     "event_type_presence": (q_event_type_presence, _SQL_EVENT_TYPE_PRESENCE),
     "pagination": (q_pagination, _SQL_PAGINATION),

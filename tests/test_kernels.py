@@ -566,6 +566,11 @@ def test_header_dims_parses_png_gif_jpeg_headers():
     assert (w, h, d) == (12, 2048, "header")
     w, h, d = _decode_image(b"\x89PNG\r\n\x1a\nxxxx")
     assert d == "fake"
+    # dims beyond int32 are a malformed header (PNG spec caps at 2^31-1)
+    # AND would overflow the Arrow Int32 schema field → reject, fall back
+    big = b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + b"\xff" * 8 + b"\x08\x02\x00\x00\x00\x00\x00\x00\x00"
+    assert _header_dims(big, "png") is None
+    assert _decode_image(big)[2] == "fake"
 
 
 def test_objstm_pdf_reads_pages_from_object_stream():
@@ -1219,6 +1224,14 @@ def test_predefined_legacy_cmap_fonts_decode_via_stdlib_codecs():
         r = extract_pdf(build_legacy_cmap_pdf(text, cmap_name, codec))
         assert r["ok"], (cmap_name, r["error"])
         assert [reg["text"] for reg in r["regions"]] == [text], cmap_name
+    # a ToUnicode map riding along must NOT push the string through the
+    # uniform 2-byte splitter (review finding: ASCII runs mis-segment) —
+    # the codec outranks it
+    from ocr_model_spark.kernels.pdf_native import _decode_with_font
+
+    raw = "abc 日本語".encode("shift_jis")
+    font = (True, {0x6162: "XX"}, False, False, "shift_jis")
+    assert _decode_with_font(raw, font) == "abc 日本語"
 
 
 def test_designated_objstm_container_beats_stale_copy():
@@ -1420,6 +1433,12 @@ def test_xlsx_date_numfmt_renders_iso_dates():
     assert _serial_to_iso(0.0, True) == "1904-01-01"
     assert _serial_to_iso(366.0, False) == "1900-12-31"
     assert _serial_to_iso(-1.0, False) is None
+    # epoch-aware ceiling: 2,958,000 days past 1904 overflows year 9999 —
+    # must return None (typed), never raise (review finding: OverflowError
+    # killed the task); the 1900-system ceiling itself stays valid
+    assert _serial_to_iso(2_958_000.0, True) is None
+    assert _serial_to_iso(2_958_465.0, False) == "9999-12-31"
+    assert _serial_to_iso(2_958_465.0 - 1462, True) == "9999-12-31"
 
 
 def test_pptx_notes_slides_follow_their_slide():
