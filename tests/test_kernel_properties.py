@@ -143,3 +143,76 @@ def test_warc_corrupt_member_resync_drops_only_itself():
     urls = [r["url"] for r in recs]
     assert "https://a/1" in urls and "https://a/3" in urls
     assert "https://a/2" not in urls
+
+
+# ---- round-5 surfaces: RTF de-markup, OOXML variants, header dims ------
+
+
+_rtf_piece = st.one_of(
+    st.text(alphabet="abc {}\\ \x00\x01\x02", max_size=12),
+    st.sampled_from(
+        [
+            r"\par", r"\tab", r"\'e9", r"\'00", r"\u233?", r"\u-1000?",
+            "\\u57344?",  # \uN aimed at the U+E000 sentinel
+            "",  # literal PUA chars in the input
+            r"{\*\ignorable x}", r"{\fonttbl{\f0 Arial;}}",
+            r"\{", r"\}", "\\\\", r"\~", r"\-", r"\_", "{", "}", "\\",
+        ]
+    ),
+)
+
+
+@given(st.lists(_rtf_piece, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_rtf_to_text_total_and_sentinel_free(pieces):
+    """_rtf_to_text never raises, is deterministic, and NEVER leaks the
+    private-use-area sentinels — even when the input carries literal PUA
+    chars, C0 bytes, or \\uN escapes aimed at E000-E002 (review finding:
+    the old C0 placeholders transmuted literal \\x00-\\x02 into braces)."""
+    from ocr_model_spark.kernels.extract import _rtf_to_text
+
+    text = "{\\rtf1 " + "".join(pieces) + "}"
+    out = _rtf_to_text(text)
+    assert out == _rtf_to_text(text)
+    assert all(ch not in out for ch in ("", "", ""))
+
+
+@given(st.binary(max_size=256), st.sampled_from(["png", "gif", "jpeg", "unknown"]))
+@settings(max_examples=400, deadline=None)
+def test_header_dims_total_and_int32_bounded(data, fmt):
+    """_header_dims never raises on arbitrary bytes and never returns a
+    dimension outside (0, 2^31-1] — the Arrow Int32 schema bound."""
+    from ocr_model_spark.operators.multimodal import _decode_image, _header_dims
+
+    dims = _header_dims(data, fmt)
+    if dims is not None:
+        w, h = dims
+        assert 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF
+    w, h, d = _decode_image(data)
+    assert d in ("header", "fake", "pil") and w > 0 and h > 0
+
+
+@given(
+    st.floats(min_value=-10, max_value=4_000_000, allow_nan=False),
+    st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_serial_to_iso_total_over_both_epochs(serial, date1904):
+    """Date-serial rendering never raises for ANY finite serial in either
+    epoch system (review finding: 1904-system serials near the cap
+    overflowed datetime); in-range results look like ISO dates."""
+    from ocr_model_spark.kernels.ooxml_extract import _serial_to_iso
+
+    out = _serial_to_iso(serial, date1904)
+    if out is not None:
+        assert out[4] == "-" and out[7] == "-"
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_pptx_xlsx_kernels_never_raise(data):
+    from ocr_model_spark.kernels.ooxml_extract import extract_pptx, extract_xlsx
+
+    for fn in (extract_pptx, extract_xlsx):
+        r = fn(data)
+        assert isinstance(r, dict) and "ok" in r and "regions" in r
