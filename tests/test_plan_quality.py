@@ -202,3 +202,29 @@ def test_repetition_profile_two_keyed_shuffles(spark):
     plan = _formatted(df)
     assert "ArrowEvalPython" not in plan and "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final for both frames
+
+
+def test_bm25_plan_all_broadcast_no_python(spark):
+    """BM25 serving plan: the query-term relation, idf table, and corpus
+    stats all BROADCAST (no SortMergeJoin — postings shuffle only on their
+    own aggregation keys), no cartesian product, no Python stage."""
+    from ocr_model_spark.queries import q_bm25_topk
+
+    df = q_bm25_topk(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_plan_cell_equijoin_no_crossjoin(spark):
+    """SemDeDup: the within-cell pair generation must be an EQUI-join on
+    the cell id (cells bound the quadratic term) — never an all-pairs
+    cartesian product; assignment is pure codegen (no Python)."""
+    from ocr_model_spark.queries import q_semantic_dedup
+
+    df = q_semantic_dedup(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
