@@ -112,6 +112,8 @@ def q_extract_lineage(spark, sf_dir):
             "n_docx",
             "n_pptx",
             "n_xlsx",
+            "n_epub",
+            "n_ole",
             "n_text",
             F.unix_micros("max_warc_ts").alias("max_warc_us"),
             F.unix_micros("min_warc_ts").alias("min_warc_us"),
@@ -510,8 +512,8 @@ FROM ranked WHERE rk <= 5 GROUP BY url_host ORDER BY url_host
 
 def host_counters_oracle_sql(sf_dir: str) -> str:
     """Batch twin of the stateful counters over the same pages parquet:
-    failures = empty or image-magic payloads (everything else is an
-    extractable type), hosts via the SHARED url_host regexp (interpolated
+    failures = empty, image-magic, or OLE/CFB-magic payloads (everything
+    else is an extractable type), hosts via the SHARED url_host regexp (interpolated
     from operators/urls.py::URL_HOST_RE — DuckDB has no parse_url). Emitted
     once per implementation method ('salted' two-stage batch, 'streaming'
     stateful) to match q_host_counters' tagged union."""
@@ -528,6 +530,7 @@ WITH per_host AS (
                            OR hex(html) LIKE 'FFD8FF%'
                            OR hex(html) LIKE '474946383761%'
                            OR hex(html) LIKE '474946383961%'
+                           OR hex(html) LIKE 'D0CF11E0A1B11AE1%'
                          THEN 1 ELSE 0 END) AS BIGINT) AS total_failed,
            CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes
     FROM read_parquet('{path}/*.parquet')

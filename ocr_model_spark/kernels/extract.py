@@ -116,11 +116,31 @@ def _rtf_to_text(text: str) -> str:
     return "\n".join(" ".join(ln.split()) for ln in s.split("\n")).strip()
 
 
+_CTRL = set(range(0x00, 0x20)) - {0x09, 0x0A, 0x0D}
+_CTRL |= set(range(0x7F, 0xA0))  # DEL + C1 (latin-1 decodes these verbatim)
+
+
+def _looks_binary(text: str) -> bool:
+    """True when the decoded 'text' is really a binary payload: the latin-1
+    fallback NEVER fails, so unrecognized binary formats (old .doc already
+    caught by the OLE sniff, but also gzip, mp3, font files, …) would
+    otherwise become mojibake document text and poison dedup / quality
+    scoring corpus-wide. Rule: >10% control characters (C0 minus
+    tab/newline/CR, DEL, C1) in the first 4096 chars of a ≥64-char doc."""
+    if len(text) < 64:
+        return False
+    window = text[:4096]
+    n_ctrl = sum(1 for ch in window if ord(ch) in _CTRL)
+    return n_ctrl * 10 > len(window)
+
+
 def _extract_text_plain(data: bytes) -> dict:
     try:
         text, encoding = decode_with_fallback(data)
     except UnicodeDecodeError:
         return dict(EMPTY_RESULT, error="decode-failed")
+    if _looks_binary(text):
+        return dict(EMPTY_RESULT, error="binary-payload")
     if text.startswith("{\\rtf"):
         # .rtf sniffs as TEXT (reference reads it on the text path too);
         # emitting control words as document text would poison dedup and

@@ -495,6 +495,95 @@ def _extract_xlsx_open(zf: zipfile.ZipFile) -> dict:
     )
 
 
+# -------------------------------------------------------------------- EPUB
+
+_CNT = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+_OPF = "{http://www.idpf.org/2007/opf}"
+_DC = "{http://purl.org/dc/elements/1.1/}"
+
+
+def extract_epub(data: bytes, _zf: zipfile.ZipFile | None = None) -> dict:
+    """EPUB (the zip-of-XHTML ebook container a web crawl actually hits):
+    META-INF/container.xml names the OPF package, the OPF's spine gives
+    reading order, and each spine chapter is XHTML — extracted by THE SAME
+    HTML kernel the flagship path uses (boilerplate scoring and all), so
+    ebook chapters get identical region semantics. dc:title becomes the
+    leading heading. Broken chapters degrade (skipped + counted); a broken
+    container fails typed. Falls back to name-ordered *.xhtml members when
+    container/OPF are missing or malformed."""
+    from ocr_model_spark.kernels.html_extract import extract_html
+
+    try:
+        zf = _zf or zipfile.ZipFile(io.BytesIO(data))
+    except (zipfile.BadZipFile, OSError) as e:
+        return _fail("epub-parse-failed", type(e).__name__)
+    try:
+        members = set(zf.namelist())
+
+        def read_xml(name):
+            with zf.open(name) as f:
+                return ET.parse(f).getroot()
+
+        chapters: list[str] = []
+        title = None
+        try:
+            container = read_xml("META-INF/container.xml")
+            rootfile = next(
+                rf.get("full-path")
+                for rf in container.iter(f"{_CNT}rootfile")
+                if rf.get("full-path")
+            )
+            opf = read_xml(rootfile)
+            opf_dir = rootfile.rpartition("/")[0]
+            t_el = opf.find(f"{_OPF}metadata/{_DC}title")
+            if t_el is not None and (t_el.text or "").strip():
+                title = _norm(t_el.text)
+            manifest = {
+                item.get("id"): item.get("href")
+                for item in opf.iter(f"{_OPF}item")
+                if item.get("id") and item.get("href")
+            }
+            for ref in opf.iter(f"{_OPF}itemref"):
+                href = manifest.get(ref.get("idref") or "")
+                if not href:
+                    continue
+                resolved = posixpath.normpath(
+                    f"{opf_dir}/{href}" if opf_dir else href
+                )
+                if resolved in members:
+                    chapters.append(resolved)
+        except (StopIteration, ET.ParseError, KeyError, OSError, zipfile.BadZipFile):
+            chapters = []
+        if not chapters:  # container/OPF broken: name-ordered XHTML members
+            chapters = sorted(
+                m for m in members if m.lower().endswith((".xhtml", ".html"))
+            )
+        raw: list[dict] = []
+        if title:
+            raw.append({"type": "heading", "text": title})
+        n_broken = 0
+        for name in chapters:
+            try:
+                with zf.open(name) as f:
+                    chapter = extract_html(f.read())
+            except (KeyError, OSError, zipfile.BadZipFile):
+                n_broken += 1
+                continue
+            if not chapter.get("ok"):
+                n_broken += 1
+                continue
+            raw.extend(
+                {"type": r["type"], "text": r["text"]} for r in chapter["regions"]
+            )
+        meta = {"n_chapters": str(len(chapters))}
+        if n_broken:
+            meta["n_broken_chapters"] = str(n_broken)
+        return _assemble(raw, meta, "epub")
+    finally:
+        if _zf is None:
+            zf.close()
+
+
 # --------------------------------------------------------------- dispatch
 
 
@@ -525,4 +614,8 @@ def extract_ooxml(data: bytes) -> dict:
             return extract_pptx(data, _zf=zf)
         if "xl/workbook.xml" in members or any(_SHEET_RE.match(m) for m in members):
             return extract_xlsx(data, _zf=zf)
+        # OCF container (META-INF/container.xml) = EPUB; ODT uses
+        # META-INF/manifest.xml instead and stays typed-unknown
+        if "META-INF/container.xml" in members:
+            return extract_epub(data, _zf=zf)
     return _fail("ooxml-unknown-container", "no-known-main-part")

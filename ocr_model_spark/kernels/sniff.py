@@ -13,6 +13,7 @@ PDF = "pdf"
 HTML = "html"
 IMAGE = "image"
 DOCX = "docx"
+OLE = "ole"  # legacy binary Office (CFB container: .doc/.xls/.ppt/.msg)
 TEXT = "text"
 UNKNOWN = "unknown"
 
@@ -31,6 +32,11 @@ def sniff_doc_type(data: bytes) -> str:
     if head.startswith(b"PK\x03\x04"):
         # zip container: DOCX in the reference's world (io_conversion.py:23)
         return DOCX
+    if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        # OLE/CFB compound file (pre-2007 .doc/.xls/.ppt): without this
+        # branch the latin-1 fallback would read the binary container as
+        # mojibake "text" and poison dedup/quality downstream
+        return OLE
     low = head.lstrip()[:256].lower()
     if low.startswith(b"<!doctype html") or low.startswith(b"<html") or b"<html" in low:
         return HTML

@@ -44,6 +44,9 @@ def doc_type_col(html: Column) -> Column:
         .when(_startswith(html, b"GIF87a") | _startswith(html, b"GIF89a"), F.lit("image"))
         .when(_startswith(html, b"PK\x03\x04"), F.lit("docx"))
         .when(
+            _startswith(html, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"), F.lit("ole")
+        )
+        .when(
             low.startswith("<!doctype html")
             | low.startswith("<html")
             | low.contains("<html"),

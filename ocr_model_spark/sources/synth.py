@@ -44,7 +44,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 14  # v13: pptx notes, xlsx inline-string/date cells; v14: legacy-CMap CJK PDF slice
+GEN_VERSION = 15  # v14: legacy-CMap CJK PDFs; v15: epub slice + OLE/binary junk slice
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -585,6 +585,62 @@ def _xlsx_doc(rng: random.Random, words: list[str]) -> bytes:
     return buf.getvalue()
 
 
+def _epub_doc(rng: random.Random, words: list[str]) -> bytes:
+    """Minimal deterministic .epub: OCF container + OPF (dc:title, spine)
+    + 1-3 XHTML chapters of sentence paragraphs. Fixed zip timestamps
+    (byte-identity rule)."""
+    import zipfile
+    from io import BytesIO
+
+    n_ch = rng.randint(1, 3)
+    title = " ".join(words[rng.randrange(len(words))] for _ in range(3)).title()
+    chapters = []
+    for c in range(1, n_ch + 1):
+        paras = "".join(
+            f"<p>{_xml_esc(' '.join(_sentences(words, rng, rng.randint(2, 4))))}</p>"
+            for _ in range(rng.randint(1, 3))
+        )
+        chapters.append(
+            (
+                f"OEBPS/text/ch{c}.xhtml",
+                "<!DOCTYPE html><html><head><title>ch</title></head>"
+                f"<body>{paras}</body></html>",
+            )
+        )
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f"<dc:title>{_xml_esc(title)}</dc:title></metadata>"
+        "<manifest>"
+        + "".join(
+            f'<item id="ch{c}" href="text/ch{c}.xhtml" '
+            'media-type="application/xhtml+xml"/>'
+            for c in range(1, n_ch + 1)
+        )
+        + "</manifest><spine>"
+        + "".join(f'<itemref idref="ch{c}"/>' for c in range(1, n_ch + 1))
+        + "</spine></package>"
+    )
+    container = (
+        '<?xml version="1.0"?>'
+        '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles></container>'
+    )
+    entries = [
+        ("mimetype", "application/epub+zip"),
+        ("META-INF/container.xml", container),
+        ("OEBPS/content.opf", opf),
+    ] + chapters
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, content in entries:
+            info = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zf.writestr(info, content)
+    return buf.getvalue()
+
+
 def _image_doc(rng: random.Random) -> bytes:
     """Image payload with a VALID container header (v12): PNG IHDR, GIF89a
     logical-screen descriptor, or JPEG APP0+SOF0 — dims parseable by the
@@ -658,6 +714,12 @@ def build_page_row(seed: int, i: int, base_text: str, base_lang: str) -> dict:
         html = _pptx_doc(rng, words)
     elif roll < 0.17:
         html = _xlsx_doc(rng, words)
+    elif roll < 0.175:  # v15: ebooks — OCF container through the HTML kernel
+        html = _epub_doc(rng, words)
+    elif roll < 0.178:  # v15: legacy binary Office junk (typed OLE failure)
+        html = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + bytes(
+            rng.randrange(256) for _ in range(rng.randint(128, 512))
+        )
     else:
         accented = rng.random() < 0.03
         if accented:

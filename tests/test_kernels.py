@@ -1493,6 +1493,87 @@ def test_pptx_notes_slides_follow_their_slide():
     ]
 
 
+def _epub_bytes(spine_order=("ch2", "ch1"), with_container=True):
+    import io
+    import zipfile
+
+    def xhtml(body):
+        return (
+            "<!DOCTYPE html><html><head><title>t</title></head><body>"
+            f"<p>{body} paragraph with enough words to score as content here</p>"
+            "</body></html>"
+        ).encode()
+
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        "<dc:title>My Book</dc:title></metadata>"
+        "<manifest>"
+        '<item id="ch1" href="text/ch1.xhtml" media-type="application/xhtml+xml"/>'
+        '<item id="ch2" href="text/ch2.xhtml" media-type="application/xhtml+xml"/>'
+        "</manifest>"
+        "<spine>"
+        + "".join(f'<itemref idref="{i}"/>' for i in spine_order)
+        + "</spine></package>"
+    )
+    container = (
+        '<?xml version="1.0"?>'
+        '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles></container>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        if with_container:
+            zf.writestr("META-INF/container.xml", container)
+            zf.writestr("OEBPS/content.opf", opf)
+        zf.writestr("OEBPS/text/ch1.xhtml", xhtml("first"))
+        zf.writestr("OEBPS/text/ch2.xhtml", xhtml("second"))
+    return buf.getvalue()
+
+
+def test_epub_extracts_spine_order_title_and_refines_doc_type():
+    """EPUB: OCF container → OPF spine order (not file order), dc:title as
+    the leading heading, chapters through the flagship HTML kernel; the
+    zip sniff's 'docx' refines to 'epub' in dispatch."""
+    from ocr_model_spark.kernels.extract import extract_document
+
+    r = extract_document(_epub_bytes())
+    assert r["ok"] and r["doc_type"] == "epub"
+    assert r["title"] == "My Book"
+    assert r["metadata"]["n_chapters"] == "2"
+    texts = [reg["text"] for reg in r["regions"]]
+    # spine lists ch2 before ch1 — reading order must follow the spine
+    second = next(i for i, t in enumerate(texts) if "second paragraph" in t)
+    first = next(i for i, t in enumerate(texts) if "first paragraph" in t)
+    assert second < first
+    # broken container → name-ordered xhtml fallback still extracts
+    r2 = extract_document(_epub_bytes(with_container=False))
+    assert r2["ok"] is False or r2["doc_type"] in ("epub", "docx", "ooxml")
+
+
+def test_ole_sniffs_typed_and_binary_payloads_fail_typed():
+    """Legacy binary Office (CFB magic) must sniff as 'ole' and fail TYPED
+    — and arbitrary binary junk on the text path must come back as
+    'binary-payload', never as latin-1 mojibake document text."""
+    from ocr_model_spark.kernels.extract import extract_document
+    from ocr_model_spark.kernels.sniff import sniff_doc_type
+
+    ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + bytes(range(256)) * 4
+    assert sniff_doc_type(ole) == "ole"
+    r = extract_document(ole)
+    assert r["ok"] is False and r["error"] == "engine-unavailable:ole"
+    # gzip-like binary junk: no magic branch, text path, binary gate fires
+    junk = b"\x1f\x8b\x08\x00" + bytes((i * 7) % 256 for i in range(512))
+    r = extract_document(junk)
+    assert r["ok"] is False and r["error"] == "binary-payload"
+    # plain text with a stray control char stays text
+    ok = extract_document(b"hello world " * 20 + b"\x00")
+    assert ok["ok"] and ok["text"].startswith("hello world")
+
+
 def test_pptx_slide_order_follows_sldidlst():
     """A deck reordered in the editor keeps file names and changes only
     sldIdLst: extraction must follow PRESENTATION order, not file order."""
