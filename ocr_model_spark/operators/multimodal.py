@@ -218,6 +218,131 @@ def image_quality_filter(
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_sha256", T.StringType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    media_df: DataFrame,
+    max_side: int = 256,
+    url_col: str = "url",
+    bin_col: str = "html",
+) -> DataFrame:
+    """Image-resize stage plumbing (training pipelines normalize image dims
+    before feature extraction). The Spark side is REAL — mapInPandas batch
+    iteration, aspect-preserving target-dim arithmetic from the header
+    dims, bytes never survive the stage; the PIXEL step is PIL when
+    importable, else a deterministic fake (sha256 of content + target
+    dims, decoder='fake') so the distributed path stays testable without
+    an imaging library. Output dims: longest side clamped to ``max_side``,
+    aspect preserved, never upscaled."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, decoder = _decode_image(data)
+                scale = min(1.0, max_side / max(w, h, 1))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                if _HAS_PIL and decoder != "fake":  # pragma: no cover
+                    import io
+
+                    try:
+                        with Image.open(io.BytesIO(data)) as im:
+                            out = im.resize((ow, oh))
+                            buf = io.BytesIO()
+                            out.save(buf, format="PNG")
+                            digest = hashlib.sha256(buf.getvalue()).hexdigest()
+                            decoder = "pil"
+                    except Exception:
+                        digest = hashlib.sha256(
+                            data + f"{ow}x{oh}".encode()
+                        ).hexdigest()
+                        decoder = "fake"
+                else:
+                    # deterministic fake: content + target dims (NOT pixels)
+                    digest = hashlib.sha256(data + f"{ow}x{oh}".encode()).hexdigest()
+                    decoder = "fake" if decoder == "fake" else f"{decoder}+fake-pixels"
+                rows.append(
+                    {
+                        "url": url,
+                        "src_width": w,
+                        "src_height": h,
+                        "out_width": ow,
+                        "out_height": oh,
+                        "resized_sha256": digest,
+                        "decoder": decoder,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media_df.select(url_col, bin_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def video_frame_sample(
+    media_df: DataFrame,
+    n_frames: int = 4,
+    url_col: str = "url",
+    bin_col: str = "html",
+) -> DataFrame:
+    """Video frame-sampling stage plumbing: one row per sampled frame,
+    evenly spaced timestamps. No video decoder exists in this container
+    (cv2/ffmpeg absent), so the DECODE is a clearly-marked deterministic
+    fake — frame hash = sha256(content ‖ frame index), a notional 10 s
+    duration — while the Spark side (schema, mapInPandas batch shape,
+    explode-free one-to-many emission, bytes dropped on output) is the
+    real plumbing a decoder slots into."""
+    try:  # pragma: no cover - not installed in this container
+        import cv2  # type: ignore  # noqa: F401
+
+        has_cv2 = True
+    except Exception:
+        has_cv2 = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                duration_ms = 10_000  # fake decoder: notional 10 s clip
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "url": url,
+                            "frame_idx": i,
+                            "ts_ms": (duration_ms * i) // max(1, n_frames),
+                            "frame_sha256": hashlib.sha256(
+                                data + i.to_bytes(4, "big")
+                            ).hexdigest(),
+                            "decoder": "cv2" if has_cv2 else "fake",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media_df.select(url_col, bin_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
 def media_metadata(media_df: DataFrame, url_col: str = "url", bin_col: str = "html") -> DataFrame:
     """mapInPandas decode stage: (url, binary) → typed media metadata.
 

@@ -44,6 +44,33 @@ def test_multimodal_media_meta_deterministic(spark, pages_path):
     assert (a["decoder"] == "header").all()
 
 
+def test_resize_and_frame_sample_plumbing(spark, pages_path):
+    """Multimodal transform stages: aspect-preserving resize targets from
+    header dims (never upscaled), deterministic fake pixel step honestly
+    labeled; frame sampling emits n evenly-spaced rows per video with
+    stable hashes. Bytes never survive either stage."""
+    from ocr_model_spark.operators.multimodal import resize_images, video_frame_sample
+
+    pages = spark.read.parquet(pages_path)
+    images = pages.filter(F.substring("html", 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"))
+    r = resize_images(images, max_side=100).orderBy("url").toPandas()
+    assert len(r) > 0 and "html" not in r.columns
+    assert (r[["out_width", "out_height"]].max(axis=1) <= 100).all()
+    assert (r["out_width"] > 0).all() and (r["out_height"] > 0).all()
+    # aspect preserved within integer truncation; never upscaled
+    assert (r["out_width"] <= r["src_width"]).all()
+    r2 = resize_images(images, max_side=100).orderBy("url").toPandas()
+    assert r.equals(r2)
+
+    vids = images.limit(3)
+    n_vids = vids.count()
+    f = video_frame_sample(vids, n_frames=4).toPandas()
+    assert n_vids > 0 and len(f) == n_vids * 4
+    assert sorted(f["frame_idx"].unique()) == [0, 1, 2, 3]
+    assert (f["decoder"] == "fake").all()
+    assert f.groupby("url")["ts_ms"].apply(lambda s: s.is_monotonic_increasing).all()
+
+
 def test_streaming_extraction_commits_snapshot(spark, pages_path, tmp_path):
     from ocr_model_spark.streaming.pipeline import streaming_extraction
 
