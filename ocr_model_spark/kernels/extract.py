@@ -118,6 +118,10 @@ def _rtf_to_text(text: str) -> str:
 
 _CTRL = set(range(0x00, 0x20)) - {0x09, 0x0A, 0x0D}
 _CTRL |= set(range(0x7F, 0xA0))  # DEL + C1 (latin-1 decodes these verbatim)
+# str.translate deletion table: counting via len-difference runs at C
+# speed — a per-char Python loop on the ~80%-of-mix text path measured
+# as an avoidable per-doc cost (review finding)
+_CTRL_DELETE = dict.fromkeys(_CTRL)
 
 
 def _looks_binary(text: str) -> bool:
@@ -130,7 +134,7 @@ def _looks_binary(text: str) -> bool:
     if len(text) < 64:
         return False
     window = text[:4096]
-    n_ctrl = sum(1 for ch in window if ord(ch) in _CTRL)
+    n_ctrl = len(window) - len(window.translate(_CTRL_DELETE))
     return n_ctrl * 10 > len(window)
 
 

@@ -312,13 +312,10 @@ def video_frame_sample(
     fake — frame hash = sha256(content ‖ frame index), a notional 10 s
     duration — while the Spark side (schema, mapInPandas batch shape,
     explode-free one-to-many emission, bytes dropped on output) is the
-    real plumbing a decoder slots into."""
-    try:  # pragma: no cover - not installed in this container
-        import cv2  # type: ignore  # noqa: F401
-
-        has_cv2 = True
-    except Exception:
-        has_cv2 = False
+    real plumbing a decoder slots into. The decoder column is 'fake'
+    UNCONDITIONALLY: labeling by import-availability would claim 'cv2'
+    while still emitting fake hashes (review finding) — the label flips
+    only when a real decode path is wired in."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -335,7 +332,7 @@ def video_frame_sample(
                             "frame_sha256": hashlib.sha256(
                                 data + i.to_bytes(4, "big")
                             ).hexdigest(),
-                            "decoder": "cv2" if has_cv2 else "fake",
+                            "decoder": "fake",
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])

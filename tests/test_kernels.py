@@ -1493,7 +1493,7 @@ def test_pptx_notes_slides_follow_their_slide():
     ]
 
 
-def _epub_bytes(spine_order=("ch2", "ch1"), with_container=True):
+def _epub_bytes(spine_order=("ch2", "ch1"), container_xml=None):
     import io
     import zipfile
 
@@ -1526,8 +1526,11 @@ def _epub_bytes(spine_order=("ch2", "ch1"), with_container=True):
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("mimetype", "application/epub+zip")
-        if with_container:
-            zf.writestr("META-INF/container.xml", container)
+        zf.writestr(
+            "META-INF/container.xml",
+            container if container_xml is None else container_xml,
+        )
+        if container_xml is None:
             zf.writestr("OEBPS/content.opf", opf)
         zf.writestr("OEBPS/text/ch1.xhtml", xhtml("first"))
         zf.writestr("OEBPS/text/ch2.xhtml", xhtml("second"))
@@ -1549,9 +1552,15 @@ def test_epub_extracts_spine_order_title_and_refines_doc_type():
     second = next(i for i, t in enumerate(texts) if "second paragraph" in t)
     first = next(i for i, t in enumerate(texts) if "first paragraph" in t)
     assert second < first
-    # broken container → name-ordered xhtml fallback still extracts
-    r2 = extract_document(_epub_bytes(with_container=False))
-    assert r2["ok"] is False or r2["doc_type"] in ("epub", "docx", "ooxml")
+    # PRESENT-but-malformed container (dispatch still routes to the epub
+    # kernel): the name-ordered xhtml fallback must extract every chapter
+    r2 = extract_document(_epub_bytes(container_xml="<notxml"))
+    assert r2["ok"] and r2["doc_type"] == "epub"
+    assert r2["metadata"]["n_chapters"] == "2"
+    t2 = " ".join(reg["text"] for reg in r2["regions"])
+    assert "first paragraph" in t2 and "second paragraph" in t2
+    # name order (ch1 before ch2), since the spine is unreadable
+    assert t2.index("first paragraph") < t2.index("second paragraph")
 
 
 def test_ole_sniffs_typed_and_binary_payloads_fail_typed():
