@@ -319,6 +319,59 @@ def duplicate_ngram_coverage(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style paragraph-granularity dedup signal (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — CCNet deduplicates at the paragraph/line level of the WET
+    text): split each document on newlines, normalize (lowercase,
+    whitespace-squeezed, trimmed), and mark a paragraph SHARED iff it
+    occurs in at least one other document. Per doc: paragraph count,
+    shared count, shared fraction — the signal CCNet thresholds to strip
+    boilerplate lines before LM filtering.
+
+    Same scale shape as ``duplicate_ngram_coverage``: distinct (id, para)
+    frame → one combining min/max groupBy on the paragraph key (no
+    count-distinct) → co-partitioned join-back → per-doc fold. Raw
+    normalized strings key the shuffle (exact; no hash-collision caveat);
+    at 10^12 rows swap the key for ``stable_hash(para)`` and accept the
+    ~n/2^32 overcount like the hashed shingle path."""
+    spread = _spread(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("t")
+        )
+    )
+    norm = lambda p: F.trim(F.regexp_replace(F.lower(p), r"\s+", " "))  # noqa: E731
+    paras = spread.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.transform(F.split("t", "\n"), norm), lambda p: p != "")
+            )
+        ).alias("para"),
+    )
+    marks = paras.groupBy("para").agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx")
+    )
+    return (
+        paras.join(marks, "para")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum((F.col("mn") != F.col("mx")).cast("long")).alias(
+                "n_shared_paragraphs"
+            ),
+        )
+        .withColumn(
+            "shared_paragraph_frac",
+            F.round(
+                F.col("n_shared_paragraphs") / F.col("n_paragraphs") + 1e-9, 4
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 

@@ -37,6 +37,52 @@ _EN_STOPWORDS = LANG_MARKERS["en"] + ["for", "on", "with", "as", "this", "that"]
 
 FINGERPRINT_MOD = 2147483647
 
+# C4 line rule (Raffel et al. 2020 §2.2): keep lines that end in terminal
+# punctuation AND have ≥ 5 words; page-level flags for the template/code
+# markers C4 drops pages on
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_stats(text: Column) -> dict[str, Column]:
+    """C4-style line-filter statistics as pure columns (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning…", §2.2): lines split on
+    newline; a line is KEPT when it ends in terminal punctuation and has
+    at least five words; page flags for 'lorem ipsum', literal '{', and
+    javascript-mentioning lines. The page-keep rule (≥3 kept lines, no
+    lorem-ipsum, no brace) mirrors the published heuristic — C4 counts
+    sentences, this engine counts kept lines (documented deviation; the
+    oracle pins the same rule). Returns a dict of named columns so callers
+    project what they need."""
+    lines = F.split(text, "\n")
+    trimmed = F.transform(lines, lambda ln: F.trim(ln))
+    nonempty = F.filter(trimmed, lambda ln: ln != "")
+    kept = F.filter(
+        nonempty,
+        lambda ln: (
+            F.size(F.split(ln, r"\s+")) >= 5
+        )
+        & F.substring(ln, -1, 1).isin(*_C4_TERMINAL),
+    )
+    low = F.lower(text)
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = text.contains("{")
+    n_js = F.size(
+        F.filter(nonempty, lambda ln: F.lower(ln).contains("javascript"))
+    )
+    n_kept = F.size(kept)
+    return {
+        "n_lines": F.size(nonempty),
+        "n_kept_lines": n_kept,
+        "kept_line_frac": F.when(
+            F.size(nonempty) > 0,
+            F.round(n_kept / F.size(nonempty) + 1e-9, 4),
+        ).otherwise(0.0),
+        "has_lorem_ipsum": has_lorem,
+        "has_brace": has_brace,
+        "n_js_lines": n_js,
+        "c4_keep": (n_kept >= 3) & ~has_lorem & ~has_brace,
+    }
+
 
 def _marker_hits(text: Column, markers: list[str]) -> Column:
     pattern = r"\b(" + "|".join(markers) + r")\b"

@@ -915,6 +915,121 @@ ORDER BY a.id
 """
 
 
+def q_c4_line_stats(spark, sf_dir):
+    """C4 line-filter statistics (textstats.c4_line_stats) over multi-line
+    text CONSTRUCTED in-plan on both engines (the synthetic corpus is
+    single-line): a nav line (dropped: short, no punctuation), a long
+    kept sentence, a javascript disclaimer line, a per-doc_id brace/short
+    variant, and a per-doc_id lorem-ipsum/good-sentence variant — so every
+    rule branch (kept, dropped-short, dropped-no-punct, js flag, brace
+    flag, lorem flag, page keep) fires on a deterministic slice."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = F.substring(F.regexp_replace("text", r"\s+", " "), 1, 60)
+    line4 = F.when(F.col("doc_id") % 5 == 0, F.lit("code { x }")).otherwise(
+        F.lit("Short line.")
+    )
+    line5 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("lorem ipsum dolor sit amet filler."),
+    ).otherwise(F.lit("Another good sentence with enough words to keep."))
+    t = F.concat_ws(
+        "\n",
+        F.lit("Nav Menu Login"),
+        F.concat(base, F.lit(" and more words here.")),
+        F.lit("Read the javascript disclaimer now!"),
+        line4,
+        line5,
+    )
+    stats = X.c4_line_stats(t)
+    return d.select(
+        "doc_id",
+        *[col.alias(name) for name, col in stats.items()],
+    ).orderBy("doc_id")
+
+
+_SQL_C4_LINE_STATS = r"""
+WITH made AS (
+    SELECT doc_id,
+           'Nav Menu Login' || chr(10)
+             || substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 60) || ' and more words here.' || chr(10)
+             || 'Read the javascript disclaimer now!' || chr(10)
+             || (CASE WHEN doc_id % 5 = 0 THEN 'code { x }' ELSE 'Short line.' END) || chr(10)
+             || (CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet filler.'
+                      ELSE 'Another good sentence with enough words to keep.' END) AS t
+    FROM documents WHERE text IS NOT NULL
+), lined AS (
+    SELECT doc_id, t,
+           list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS lns
+    FROM made
+), scored AS (
+    SELECT doc_id, t, lns,
+           list_filter(lns, x -> len(regexp_split_to_array(x, '\s+')) >= 5
+                              AND substr(x, length(x), 1) IN ('.', '!', '?', '"')) AS kept,
+           list_filter(lns, x -> contains(lower(x), 'javascript')) AS js
+    FROM lined
+)
+SELECT doc_id,
+       CAST(len(lns) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept_lines,
+       CASE WHEN len(lns) > 0
+            THEN ROUND(CAST(len(kept) AS DOUBLE) / len(lns) + 1e-9, 4)
+            ELSE 0.0 END AS kept_line_frac,
+       contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(t, '{') AS has_brace,
+       CAST(len(js) AS INTEGER) AS n_js_lines,
+       (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(t, '{')) AS c4_keep
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet paragraph-granularity dedup (dedup.paragraph_dedup) over
+    multi-paragraph text CONSTRUCTED in-plan on both engines: one
+    boilerplate paragraph shared across the doc_id%5 class, the doc's own
+    text prefix, and a per-doc unique paragraph — so shared fractions are
+    non-trivial and deterministic."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("shared boilerplate paragraph number "),
+            (F.col("doc_id") % 5).cast("string"),
+        ),
+        F.substring(F.regexp_replace("text", r"\s+", " "), 1, 50),
+        F.concat(F.lit("unique paragraph for doc "), F.col("doc_id").cast("string")),
+    )
+    made = d.select("doc_id", t.alias("text"))
+    return D.paragraph_dedup(made, "doc_id", "text").orderBy("doc_id")
+
+
+_SQL_PARAGRAPH_DEDUP = r"""
+WITH made AS (
+    SELECT doc_id,
+           'shared boilerplate paragraph number ' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+             || substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 50) || chr(10)
+             || 'unique paragraph for doc ' || CAST(doc_id AS VARCHAR) AS t
+    FROM documents WHERE text IS NOT NULL
+), paras AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(
+               list_transform(string_split(t, chr(10)),
+                              p -> trim(regexp_replace(lower(p), '\s+', ' ', 'g'))),
+               p -> p <> '')) AS para
+    FROM made
+), marks AS (
+    SELECT para, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM paras GROUP BY para
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+       CAST(SUM(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_paragraphs,
+       ROUND(CAST(SUM(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) + 1e-9, 4)
+           AS shared_paragraph_frac
+FROM paras p JOIN marks USING (para)
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
 def q_url_canonical_dups(spark, sf_dir):
     """URL canonicalization gate: three messy variants of each document's
     url (case-shuffled host, :80 port, fragment, utm/gclid tracking
@@ -1849,6 +1964,8 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     # because the 50 driver slots are full; full oracle parity in
     # tests/test_oracle_parity.py like every other entry here
     "semantic_dedup": (q_semantic_dedup, _SQL_SEMANTIC_DEDUP),
+    "c4_line_stats": (q_c4_line_stats, _SQL_C4_LINE_STATS),
+    "paragraph_dedup": (q_paragraph_dedup, _SQL_PARAGRAPH_DEDUP),
     "dedup_max_value": (q_dedup_max_value, _SQL_DEDUP_MAX_VALUE),
     "event_type_presence": (q_event_type_presence, _SQL_EVENT_TYPE_PRESENCE),
     "pagination": (q_pagination, _SQL_PAGINATION),
