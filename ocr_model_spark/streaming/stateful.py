@@ -42,8 +42,18 @@ STATE_SCHEMA = T.StructType(
 
 
 def _update_host(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    idle_timeout_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
+    # TTL eviction: a host idle past the timeout gets its state dropped
+    # and emits nothing — at crawl scale #hosts is ~10^8-10^9 and counters
+    # for long-dead hosts are pure state bloat; downstream snapshots
+    # already persisted their last emission
+    if idle_timeout_ms is not None and state.hasTimedOut:
+        state.remove()
+        return
     docs = failed = nbytes = 0
     for pdf in pdfs:
         docs += len(pdf)
@@ -53,6 +63,8 @@ def _update_host(
         pd_, pf_, pb_ = state.get
         docs, failed, nbytes = docs + pd_, failed + pf_, nbytes + pb_
     state.update((docs, failed, nbytes))
+    if idle_timeout_ms is not None:
+        state.setTimeoutDuration(idle_timeout_ms)
     yield pd.DataFrame(
         [
             {
@@ -65,12 +77,20 @@ def _update_host(
     )
 
 
-def host_ingest_counters(pages_stream: DataFrame) -> DataFrame:
+def host_ingest_counters(
+    pages_stream: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """streaming pages(url, html, …) → per-host cumulative counters.
 
     ``pages_stream`` must be a STREAMING DataFrame with url + html columns;
     the projection to (host, ok-ish flag, byte count) happens JVM-side —
-    only three narrow columns reach the stateful python stage."""
+    only three narrow columns reach the stateful python stage.
+
+    ``idle_timeout_ms``: optional TTL — hosts idle past it are EVICTED
+    (ProcessingTimeTimeout; the timed-out invocation removes state and
+    emits nothing). Default None = counters never expire, matching the
+    batch oracle exactly; at 10^8-host crawl scale set a TTL so state
+    tracks the live frontier instead of every host ever seen."""
     from ocr_model_spark.operators.dispatch import doc_type_col
     from ocr_model_spark.operators.urls import url_host
 
@@ -80,10 +100,17 @@ def host_ingest_counters(pages_stream: DataFrame) -> DataFrame:
         doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx").alias("ok"),
         F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
     )
+    if idle_timeout_ms is None:
+        fn, timeout = _update_host, GroupStateTimeout.NoTimeout
+    else:
+        def fn(key, pdfs, state):  # bind the TTL; signature stays 3-arg
+            return _update_host(key, pdfs, state, idle_timeout_ms)
+
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return slim.groupBy("url_host").applyInPandasWithState(
-        _update_host,
+        fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
