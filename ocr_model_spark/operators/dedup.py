@@ -192,7 +192,10 @@ def jaccard_verify(
     pruned) is BROADCAST to prune the shingle frame before the one
     shuffled join on (id, shingle); candidate pairs sharing no shingle
     come back with jaccard 0 rather than vanishing."""
-    p = pairs.select("id_a", "id_b")
+    # the pair list feeds FOUR subtrees (member pruning, two join sides,
+    # the final left join) — checkpoint it so an expensive upstream
+    # candidate generator (the LSH pipeline) runs once, not per subtree
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     # prune the shingle frame to candidate MEMBERS before anything else:
     # sizes and the common-shingle join then scale with the candidate set,
     # not the corpus (the full-corpus groupBy was the scale bug here)
@@ -201,8 +204,12 @@ def jaccard_verify(
         .unionByName(p.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = shingle_frame(df, id_col, text_col, n, hashed=False).join(
-        F.broadcast(member_ids), "id"
+    # pruned + flat → cheap to materialize; three consumers (sizes, both
+    # common-join sides) would otherwise re-tokenize the corpus each
+    sh = (
+        shingle_frame(df, id_col, text_col, n, hashed=False)
+        .join(F.broadcast(member_ids), "id")
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     common = (
