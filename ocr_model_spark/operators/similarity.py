@@ -376,7 +376,13 @@ def embedding_near_dups(
     the 't:bits' key — never an all-pairs crossJoin), exact cosine keeps
     pairs ≥ threshold. Near-identical vectors share every bucket with
     near-certainty, so at high thresholds the result matches the exact
-    all-pairs answer (the oracle pins exactly that)."""
+    all-pairs answer (the oracle pins exactly that).
+
+    The keyed frame self-joins WITHOUT a checkpoint — deliberately:
+    re-keying the corpus twice is cheaper than materializing the
+    ×n_tables-exploded (id, vector, bucket) frame (measured 2.1 s →
+    10.9 s when checkpointed; the vectors dominate the frame, the keying
+    expressions are cheap)."""
     keyed = lsh_keyed(corpus, id_col, vec_col, n_planes, dim, n_tables)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
