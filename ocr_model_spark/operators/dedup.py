@@ -194,8 +194,10 @@ def jaccard_verify(
     come back with jaccard 0 rather than vanishing."""
     # the pair list feeds FOUR subtrees (member pruning, two join sides,
     # the final left join) — checkpoint it so an expensive upstream
-    # candidate generator (the LSH pipeline) runs once, not per subtree
-    p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    # candidate generator (the LSH pipeline) runs once, not per subtree.
+    # LAZY: eager would execute the whole LSH job at plan-construction
+    # time (schema inspection / explain would pay it too)
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     # prune the shingle frame to candidate MEMBERS before anything else:
     # sizes and the common-shingle join then scale with the candidate set,
     # not the corpus (the full-corpus groupBy was the scale bug here)
@@ -225,11 +227,32 @@ def jaccard_verify(
     return (
         p.join(common, ["id_a", "id_b"], "left")
         .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
-        .join(F.broadcast(sizes).withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(F.broadcast(sizes).withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        # LEFT joins + coalesce-to-0: a pair member with ZERO shingles
+        # (text shorter than n words) must yield jaccard 0.0, not silently
+        # vanish through an inner join (docstring contract; unreachable
+        # via minhash_candidates but this is a public operator)
+        .join(
+            F.broadcast(sizes).withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}),
+            "id_a",
+            "left",
+        )
+        .join(
+            F.broadcast(sizes).withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}),
+            "id_b",
+            "left",
+        )
+        .withColumn("n_a", F.coalesce(F.col("n_a"), F.lit(0)))
+        .withColumn("n_b", F.coalesce(F.col("n_b"), F.lit(0)))
         .withColumn(
             "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+            F.when(
+                F.col("n_a") + F.col("n_b") - F.col("n_common") > 0,
+                F.round(
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .select("id_a", "id_b", "n_common", "jaccard")
     )

@@ -1673,11 +1673,12 @@ def q_near_dup_verified(spark, sf_dir):
     This is how exact Jaccard is meant to be used at 10^12 rows — the
     all-pairs ``jaccard_pairs`` stays the small-scope correctness baseline.
 
-    Scale note: as ONE lazy plan the shingle frame is recomputed by the
-    signature path and both verify sides; at real corpus size persist the
-    (id, shingle) frame once (e.g. ``localCheckpoint``/parquet — it is
-    flat, so caching it is cheap, unlike nested-struct frames) and feed
-    the stages from it."""
+    Scale note: ``jaccard_verify`` checkpoints the candidate pair list and
+    the candidate-pruned (id, shingle) frame internally (both flat and
+    small — r5; measured 3.9 → 2.9 s), so only the signature path
+    re-tokenizes. At real corpus size the remaining lever is persisting
+    the full (id, shingle) frame to parquet and feeding BOTH the signature
+    and verify stages from it."""
     d = _t(spark, sf_dir, "documents")
     cands = D.minhash_candidates(d, "doc_id", "text")
     v = D.jaccard_verify(cands, d, "doc_id", "text")

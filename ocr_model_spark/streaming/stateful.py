@@ -8,9 +8,14 @@ per batch the host appears in. This is state Spark's built-in windowed aggs
 can't express incrementally in update mode with arbitrary logic, which is
 exactly the ``applyInPandasWithState`` niche.
 
-State schema is a single struct row per host; timeouts are disabled (crawl
-counters never expire). Works under ``availableNow`` for tests and under a
-real trigger in production.
+State schema is a single struct row per host. By default counters never
+expire (exactly matching the batch oracle); an optional ``idle_timeout_ms``
+switches to ProcessingTimeTimeout and EVICTS hosts idle past the TTL —
+evicted hosts restart from zero if they reappear, so downstream consumers
+of a TTL'd stream must treat counters as frontier-scoped, not monotone.
+Works under ``availableNow`` for tests and under a real trigger in
+production (a TTL'd query keeps firing empty timer batches — see the test
+for the drain pattern).
 """
 
 from __future__ import annotations

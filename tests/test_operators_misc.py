@@ -44,6 +44,29 @@ def test_multimodal_media_meta_deterministic(spark, pages_path):
     assert (a["decoder"] == "header").all()
 
 
+def test_jaccard_verify_zero_shingle_pairs_yield_zero_not_vanish(spark):
+    """Docstring contract (review finding): a candidate pair whose member
+    has ZERO shingles (text shorter than n words... actually empty) must
+    come back with jaccard 0.0, not silently drop through an inner join."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import jaccard_verify
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["the quick brown fox jumps", "the quick brown fox leaps", None],
+            }
+        )
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1, 1], "id_b": [2, 3]}))
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_verify(pairs, docs, "doc_id", "text").collect()}
+    assert set(out) == {(1, 2), (1, 3)}  # no pair vanished
+    assert out[(1, 3)] == 0.0
+    assert out[(1, 2)] > 0.0
+
+
 def test_resize_and_frame_sample_plumbing(spark, pages_path):
     """Multimodal transform stages: aspect-preserving resize targets from
     header dims (never upscaled), deterministic fake pixel step honestly

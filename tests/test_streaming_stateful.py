@@ -117,7 +117,10 @@ def test_ttl_eviction_logic_and_stream_parity(spark, tmp_path):
     truth = (
         spark.read.parquet(pages_path)
         .groupBy(url_host("url").alias("url_host"))
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("html").cast("long")).alias("b"),
+        )
         .toPandas()
         .set_index("url_host")
     )
@@ -137,3 +140,4 @@ def test_ttl_eviction_logic_and_stream_parity(spark, tmp_path):
     assert final is not None, "TTL stream never surfaced all hosts"
     for host, row in truth.iterrows():
         assert final.loc[host, "total_docs"] == row["n"], host
+        assert final.loc[host, "total_bytes"] == row["b"], host
