@@ -105,6 +105,97 @@ def lang_id(text: Column) -> Column:
     return result
 
 
+def dsir_importance(
+    df,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    smoothing: float = 0.5,
+    round_to: int = 4,
+):
+    """DSIR-style importance weight per document (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    bigram features, per-bucket log-ratio of the TARGET distribution over
+    the SOURCE (raw-corpus) distribution, and per-doc weight
+    log w(x) = Σ_b c_x[b]·(log p_t[b] − log p_s[b]). Training pipelines
+    sample raw data proportionally to w to match a high-quality target
+    (Wikipedia/books) — the published selection method between pure
+    quality filters and model-based scoring.
+
+    Plan shape: ONE (id, bucket, c) frame from the corpus (tokenize →
+    bigram → hash-mod — a combining groupBy), bucket totals for source
+    and target (two keyed aggregates over ≤ n_buckets rows), the
+    log-ratio table BROADCAST back, per-doc sorted fold. Nothing scales
+    with corpus × buckets; the ratio table is n_buckets rows regardless
+    of corpus size. Cross-engine determinism: log-ratios rounded to 6
+    (ln ulp guard), fold sorted by bucket, final round +1e-9 nudge —
+    the house double-parity rules."""
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.dedup import stable_hash, words_frame
+
+    def bucket_counts(frame):
+        worded = words_frame(frame, id_col, text_col).filter(
+            F.col("w").isNotNull() & (F.size("w") >= 2)
+        )
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+        )
+        return (
+            worded.select("id", F.explode(bigrams).alias("g"))
+            .select("id", F.pmod(stable_hash(F.col("g")), F.lit(n_buckets)).alias("b"))
+            .groupBy("id", "b")
+            .agg(F.count("*").alias("c"))
+        )
+
+    src = bucket_counts(df).localCheckpoint(eager=False)  # feeds totals AND the fold
+    tgt = bucket_counts(target)
+    src_tot = src.groupBy("b").agg(F.sum("c").alias("sc"))
+    tgt_tot = tgt.groupBy("b").agg(F.sum("c").alias("tc"))
+    totals = F.broadcast(
+        src_tot.agg(F.sum("sc").alias("s_all")).crossJoin(
+            tgt_tot.agg(F.sum("tc").alias("t_all"))
+        )
+    )
+    ratio = F.broadcast(
+        src_tot.join(tgt_tot, "b", "left")
+        .withColumn("tc", F.coalesce("tc", F.lit(0)))
+        .crossJoin(totals)
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.col("tc") + smoothing)
+                    / (F.col("t_all") + smoothing * n_buckets)
+                )
+                - F.log(
+                    (F.col("sc") + smoothing)
+                    / (F.col("s_all") + smoothing * n_buckets)
+                )
+                + 1e-9,
+                6,
+            ).alias("lr"),
+        )
+    )
+    return (
+        src.join(ratio, "b")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.collect_list(F.struct("b", (F.col("c") * F.col("lr")).alias("x"))).alias("bx"))
+        .select(
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.sort_array("bx"), F.lit(0.0), lambda acc, e: acc + e["x"]
+                )
+                + 1e-9,
+                round_to,
+            ).alias("dsir_logweight"),
+        )
+    )
+
+
 def lang_confidence(text: Column) -> Column:
     """Vote-share confidence for :func:`lang_id`: winner_hits / total_hits
     in [0,1] (0.0 when no marker fires anywhere → lang_id said 'und').

@@ -1030,6 +1030,59 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 """
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (textstats.dsir_importance) with the target
+    distribution defined in-plan on both engines as the doc_id % 10 == 0
+    slice — documents whose hashed-bigram profile matches that slice score
+    high, dissimilar ones negative."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    return X.dsir_importance(d, target, "doc_id", "text").orderBy("doc_id")
+
+
+_SQL_DSIR_IMPORTANCE = r"""
+WITH wds AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents WHERE text IS NOT NULL
+), nz AS (SELECT * FROM wds WHERE len(w) >= 2),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> list_extract(w, i) || ' ' || list_extract(w, i + 1))) AS g
+    FROM nz
+),
+src AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b,
+           COUNT(*) AS c
+    FROM bg GROUP BY doc_id, b
+),
+src_tot AS (SELECT b, CAST(SUM(c) AS BIGINT) AS sc FROM src GROUP BY b),
+tgt_tot AS (
+    SELECT b, CAST(SUM(c) AS BIGINT) AS tc FROM src
+    WHERE doc_id % 10 = 0 GROUP BY b
+),
+tots AS (
+    SELECT (SELECT CAST(SUM(sc) AS BIGINT) FROM src_tot) AS s_all,
+           (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) FROM tgt_tot) AS t_all
+),
+ratio AS (
+    -- identical op order to the Spark expression: ln(target) - ln(source)
+    -- + 1e-9, rounded to 6 (the ln ulp guard)
+    SELECT s.b,
+           round(ln((COALESCE(t.tc, 0) + 0.5) / (t_all + 2048.0))
+                 - ln((s.sc + 0.5) / (s_all + 2048.0)) + 1e-9, 6) AS lr
+    FROM src_tot s LEFT JOIN tgt_tot t USING (b) CROSS JOIN tots
+)
+SELECT src.doc_id,
+       round(list_sum(list(src.c * ratio.lr ORDER BY src.b)) + 1e-9, 4) AS dsir_logweight
+FROM src JOIN ratio USING (b)
+GROUP BY src.doc_id ORDER BY src.doc_id
+"""
+
+
 def q_url_canonical_dups(spark, sf_dir):
     """URL canonicalization gate: three messy variants of each document's
     url (case-shuffled host, :80 port, fragment, utm/gclid tracking
@@ -1967,6 +2020,7 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "semantic_dedup": (q_semantic_dedup, _SQL_SEMANTIC_DEDUP),
     "c4_line_stats": (q_c4_line_stats, _SQL_C4_LINE_STATS),
     "paragraph_dedup": (q_paragraph_dedup, _SQL_PARAGRAPH_DEDUP),
+    "dsir_importance": (q_dsir_importance, _SQL_DSIR_IMPORTANCE),
     "dedup_max_value": (q_dedup_max_value, _SQL_DEDUP_MAX_VALUE),
     "event_type_presence": (q_event_type_presence, _SQL_EVENT_TYPE_PRESENCE),
     "pagination": (q_pagination, _SQL_PAGINATION),
