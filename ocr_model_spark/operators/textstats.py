@@ -33,6 +33,24 @@ LANG_MARKERS = {
 }
 # fixed priority = tie order (earlier wins ties); both engines share it
 LANG_PRIORITY = ("en", "de", "fr", "es", "it", "pt", "nl", "sv", "pl")
+
+# round 6: CJK script-range detection runs AHEAD of the Latin marker vote
+# (the synth corpus has carried correctly-extracted CJK text since v14 that
+# the marker vote could only label 'und'). Each entry maps a language to
+# the regex character class of its DECIDING script block — literal BMP
+# codepoints, so the same table generates identical Java-regex and RE2
+# expressions. Priority kana > hangul > han: Japanese mixes kanji WITH
+# kana and Korean hangul with rare hanja, while Chinese text carries Han
+# only — so the uniquely-Japanese / uniquely-Korean scripts outrank the
+# shared Han block.
+CJK_SCRIPTS = {
+    "ja": "぀-ヿ",  # Hiragana + Katakana (contiguous BMP blocks)
+    "ko": "가-힯",  # Hangul syllables
+    "zh": "一-鿿",  # CJK Unified Ideographs (main block)
+}
+CJK_PRIORITY = ("ja", "ko", "zh")
+# one stray CJK codepoint inside Latin text must not flip the vote
+CJK_MIN_CHARS = 2
 _EN_STOPWORDS = LANG_MARKERS["en"] + ["for", "on", "with", "as", "this", "that"]
 
 FINGERPRINT_MOD = 2147483647
@@ -89,12 +107,17 @@ def _marker_hits(text: Column, markers: list[str]) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
 
 
-def lang_id(text: Column) -> Column:
-    """Heuristic language ID: argmax of per-language function-word hits;
-    'und' (undetermined) when nothing matches. Fixed tie order =
-    LANG_PRIORITY (a language wins when its count is positive and >= every
-    LOWER-priority language's count — the when-chain makes higher-priority
-    wins structural). The DuckDB oracle mirrors the chain exactly."""
+def _script_count(text: Column, char_range: str) -> Column:
+    """Codepoints of ``text`` inside a literal BMP character-class range.
+    length() counts codepoints in both Spark (UTF8String.numChars) and
+    DuckDB, and regexp_replace with a literal range behaves identically in
+    Java regex and RE2, so the count is engine-exact."""
+    return F.length(text) - F.length(
+        F.regexp_replace(text, "[" + char_range + "]", "")
+    )
+
+
+def _latin_vote(text: Column) -> Column:
     hits = [_marker_hits(text, LANG_MARKERS[lang]) for lang in LANG_PRIORITY]
     result = F.lit("und")
     for i in range(len(LANG_PRIORITY) - 1, -1, -1):
@@ -102,6 +125,25 @@ def lang_id(text: Column) -> Column:
         for j in range(i + 1, len(LANG_PRIORITY)):
             cond = cond & (hits[i] >= hits[j])
         result = F.when(cond, F.lit(LANG_PRIORITY[i])).otherwise(result)
+    return result
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID. CJK script-range counting decides FIRST
+    (priority kana > hangul > han, each needing >= CJK_MIN_CHARS
+    codepoints of its deciding block); otherwise the Latin marker vote:
+    argmax of per-language function-word hits, 'und' when nothing
+    matches. Fixed tie order = LANG_PRIORITY (a language wins when its
+    count is positive and >= every LOWER-priority language's count — the
+    when-chain makes higher-priority wins structural). The DuckDB oracle
+    mirrors both chains exactly (queries._lang_case_sql, generated from
+    the same tables)."""
+    scripts = {k: _script_count(text, CJK_SCRIPTS[k]) for k in CJK_PRIORITY}
+    result = _latin_vote(text)
+    for lang in reversed(CJK_PRIORITY):
+        result = F.when(
+            scripts[lang] >= CJK_MIN_CHARS, F.lit(lang)
+        ).otherwise(result)
     return result
 
 
@@ -197,21 +239,37 @@ def dsir_importance(
 
 
 def lang_confidence(text: Column) -> Column:
-    """Vote-share confidence for :func:`lang_id`: winner_hits / total_hits
-    in [0,1] (0.0 when no marker fires anywhere → lang_id said 'und').
-    The when-chain winner always carries the maximum count (it must beat
-    every lower-priority language and a higher-priority language with a
-    bigger count would have won instead), so greatest(hits) IS the
-    winner's count — no argmax recomputation. Downstream filters can
+    """Vote-share confidence for :func:`lang_id`, in [0,1].
+
+    CJK winners (mirroring lang_id's script chain): the winning
+    language's script codepoints over ALL evidence — the three script
+    counts plus every Latin marker hit. Japanese credits kana AND han
+    (kanji belong to Japanese running text); Korean credits hangul;
+    Chinese credits han. Latin winners keep the round-5 semantics:
+    winner_hits / total_hits — the when-chain winner always carries the
+    maximum count (it must beat every lower-priority language and a
+    higher-priority language with a bigger count would have won
+    instead), so greatest(hits) IS the winner's count. 0.0 when nothing
+    fires anywhere → lang_id said 'und'. Downstream filters can
     threshold: 1.0 = unambiguous, 0.5 = split two ways. Division-derived
     double → the house +1e-9 nudge before round-4."""
     hits = [_marker_hits(text, LANG_MARKERS[lang]) for lang in LANG_PRIORITY]
     total = hits[0]
     for h in hits[1:]:
         total = total + h
-    return F.when(
+    latin_conf = F.when(
         total > 0, F.round(F.greatest(*hits) / total + 1e-9, 4)
     ).otherwise(F.lit(0.0))
+    s = {k: _script_count(text, CJK_SCRIPTS[k]) for k in CJK_PRIORITY}
+    denom = s["ja"] + s["ko"] + s["zh"] + total
+    credit = {"ja": s["ja"] + s["zh"], "ko": s["ko"], "zh": s["zh"]}
+    result = latin_conf
+    for lang in reversed(CJK_PRIORITY):
+        result = F.when(
+            s[lang] >= CJK_MIN_CHARS,
+            F.round(credit[lang] / denom + 1e-9, 4),
+        ).otherwise(result)
+    return result
 
 
 def ws_token_count(text: Column) -> Column:

@@ -1428,8 +1428,23 @@ ORDER BY id_a, id_b
 """
 
 
+# The driver corpus carries no CJK rows, so the CJK script chain is
+# exercised by CONSTRUCTED rows unioned in-plan on BOTH engines (the
+# embedding_near_dups pattern): kana+kanji (ja), hangul (ko), han-only
+# (zh), and a below-threshold single stray han char that must stay with
+# the Latin vote. Identical literals in Spark and the DuckDB oracle.
+_CJK_SAMPLES = [
+    (1000001, "これはテストです。日本語の文章を書いています。"),
+    (1000002, "한국어 텍스트 예제입니다. 분석 엔진 테스트."),
+    (1000003, "这是一个中文测试文档。分析引擎的语言识别。"),
+    (1000004, "the quick brown fox and the lazy dog saw 火 once"),
+]
+
+
 def q_text_profile(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    samples = spark.createDataFrame(_CJK_SAMPLES, "doc_id bigint, text string")
+    d = d.unionByName(samples)
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -1446,21 +1461,35 @@ _EN_STOPS = "|".join(X._EN_STOPWORDS)
 
 
 def _lang_hits_sql() -> str:
-    """One ``<lang>_hits`` expression per language, markers interpolated
-    from the SHARED LANG_MARKERS table."""
-    return ",\n           ".join(
+    """One ``<lang>_hits`` expression per Latin language (markers
+    interpolated from the SHARED LANG_MARKERS table) plus one
+    ``<lang>_script`` codepoint count per CJK language from the SHARED
+    CJK_SCRIPTS range table (round 6)."""
+    latin = [
         "len(regexp_extract_all(lower(text), '\\b({m})\\b')) AS {l}_hits".format(
             m="|".join(X.LANG_MARKERS[lang]), l=lang
         )
         for lang in X.LANG_PRIORITY
-    )
+    ]
+    cjk = [
+        "length(text) - length(regexp_replace(text, '[{r}]', '', 'g')) AS {l}_script".format(
+            r=X.CJK_SCRIPTS[lang], l=lang
+        )
+        for lang in X.CJK_PRIORITY
+    ]
+    return ",\n           ".join(latin + cjk)
 
 
 def _lang_case_sql() -> str:
     """The priority-ordered argmax CASE — the exact twin of
-    textstats.lang_id's when-chain (earlier languages win ties)."""
+    textstats.lang_id: CJK script chain first (kana > hangul > han, each
+    needing >= CJK_MIN_CHARS codepoints), then the Latin marker vote
+    (earlier languages win ties)."""
+    whens = [
+        f"WHEN {lang}_script >= {X.CJK_MIN_CHARS} THEN '{lang}'"
+        for lang in X.CJK_PRIORITY
+    ]
     langs = X.LANG_PRIORITY
-    whens = []
     for i, lang in enumerate(langs):
         conds = [f"{lang}_hits > 0"] + [
             f"{lang}_hits >= {other}_hits" for other in langs[i + 1 :]
@@ -1468,8 +1497,37 @@ def _lang_case_sql() -> str:
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     return "CASE " + " ".join(whens) + " ELSE 'und' END"
 
+
+def _lang_conf_sql() -> str:
+    """Twin of textstats.lang_confidence: CJK winners score their
+    script-credit share of ALL evidence (three script counts + every
+    Latin marker hit; Japanese credits kana AND han), Latin winners keep
+    winner_hits / total_hits."""
+    latin_total = " + ".join(f"{lang}_hits" for lang in X.LANG_PRIORITY)
+    denom = " + ".join(f"{lang}_script" for lang in X.CJK_PRIORITY) + " + " + latin_total
+    credit = {"ja": "ja_script + zh_script", "ko": "ko_script", "zh": "zh_script"}
+    whens = [
+        f"WHEN {lang}_script >= {X.CJK_MIN_CHARS} THEN "
+        f"ROUND(CAST({credit[lang]} AS DOUBLE) / ({denom}) + 1e-9, 4)"
+        for lang in X.CJK_PRIORITY
+    ]
+    greatest = ", ".join(f"{lang}_hits" for lang in X.LANG_PRIORITY)
+    whens.append(
+        f"WHEN {latin_total} > 0 THEN "
+        f"ROUND(CAST(greatest({greatest}) AS DOUBLE) / ({latin_total}) + 1e-9, 4)"
+    )
+    return "CASE " + " ".join(whens) + " ELSE 0.0 END"
+
+_CJK_SAMPLES_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{s}' AS text"
+    for i, s in _CJK_SAMPLES
+)
+
 _SQL_TEXT_PROFILE = f"""
-WITH scored AS (
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL {_CJK_SAMPLES_SQL}
+), scored AS (
     SELECT doc_id, text,
            {_lang_hits_sql()},
            CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1478,14 +1536,11 @@ WITH scored AS (
            len(regexp_extract_all(lower(text), '\\b({_EN_STOPS})\\b')) AS stop_hits,
            list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
                        w -> w <> '') AS w
-    FROM documents
+    FROM corpus
 )
 SELECT doc_id,
        {_lang_case_sql()} AS lang_guess,
-       CASE WHEN {" + ".join(f"{lang}_hits" for lang in X.LANG_PRIORITY)} > 0
-            THEN ROUND(CAST(greatest({", ".join(f"{lang}_hits" for lang in X.LANG_PRIORITY)}) AS DOUBLE)
-                       / ({" + ".join(f"{lang}_hits" for lang in X.LANG_PRIORITY)}) + 1e-9, 4)
-            ELSE 0.0 END AS lang_conf,
+       {_lang_conf_sql()} AS lang_conf,
        ws_tokens, bpe_tokens,
        CASE WHEN ws_tokens > 0 THEN ROUND(CAST(stop_hits AS DOUBLE) / ws_tokens, 6) ELSE 0.0 END AS stopword_ratio,
        CASE WHEN len(w) > 0

@@ -579,3 +579,52 @@ def test_lang_id_nine_languages_tie_priority_and_confidence(spark):
     assert got["zzz qqq xxx"][1] == 0.0
     assert got["the der"][1] == 0.5
     assert got["the cat and the dog in the house"][1] == 1.0
+
+
+def test_lang_id_cjk_script_chain(spark):
+    """Round 6: CJK script-range counting decides AHEAD of the Latin vote.
+    Priority kana > hangul > han; each needs >= CJK_MIN_CHARS codepoints
+    of its deciding block; a single stray han char stays with Latin.
+    Confidence = winning script credit over all evidence (ja credits
+    kana AND han)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.textstats import lang_confidence, lang_id
+
+    samples = {
+        # kana present → ja, even with many kanji
+        "これはテストです。日本語の文章。": "ja",
+        # kanji-only → zh (han block, no kana)
+        "这是中文测试文档分析": "zh",
+        # hangul → ko
+        "한국어 텍스트 예제입니다": "ko",
+        # exactly one stray han char in English → below CJK_MIN_CHARS,
+        # Latin vote keeps it
+        "the cat and the dog saw 火 once": "en",
+        # two kana outrank two hangul AND many han (priority chain)
+        "일본 한국 こそ 漢字漢字漢字": "ja",
+        # hangul outranks han when no kana
+        "한국 漢字漢字": "ko",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"text": list(samples)}))
+    got = {
+        r["text"]: (r["g"], r["conf"])
+        for r in df.select(
+            "text",
+            lang_id(F.col("text")).alias("g"),
+            lang_confidence(F.col("text")).alias("conf"),
+        ).collect()
+    }
+    for t, want in samples.items():
+        assert got[t][0] == want, (t, got[t], want)
+    # pure-script docs: full confidence (no competing evidence)
+    assert got["这是中文测试文档分析"][1] == 1.0
+    assert got["한국어 텍스트 예제입니다"][1] == 1.0
+    # ja credits kana + han over all evidence → 1.0 on pure ja text
+    assert got["これはテストです。日本語の文章。"][1] == 1.0
+    # mixed doc: ja wins but confidence reflects the split evidence
+    mixed = got["일본 한국 こそ 漢字漢字漢字"][1]
+    assert 0.0 < mixed < 1.0
+    # stray-han English text keeps the Latin vote-share semantics
+    assert got["the cat and the dog saw 火 once"][1] == 1.0
