@@ -2019,7 +2019,6 @@ FROM folded ORDER BY doc_id
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
     "doc_summary_by_source": (q_doc_summary_by_source, _SQL_DOC_SUMMARY),
-    "value_histogram": (q_value_histogram, _SQL_VALUE_HISTOGRAM),
     "user_sessions": (q_user_sessions, _SQL_USER_SESSIONS),
     "first_events": (q_first_events, _SQL_FIRST_EVENTS),
     "topk_users": (q_topk_users, _SQL_TOPK_USERS),
@@ -2028,7 +2027,6 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "customers_without_orders": (q_customers_without_orders, _SQL_CUSTOMERS_WITHOUT_ORDERS),
     "corpus_span_offsets": (q_corpus_span_offsets, _SQL_CORPUS_SPAN_OFFSETS),
     "conf_stats": (q_conf_stats, _SQL_CONF_STATS),
-    "set_intersect_except": (q_set_intersect_except, _SQL_SET_INTERSECT_EXCEPT),
     "token_layout_cells": (q_token_layout_cells, _SQL_TOKEN_LAYOUT_CELLS),
     "spatial_join": (q_spatial_join, _SQL_SPATIAL_JOIN),
     "exact_dup_groups": (q_exact_dup_groups, _SQL_EXACT_DUP_GROUPS),
@@ -2036,6 +2034,11 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "pii_scrub_stats": (q_pii_scrub_stats, _pii_scrub_sql()),
     "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
+    # promoted r6 (VERDICT r5 #3): the training-data flagship tier belongs
+    # inside the driver's CORRECTNESS window — displacing two relational
+    # breadth slots whose machinery retained queries already exercise
+    "semantic_dedup": (q_semantic_dedup, _SQL_SEMANTIC_DEDUP),
+    "paragraph_dedup": (q_paragraph_dedup, _SQL_PARAGRAPH_DEDUP),
     "repetition_profile": (q_repetition_profile, _SQL_REPETITION_PROFILE),
     "url_canonical_dups": (q_url_canonical_dups, _SQL_URL_CANONICAL_DUPS),
     "unigram_quality": (q_unigram_quality, _SQL_UNIGRAM_QUALITY),
@@ -2069,13 +2072,13 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     # driver-verified via first_events/user_sessions/corpus_span_offsets,
     # and the demoted sliding_window_sum exercises the same range frames
     "daily_running": (q_daily_running, _SQL_DAILY_RUNNING),
-    # r5 beyond-reference addition: SemDeDup semantic dedup — suite-tier
-    # because the 50 driver slots are full; full oracle parity in
-    # tests/test_oracle_parity.py like every other entry here
-    "semantic_dedup": (q_semantic_dedup, _SQL_SEMANTIC_DEDUP),
     "c4_line_stats": (q_c4_line_stats, _SQL_C4_LINE_STATS),
-    "paragraph_dedup": (q_paragraph_dedup, _SQL_PARAGRAPH_DEDUP),
     "dsir_importance": (q_dsir_importance, _SQL_DSIR_IMPORTANCE),
+    # demoted r6 to promote semantic_dedup + paragraph_dedup (VERDICT r5
+    # #3): set-op and width_bucket machinery stays driver-covered via
+    # distinct_prop_keys / customers_without_orders / conf_stats
+    "value_histogram": (q_value_histogram, _SQL_VALUE_HISTOGRAM),
+    "set_intersect_except": (q_set_intersect_except, _SQL_SET_INTERSECT_EXCEPT),
     "dedup_max_value": (q_dedup_max_value, _SQL_DEDUP_MAX_VALUE),
     "event_type_presence": (q_event_type_presence, _SQL_EVENT_TYPE_PRESENCE),
     "pagination": (q_pagination, _SQL_PAGINATION),
