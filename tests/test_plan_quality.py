@@ -216,6 +216,10 @@ def test_bm25_plan_all_broadcast_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+    # r6: the corpus-sized doc-length frame is semi-join-pruned to hit doc
+    # ids before the scoring join (the 10^12 shape) — the prune must
+    # survive in the plan as a LeftSemi join
+    assert "LeftSemi" in plan, plan
 
 
 def test_semantic_dedup_plan_cell_equijoin_no_crossjoin(spark):
