@@ -142,15 +142,21 @@ def q_ann_ivf_topk(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 10)
-    # seeded centroids + multi-probe 12: on THIS corpus (isotropic random
+    # seeded centroids + multi-probe 14: on THIS corpus (isotropic random
     # vectors) Lloyd refinement balances cells and splits near-neighbors
     # across boundaries, LOWERING recall (measured 0.80 → 0.73 @sf0.01);
     # on real clustered embeddings use ivf_train_kmeans and pass
     # centroids=. Probe 8 → 12 lifted recall@3 0.80 → 0.90 (VERDICT r4
-    # item 4); isotropic data is the worst case for IVF — probed-cell
-    # fraction IS the recall lever, and on clustered real embeddings the
-    # same probe count buys far more
-    return ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=12).orderBy(
+    # item 4); probe 12 → 14 clears the 0.9 bar at BOTH driver scales
+    # (r6, VERDICT r5 item 7: measured sf0.001 0.8333→0.9333, sf0.01
+    # 0.90→0.9667 — the sf0.001 realization packs more of each query's
+    # true top-3 into unprobed cells, a small-corpus variance effect, not
+    # a corpus-size effect: both tables hold 500 vectors). Isotropic data
+    # is the worst case for IVF — probed-cell fraction IS the recall
+    # lever, and on clustered real embeddings the same probe count buys
+    # far more; at production scale cells ∝ √N keeps occupancy high and
+    # the probed fraction low.
+    return ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=14).orderBy(
         "query_id", "rank"
     )
 
@@ -277,15 +283,15 @@ def q_ann_recall(spark, sf_dir):
         )
 
     lsh = lsh_cosine_topk(queries, emb, k=3, n_planes=4, dim=64, n_tables=16)
-    ivf = ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=12)
+    ivf = ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=14)
     return one(lsh, "lsh").unionByName(one(ivf, "ivf")).orderBy("method")
 
 
 # pinned per-sf recall values (deterministic: hash-derived planes/centroids,
 # deterministic tie-breaks). A change here means the ANN quality changed.
 _ANN_RECALL_PINS: dict[str, dict[str, float]] = {
-    "sf0.001": {"ivf": 0.8333, "lsh": 0.9333},
-    "sf0.01": {"ivf": 0.9, "lsh": 0.9333},
+    "sf0.001": {"ivf": 0.9333, "lsh": 0.9333},
+    "sf0.01": {"ivf": 0.9667, "lsh": 0.9333},
 }
 
 
