@@ -113,6 +113,7 @@ def q_extract_lineage(spark, sf_dir):
             "n_pptx",
             "n_xlsx",
             "n_epub",
+            "n_doc",
             "n_ole",
             "n_text",
             F.unix_micros("max_warc_ts").alias("max_warc_us"),
@@ -518,13 +519,19 @@ FROM ranked WHERE rk <= 5 GROUP BY url_host ORDER BY url_host
 
 def host_counters_oracle_sql(sf_dir: str) -> str:
     """Batch twin of the stateful counters over the same pages parquet:
-    failures = empty, image-magic, or OLE/CFB-magic payloads (everything
-    else is an extractable type), hosts via the SHARED url_host regexp (interpolated
-    from operators/urls.py::URL_HOST_RE — DuckDB has no parse_url). Emitted
-    once per implementation method ('salted' two-stage batch, 'streaming'
-    stateful) to match q_host_counters' tagged union."""
+    failures = empty, image-magic, or OLE/CFB-magic payloads WITHOUT a
+    WordDocument stream marker (a CFB carrying UTF-16LE 'WordDocument'
+    sniffs 'doc' and extracts via kernels/ole_extract.py since round 6;
+    the ``^(..)*`` regex prefix forces byte alignment so the hex scan
+    equals Spark's binary ``contains``). Hosts via the SHARED url_host
+    regexp (interpolated from operators/urls.py::URL_HOST_RE — DuckDB has
+    no parse_url). Emitted once per implementation method ('salted'
+    two-stage batch, 'streaming' stateful) to match q_host_counters'
+    tagged union."""
+    from ocr_model_spark.kernels.sniff import WORD_STREAM_MARKER
     from ocr_model_spark.operators.urls import URL_HOST_RE
 
+    word_hex = WORD_STREAM_MARKER.hex().upper()
     path = pages_for(sf_dir)
     return f"""
 WITH per_host AS (
@@ -536,7 +543,8 @@ WITH per_host AS (
                            OR hex(html) LIKE 'FFD8FF%'
                            OR hex(html) LIKE '474946383761%'
                            OR hex(html) LIKE '474946383961%'
-                           OR hex(html) LIKE 'D0CF11E0A1B11AE1%'
+                           OR (hex(html) LIKE 'D0CF11E0A1B11AE1%'
+                               AND NOT regexp_matches(hex(html), '^(..)*{word_hex}'))
                          THEN 1 ELSE 0 END) AS BIGINT) AS total_failed,
            CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes
     FROM read_parquet('{path}/*.parquet')

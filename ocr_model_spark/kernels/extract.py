@@ -194,6 +194,15 @@ def extract_document(data: bytes | None, max_pages: int | None = None) -> dict:
         # unknown-container failure) from the member names
         out = extract_ooxml(data)
         doc_type = out.get("doc_type", doc_type)
+    elif doc_type in (sniff.DOC, sniff.OLE):
+        # CFB container: Word .doc extracts through the piece table
+        # (kernels/ole_extract.py, round 6); other children (xls/ppt/msg)
+        # stay typed failures. The kernel re-derives doc_type from the
+        # actual directory (sniff's marker scan is a heuristic)
+        from ocr_model_spark.kernels.ole_extract import extract_ole
+
+        out = extract_ole(data)
+        doc_type = out.get("doc_type", doc_type)
     else:  # IMAGE / UNKNOWN: engines not present in this build
         out = dict(EMPTY_RESULT, error=f"engine-unavailable:{doc_type}")
     out.setdefault("metadata", {})  # error branches may omit it

@@ -13,9 +13,17 @@ PDF = "pdf"
 HTML = "html"
 IMAGE = "image"
 DOCX = "docx"
-OLE = "ole"  # legacy binary Office (CFB container: .doc/.xls/.ppt/.msg)
+OLE = "ole"  # legacy binary Office (CFB container: .xls/.ppt/.msg/junk)
+DOC = "doc"  # CFB container carrying a WordDocument stream (Word 97 .doc)
 TEXT = "text"
 UNKNOWN = "unknown"
+
+# UTF-16LE "WordDocument" — the [MS-DOC] stream name as it appears in a CFB
+# directory entry. A whole-payload substring scan (C-speed) distinguishes an
+# extractable .doc from the rest of the legacy-Office family at sniff time,
+# so the dispatch gate (and the host-counter failure rule, which must have a
+# DuckDB twin) can route it without parsing the container.
+WORD_STREAM_MARKER = "WordDocument".encode("utf-16-le")
 
 
 def sniff_doc_type(data: bytes) -> str:
@@ -35,8 +43,10 @@ def sniff_doc_type(data: bytes) -> str:
     if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         # OLE/CFB compound file (pre-2007 .doc/.xls/.ppt): without this
         # branch the latin-1 fallback would read the binary container as
-        # mojibake "text" and poison dedup/quality downstream
-        return OLE
+        # mojibake "text" and poison dedup/quality downstream. A Word
+        # directory entry anywhere in the payload refines to 'doc' (the
+        # piece-table kernel extracts it); the rest stay typed failures.
+        return DOC if WORD_STREAM_MARKER in data else OLE
     low = head.lstrip()[:256].lower()
     if low.startswith(b"<!doctype html") or low.startswith(b"<html") or b"<html" in low:
         return HTML

@@ -20,6 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ocr_model_spark.kernels import sniff
+
 
 def _startswith(col: Column, prefix: bytes) -> Column:
     return F.substring(col, 1, len(prefix)) == F.lit(prefix)
@@ -44,7 +46,13 @@ def doc_type_col(html: Column) -> Column:
         .when(_startswith(html, b"GIF87a") | _startswith(html, b"GIF89a"), F.lit("image"))
         .when(_startswith(html, b"PK\x03\x04"), F.lit("docx"))
         .when(
-            _startswith(html, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"), F.lit("ole")
+            _startswith(html, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"),
+            # whole-payload scan for the UTF-16LE "WordDocument" directory
+            # entry (binary contains, JVM-side): Word .doc is extractable,
+            # the rest of the CFB family is a typed failure
+            F.when(
+                F.contains(html, F.lit(sniff.WORD_STREAM_MARKER)), F.lit("doc")
+            ).otherwise(F.lit("ole")),
         )
         .when(
             low.startswith("<!doctype html")

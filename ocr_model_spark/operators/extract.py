@@ -119,7 +119,11 @@ def extract_pages(pages: DataFrame) -> DataFrame:
             F.spark_partition_id().alias("partition_id"),
         ),
     )
-    extractable = F.col("doc_type_sniffed").isin("pdf", "html", "text", "docx")
+    # 'doc' = CFB with a WordDocument stream (sniff-refined); bare 'ole'
+    # (xls/ppt/junk) stays on the cold path — same typed failure as r5
+    extractable = F.col("doc_type_sniffed").isin(
+        "pdf", "html", "text", "docx", "doc"
+    )
 
     def hot(df: DataFrame) -> DataFrame:
         return df.withColumn("extracted", extract_udf(F.col("html")))

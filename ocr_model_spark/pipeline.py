@@ -70,7 +70,9 @@ def resume_filter(pages: DataFrame, snapshot: DataFrame | None) -> DataFrame:
     return keyed.join(done, ["url", "content_sha256"], "left_anti").drop("content_sha256")
 
 
-LINEAGE_DOC_TYPES = ("html", "pdf", "docx", "pptx", "xlsx", "epub", "ole", "text")
+LINEAGE_DOC_TYPES = (
+    "html", "pdf", "docx", "pptx", "xlsx", "epub", "doc", "ole", "text"
+)
 
 
 def partition_lineage(docs: DataFrame) -> DataFrame:

@@ -44,7 +44,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 15  # v14: legacy-CMap CJK PDFs; v15: epub slice + OLE/binary junk slice
+GEN_VERSION = 16  # v15: epub + OLE/binary junk slices; v16: real Word 97 .doc slice
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -677,6 +677,27 @@ def _image_doc(rng: random.Random) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + tail
 
 
+def _doc_doc(rng: random.Random, words: list[str]) -> bytes:
+    """Minimal deterministic Word 97 .doc through the kernel's spec
+    writer (kernels/ole_extract.py::build_doc). Mix: plain cp1252 single
+    piece, a UTF-16LE piece forced by a non-cp1252 character, and a
+    two-piece table (cp1252 + UTF-16LE) — all three decode paths of the
+    piece-table reader."""
+    from ocr_model_spark.kernels.ole_extract import build_doc
+
+    paras = [
+        " ".join(_sentences(words, rng, rng.randint(1, 3)))
+        for _ in range(rng.randint(2, 5))
+    ]
+    variant = rng.random()
+    if variant < 0.2:  # non-cp1252 → single UTF-16LE piece
+        paras[0] = paras[0] + " → Δ"
+        return build_doc(paras)
+    if variant < 0.4:  # forced two-piece Clx
+        return build_doc(paras, split_pieces=True)
+    return build_doc(paras)
+
+
 def _pdf_doc(rng: random.Random, words: list[str]) -> bytes:
     # half the PDFs are real classic files (native stdlib reader path),
     # half the %%SYNTHPAGE subset (deterministic reference grammar)
@@ -720,6 +741,8 @@ def build_page_row(seed: int, i: int, base_text: str, base_lang: str) -> dict:
         html = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + bytes(
             rng.randrange(256) for _ in range(rng.randint(128, 512))
         )
+    elif roll < 0.182:  # v16: real Word 97 .doc (piece-table extraction)
+        html = _doc_doc(rng, words)
     else:
         accented = rng.random() < 0.03
         if accented:

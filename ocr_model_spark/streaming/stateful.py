@@ -102,7 +102,9 @@ def host_ingest_counters(
     slim = pages_stream.select(
         url_host("url").alias("url_host"),
         # extractable types (mirrors the gate in operators/extract.py)
-        doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx").alias("ok"),
+        doc_type_col(F.col("html"))
+        .isin("pdf", "html", "text", "docx", "doc")
+        .alias("ok"),
         F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
     )
     if idle_timeout_ms is None:

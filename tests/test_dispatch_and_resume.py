@@ -34,6 +34,11 @@ def test_doc_type_col_agrees_on_edge_payloads(spark):
         b"<not-a-known-tag>custom</not-a-known-tag>",
         b"",
         b"\xff\xfeBOM-ish binary junk",
+        # CFB family: marker-carrying → 'doc', junk container → 'ole'
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+        + b"\x00" * 63  # odd offset: contains is byte-level, not aligned
+        + "WordDocument".encode("utf-16-le"),
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + bytes(range(200)),
     ]
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(payloads)], "i INT, html BINARY"

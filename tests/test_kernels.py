@@ -1573,7 +1573,9 @@ def test_ole_sniffs_typed_and_binary_payloads_fail_typed():
     ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + bytes(range(256)) * 4
     assert sniff_doc_type(ole) == "ole"
     r = extract_document(ole)
-    assert r["ok"] is False and r["error"] == "engine-unavailable:ole"
+    # round 6: CFB routes through kernels/ole_extract.py — a structurally
+    # unreadable container fails typed with the CFB error, doc_type 'ole'
+    assert r["ok"] is False and r["error"].startswith("cfb-")
     # gzip-like binary junk: no magic branch, text path, binary gate fires
     junk = b"\x1f\x8b\x08\x00" + bytes((i * 7) % 256 for i in range(512))
     r = extract_document(junk)

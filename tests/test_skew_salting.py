@@ -101,7 +101,11 @@ def test_salted_aggregate_two_stage_plan_and_values(spark, pages_path):
         .agg(
             F.count("*").alias("total_docs"),
             F.sum(
-                (~doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx")).cast(
+                (
+                    ~doc_type_col(F.col("html")).isin(
+                        "pdf", "html", "text", "docx", "doc"
+                    )
+                ).cast(
                     "long"
                 )
             ).alias("total_failed"),
