@@ -402,6 +402,76 @@ def paragraph_dedup(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    *,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate-span REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §3.1
+    ExactSubstr) — the transform, not just the coverage measurement
+    (``duplicate_ngram_coverage``): emit a ``cleaned_text`` column with
+    every token covered by a cross-document duplicated n-gram removed.
+    The paper trims ≥50-token spans found via a suffix array; the
+    distributed re-expression marks every n-token window whose exact
+    word n-gram occurs in more than one document and drops the covered
+    token positions — any shared span of length L ≥ n is covered wall-
+    to-wall by its L−n+1 constituent n-grams, so the kept text is
+    identical to the paper's span-trim for spans ≥ n.
+
+    Spec (deterministic, oracle-matchable): tokens = ``normalized_words``
+    (the canonical dedup tokenization); an n-gram occurrence at 0-based
+    start p covers positions p..p+n-1; an n-gram is duplicated iff it
+    appears in ≥2 distinct docs (min≠max over the occurrence frame — the
+    combining-groupBy shape, no count-distinct); ``cleaned_text`` =
+    surviving tokens in order, space-joined. Docs shorter than n tokens
+    have no n-grams and survive whole.
+
+    Scale shape: the only corpus-wide shuffles are the n-gram min/max
+    groupBy and the occurrence join-back (both keyed on the n-gram; AQE
+    skew-split handles boilerplate-hot grams — marks is one row per
+    gram). Covered positions fold to one sorted per-doc array, and the
+    reassembly filter runs where each doc's words already sit — token
+    rows never shuffle. At 10^12 docs key the shuffles on
+    ``stable_hash`` grams (64-bit collision ⇒ ~n/2^64 overdeletion)."""
+    worded = words if words is not None else words_frame(df, id_col, text_col)
+    worded = worded.filter(F.col("w").isNotNull())
+    # every occurrence with its start position (posexplode index == start:
+    # shingles_of emits one gram per start 0..size-n). No array_distinct —
+    # repeated grams at different positions are distinct occurrences.
+    occ = worded.filter(F.size("w") >= n).select(
+        "id", F.posexplode(shingles_of(F.col("w"), n)).alias("pos", "g")
+    )
+    marks = occ.groupBy("g").agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
+    covered = (
+        occ.join(marks.filter(F.col("mn") != F.col("mx")).select("g"), "g")
+        .select("id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("tok"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("removed"))
+    )
+    kept = F.filter(
+        F.col("w"), lambda x, i: ~F.array_contains(F.col("removed"), i)
+    )
+    return (
+        worded.join(covered, "id", "left")
+        .withColumn("removed", F.coalesce("removed", F.array().cast("array<int>")))
+        .select(
+            F.col("id").alias(id_col),
+            F.size("w").alias("n_tokens"),
+            F.size("removed").alias("n_removed"),
+            F.round(
+                F.when(F.size("w") > 0, F.size("removed") / F.size("w"))
+                .otherwise(F.lit(0.0)) + 1e-9,
+                4,
+            ).alias("removed_frac"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 

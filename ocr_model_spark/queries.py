@@ -1030,6 +1030,55 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 """
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring duplicate-span removal (dedup.remove_duplicate_spans
+    — Lee et al. 2022 ExactSubstr as a TRANSFORM): the cleaned_text column
+    with every token covered by a cross-document duplicated 3-gram
+    dropped, plus per-doc removal counts. n=3 keeps the suite corpus's
+    naturally-shared template phrases in play (the synth documents carry
+    real boilerplate overlap) without an in-plan construction."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return D.remove_duplicate_spans(d, "doc_id", "text", 3).orderBy("doc_id")
+
+
+_SQL_DUP_SPAN_REMOVAL = r"""
+WITH wds AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents WHERE text IS NOT NULL
+), occ AS (
+    SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(w, i, i + 2), ' ') AS g
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+          FROM wds WHERE len(w) >= 3)
+), marks AS (
+    SELECT g, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM occ GROUP BY g
+), covered AS (
+    SELECT DISTINCT doc_id, pos + j AS tok
+    FROM (SELECT occ.doc_id, occ.pos, unnest(generate_series(0, 2)) AS j
+          FROM occ JOIN marks USING (g) WHERE mn <> mx)
+), rem AS (
+    SELECT doc_id, list_sort(list(tok)) AS removed FROM covered GROUP BY doc_id
+)
+-- list_contains(NULL, x) is NULL (falsy) -> docs with nothing removed keep
+-- every token without a COALESCE on the removed array
+SELECT wds.doc_id,
+       CAST(len(w) AS INT) AS n_tokens,
+       CAST(COALESCE(len(removed), 0) AS INT) AS n_removed,
+       ROUND(CASE WHEN len(w) > 0
+                  THEN CAST(COALESCE(len(removed), 0) AS DOUBLE) / len(w)
+                  ELSE 0.0 END + 1e-9, 4) AS removed_frac,
+       -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+       COALESCE(array_to_string(list_filter(
+           list_transform(generate_series(1, len(w)),
+                          i -> CASE WHEN list_contains(removed, i - 1)
+                                    THEN NULL ELSE w[i] END),
+           x -> x IS NOT NULL), ' '), '') AS cleaned_text
+FROM wds LEFT JOIN rem USING (doc_id)
+ORDER BY wds.doc_id
+"""
+
+
 def q_dsir_importance(spark, sf_dir):
     """DSIR importance weights (textstats.dsir_importance) with the target
     distribution defined in-plan on both engines as the doc_id % 10 == 0
@@ -2074,6 +2123,7 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "daily_running": (q_daily_running, _SQL_DAILY_RUNNING),
     "c4_line_stats": (q_c4_line_stats, _SQL_C4_LINE_STATS),
     "dsir_importance": (q_dsir_importance, _SQL_DSIR_IMPORTANCE),
+    "dup_span_removal": (q_dup_span_removal, _SQL_DUP_SPAN_REMOVAL),
     # demoted r6 to promote semantic_dedup + paragraph_dedup (VERDICT r5
     # #3): set-op and width_bucket machinery stays driver-covered via
     # distinct_prop_keys / customers_without_orders / conf_stats

@@ -506,6 +506,50 @@ def test_duplicate_ngram_coverage_semantics(spark):
     # the sane range above
 
 
+def test_remove_duplicate_spans_byte_identity(spark):
+    """Constructed duplicate pair: the cleaned strings are asserted EXACTLY
+    (byte identity) against the hand-derived spec output — every token
+    covered by a cross-doc duplicated 3-gram drops; untouched docs and
+    sub-n docs survive whole."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import remove_duplicate_spans
+
+    span = "the quick brown fox jumps"  # 5 shared tokens = 3 shared 3-grams
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    f"alpha one {span} beta two",
+                    f"{span} gamma three four five",
+                    "entirely unique content with no overlap anywhere",
+                    "tiny doc",  # < n tokens: no grams, survives whole
+                ],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, "doc_id", "text", 3).collect()
+    }
+    # doc 1: positions 2..6 covered ("alpha one" prefix + "beta two" kept;
+    # bridge grams like "one the quick" are unique to doc 1 -> not removed)
+    assert got[1]["cleaned_text"] == "alpha one beta two"
+    assert (got[1]["n_tokens"], got[1]["n_removed"]) == (9, 5)
+    # doc 2: positions 0..4 covered
+    assert got[2]["cleaned_text"] == "gamma three four five"
+    assert (got[2]["n_tokens"], got[2]["n_removed"]) == (9, 5)
+    # untouched docs: byte-identical pass-through of the tokenization
+    assert got[3]["cleaned_text"] == "entirely unique content with no overlap anywhere"
+    assert got[3]["n_removed"] == 0
+    assert got[4]["cleaned_text"] == "tiny doc" and got[4]["n_removed"] == 0
+    assert got[4]["removed_frac"] == 0.0
+    # a shared span of length L >= n is covered WALL-TO-WALL (L tokens
+    # removed, not just the first window)
+    assert got[1]["removed_frac"] == round(5 / 9 + 1e-9, 4)
+
+
 def test_benchmark_contamination_broadcast_and_semantics(spark):
     """Decontamination: a doc sharing >= min_hits 3-grams with the
     benchmark flags contaminated, clean docs report 0 hits, and the plan
