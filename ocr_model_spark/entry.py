@@ -114,6 +114,8 @@ def q_extract_lineage(spark, sf_dir):
             "n_xlsx",
             "n_epub",
             "n_doc",
+            "n_xls",
+            "n_ppt",
             "n_ole",
             "n_text",
             F.unix_micros("max_warc_ts").alias("max_warc_us"),
@@ -519,19 +521,29 @@ FROM ranked WHERE rk <= 5 GROUP BY url_host ORDER BY url_host
 
 def host_counters_oracle_sql(sf_dir: str) -> str:
     """Batch twin of the stateful counters over the same pages parquet:
-    failures = empty, image-magic, or OLE/CFB-magic payloads WITHOUT a
-    WordDocument stream marker (a CFB carrying UTF-16LE 'WordDocument'
-    sniffs 'doc' and extracts via kernels/ole_extract.py since round 6;
-    the ``^(..)*`` regex prefix forces byte alignment so the hex scan
-    equals Spark's binary ``contains``). Hosts via the SHARED url_host
+    failures = empty, image-magic, or OLE/CFB-magic payloads WITHOUT any
+    extractable-child stream marker (a CFB carrying UTF-16LE
+    'WordDocument' / 'Workbook' / 'Book' / 'PowerPoint Document' sniffs
+    doc/xls/ppt and extracts via kernels/{ole,xls,ppt}_extract.py since
+    round 6; the ``^(..)*`` regex prefix forces byte alignment so the
+    hex scan equals Spark's binary ``contains``). Hosts via the SHARED url_host
     regexp (interpolated from operators/urls.py::URL_HOST_RE — DuckDB has
     no parse_url). Emitted once per implementation method ('salted'
     two-stage batch, 'streaming' stateful) to match q_host_counters'
     tagged union."""
-    from ocr_model_spark.kernels.sniff import WORD_STREAM_MARKER
+    from ocr_model_spark.kernels.sniff import (
+        PPT_STREAM_MARKER,
+        WORD_STREAM_MARKER,
+        XLS_STREAM_MARKERS,
+    )
     from ocr_model_spark.operators.urls import URL_HOST_RE
 
-    word_hex = WORD_STREAM_MARKER.hex().upper()
+    # any marker ⇒ extractable, so the failure rule is one alternation
+    # (each hex is even-length, preserving the ^(..)*-forced alignment)
+    marker_hex = "|".join(
+        m.hex().upper()
+        for m in (WORD_STREAM_MARKER, *XLS_STREAM_MARKERS, PPT_STREAM_MARKER)
+    )
     path = pages_for(sf_dir)
     return f"""
 WITH per_host AS (
@@ -544,7 +556,7 @@ WITH per_host AS (
                            OR hex(html) LIKE '474946383761%'
                            OR hex(html) LIKE '474946383961%'
                            OR (hex(html) LIKE 'D0CF11E0A1B11AE1%'
-                               AND NOT regexp_matches(hex(html), '^(..)*{word_hex}'))
+                               AND NOT regexp_matches(hex(html), '^(..)*({marker_hex})'))
                          THEN 1 ELSE 0 END) AS BIGINT) AS total_failed,
            CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes
     FROM read_parquet('{path}/*.parquet')

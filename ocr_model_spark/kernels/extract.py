@@ -194,11 +194,13 @@ def extract_document(data: bytes | None, max_pages: int | None = None) -> dict:
         # unknown-container failure) from the member names
         out = extract_ooxml(data)
         doc_type = out.get("doc_type", doc_type)
-    elif doc_type in (sniff.DOC, sniff.OLE):
-        # CFB container: Word .doc extracts through the piece table
-        # (kernels/ole_extract.py, round 6); other children (xls/ppt/msg)
-        # stay typed failures. The kernel re-derives doc_type from the
-        # actual directory (sniff's marker scan is a heuristic)
+    elif doc_type in (sniff.DOC, sniff.XLS, sniff.PPT, sniff.OLE):
+        # CFB container: Word .doc extracts through the piece table, Excel
+        # .xls through the BIFF8 record chain, PowerPoint .ppt through the
+        # text-atom walk (kernels/{ole,xls,ppt}_extract.py, round 6);
+        # other children (.msg/unknown) stay typed failures. The kernel
+        # re-derives doc_type from the actual directory entries (sniff's
+        # marker scan is a heuristic)
         from ocr_model_spark.kernels.ole_extract import extract_ole
 
         out = extract_ole(data)

@@ -280,9 +280,10 @@ def extract_doc_text(word: bytes, table: bytes | None) -> tuple[str, dict]:
 
 
 def extract_ole(data: bytes) -> dict:
-    """CFB container dispatch: Word .doc extracts through the piece table;
-    other children (xls/ppt/msg/…) fail typed as ``ole-unsupported``.
-    Shape matches every other kernel (``_assemble``)."""
+    """CFB container dispatch by directory entry, priority matching the
+    sniff markers: Word .doc (piece table), Excel .xls (BIFF8 records),
+    PowerPoint .ppt (text atoms); other children (.msg/unknown) fail
+    typed as ``ole-unsupported``. Shape matches every other kernel."""
     from ocr_model_spark.kernels.extract import EMPTY_RESULT
     from ocr_model_spark.kernels.ooxml_extract import _assemble
 
@@ -292,6 +293,18 @@ def extract_ole(data: bytes) -> dict:
         return dict(EMPTY_RESULT, doc_type="ole", error=str(exc))
     word = cfb.read_stream("WordDocument")
     if word is None:
+        book = cfb.read_stream("Workbook")
+        if book is None:
+            book = cfb.read_stream("Book")
+        if book is not None:
+            from ocr_model_spark.kernels.xls_extract import extract_xls_stream
+
+            return extract_xls_stream(book)
+        ppt = cfb.read_stream("PowerPoint Document")
+        if ppt is not None:
+            from ocr_model_spark.kernels.ppt_extract import extract_ppt_stream
+
+            return extract_ppt_stream(ppt)
         return dict(EMPTY_RESULT, doc_type="ole", error="ole-unsupported")
     try:
         (flags,) = (

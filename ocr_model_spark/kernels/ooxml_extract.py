@@ -403,8 +403,15 @@ def _cell_text(
     if t == "inlineStr":
         is_el = c.find(f"{_S}is")
         return _rich_text(is_el) if is_el is not None else ""
+    # formula cells (<f> present — plain, shared-master or shared-follower)
+    # render their CACHED <v> value through the branches below, never the
+    # formula text: the <f> element is simply not read. t="str" (string
+    # formula result) and t="e" (error literal) carry their text in <v>.
     v = c.find(f"{_S}v")
     val = (v.text or "") if v is not None else ""
+    if t == "b":
+        # boolean cells store 0/1; Excel and pandas both display TRUE/FALSE
+        return "TRUE" if val.strip() == "1" else "FALSE"
     if t == "s":
         try:
             idx = int(val)

@@ -13,17 +13,26 @@ PDF = "pdf"
 HTML = "html"
 IMAGE = "image"
 DOCX = "docx"
-OLE = "ole"  # legacy binary Office (CFB container: .xls/.ppt/.msg/junk)
+OLE = "ole"  # legacy binary Office (CFB container: .msg/unknown/junk)
 DOC = "doc"  # CFB container carrying a WordDocument stream (Word 97 .doc)
+XLS = "xls"  # CFB container carrying a Workbook/Book stream (Excel 97)
+PPT = "ppt"  # CFB container carrying a PowerPoint Document stream
 TEXT = "text"
 UNKNOWN = "unknown"
 
-# UTF-16LE "WordDocument" — the [MS-DOC] stream name as it appears in a CFB
-# directory entry. A whole-payload substring scan (C-speed) distinguishes an
-# extractable .doc from the rest of the legacy-Office family at sniff time,
-# so the dispatch gate (and the host-counter failure rule, which must have a
-# DuckDB twin) can route it without parsing the container.
+# UTF-16LE stream names as they appear in CFB directory entries. A
+# whole-payload substring scan (C-speed) distinguishes the extractable
+# legacy-Office children (.doc/.xls/.ppt) from the rest of the CFB family
+# at sniff time, so the dispatch gate (and the host-counter failure rule,
+# which must have a DuckDB twin) can route without parsing the container.
+# Priority order matters and must match extract_ole's stream probing:
+# WordDocument, then Workbook/Book, then PowerPoint Document.
 WORD_STREAM_MARKER = "WordDocument".encode("utf-16-le")
+XLS_STREAM_MARKERS = (
+    "Workbook".encode("utf-16-le"),  # BIFF8; lowercase 'b' ≠ the Book marker
+    "Book".encode("utf-16-le"),  # BIFF5/7 stream name
+)
+PPT_STREAM_MARKER = "PowerPoint Document".encode("utf-16-le")
 
 
 def sniff_doc_type(data: bytes) -> str:
@@ -43,10 +52,17 @@ def sniff_doc_type(data: bytes) -> str:
     if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         # OLE/CFB compound file (pre-2007 .doc/.xls/.ppt): without this
         # branch the latin-1 fallback would read the binary container as
-        # mojibake "text" and poison dedup/quality downstream. A Word
-        # directory entry anywhere in the payload refines to 'doc' (the
-        # piece-table kernel extracts it); the rest stay typed failures.
-        return DOC if WORD_STREAM_MARKER in data else OLE
+        # mojibake "text" and poison dedup/quality downstream. A known
+        # directory-entry marker anywhere in the payload refines to the
+        # extractable child type (doc/xls/ppt kernels); the rest of the
+        # family (.msg/unknown) stays a typed failure.
+        if WORD_STREAM_MARKER in data:
+            return DOC
+        if any(m in data for m in XLS_STREAM_MARKERS):
+            return XLS
+        if PPT_STREAM_MARKER in data:
+            return PPT
+        return OLE
     low = head.lstrip()[:256].lower()
     if low.startswith(b"<!doctype html") or low.startswith(b"<html") or b"<html" in low:
         return HTML

@@ -47,12 +47,20 @@ def doc_type_col(html: Column) -> Column:
         .when(_startswith(html, b"PK\x03\x04"), F.lit("docx"))
         .when(
             _startswith(html, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"),
-            # whole-payload scan for the UTF-16LE "WordDocument" directory
-            # entry (binary contains, JVM-side): Word .doc is extractable,
-            # the rest of the CFB family is a typed failure
+            # whole-payload scans for UTF-16LE directory-entry markers
+            # (binary contains, JVM-side) route the extractable legacy-
+            # Office children; priority mirrors kernels/sniff.py and
+            # extract_ole's stream probing. Unknown CFB = typed failure.
             F.when(
                 F.contains(html, F.lit(sniff.WORD_STREAM_MARKER)), F.lit("doc")
-            ).otherwise(F.lit("ole")),
+            )
+            .when(
+                F.contains(html, F.lit(sniff.XLS_STREAM_MARKERS[0]))
+                | F.contains(html, F.lit(sniff.XLS_STREAM_MARKERS[1])),
+                F.lit("xls"),
+            )
+            .when(F.contains(html, F.lit(sniff.PPT_STREAM_MARKER)), F.lit("ppt"))
+            .otherwise(F.lit("ole")),
         )
         .when(
             low.startswith("<!doctype html")

@@ -122,7 +122,7 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     # 'doc' = CFB with a WordDocument stream (sniff-refined); bare 'ole'
     # (xls/ppt/junk) stays on the cold path — same typed failure as r5
     extractable = F.col("doc_type_sniffed").isin(
-        "pdf", "html", "text", "docx", "doc"
+        "pdf", "html", "text", "docx", "doc", "xls", "ppt"
     )
 
     def hot(df: DataFrame) -> DataFrame:

@@ -74,7 +74,7 @@ def host_ingest_counters_batch(pages_df: DataFrame, buckets: int = 16) -> DataFr
         url_host("url").alias("url_host"),
         # same failure rule as the streaming operator: non-extractable type
         # ('doc' = sniff-refined Word CFB, extractable since round 6)
-        (~doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx", "doc"))
+        (~doc_type_col(F.col("html")).isin("pdf", "html", "text", "docx", "doc", "xls", "ppt"))
         .cast("long")
         .alias("failed"),
         F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),

@@ -71,7 +71,8 @@ def resume_filter(pages: DataFrame, snapshot: DataFrame | None) -> DataFrame:
 
 
 LINEAGE_DOC_TYPES = (
-    "html", "pdf", "docx", "pptx", "xlsx", "epub", "doc", "ole", "text"
+    "html", "pdf", "docx", "pptx", "xlsx", "epub", "doc", "xls", "ppt",
+    "ole", "text",
 )
 
 

@@ -44,7 +44,7 @@ _CRAWL_START = dt.datetime(2024, 3, 1, 0, 0, 0)
 _N_HOSTS = 101
 # bump when the payload mix / builders change: busts materialize_pages caches
 # (payloads are a pure function of (GEN_VERSION, seed, index, base_text))
-GEN_VERSION = 16  # v15: epub + OLE/binary junk slices; v16: real Word 97 .doc slice
+GEN_VERSION = 17  # v16: real Word 97 .doc slice; v17: Excel 97 .xls + PowerPoint 97 .ppt slices
 
 _NAV_WORDS = ["Home", "About", "Products", "Pricing", "Blog", "Contact", "Careers", "Docs"]
 _PROMO = ["Subscribe now!", "Follow us", "Hot deals today", "Sign up free"]
@@ -698,6 +698,57 @@ def _doc_doc(rng: random.Random, words: list[str]) -> bytes:
     return build_doc(paras)
 
 
+def _xls_doc(rng: random.Random, words: list[str]) -> bytes:
+    """Minimal deterministic Excel 97 .xls through the kernel's spec
+    writer (kernels/xls_extract.py::build_xls). Mix exercises every cell
+    record the reader covers: SST strings (sometimes CONTINUE-split),
+    RK ints, NUMBER floats, BOOLERR, date-XF serials (both epochs)."""
+    import datetime as _dt
+
+    from ocr_model_spark.kernels.xls_extract import build_xls
+
+    n_rows = rng.randint(2, 5)
+    rows: list[list[object]] = []
+    for r in range(n_rows):
+        rows.append(
+            [
+                " ".join(rng.choice(words) for _ in range(rng.randint(1, 4))),
+                rng.randint(-5000, 5000),
+                round(rng.uniform(-100.0, 100.0), 3),
+                rng.random() < 0.5,
+                _dt.date(2020, 1, 1) + _dt.timedelta(days=rng.randint(0, 2000)),
+            ]
+        )
+    sheets = [("Data", rows)]
+    if rng.random() < 0.3:
+        sheets.append(
+            ("Notes", [[" ".join(_sentences(words, rng, 1)), rng.randint(0, 99)]])
+        )
+    return build_xls(
+        sheets,
+        date1904=rng.random() < 0.2,
+        split_sst=rng.random() < 0.25,
+    )
+
+
+def _ppt_doc(rng: random.Random, words: list[str]) -> bytes:
+    """Minimal deterministic PowerPoint 97 .ppt through the kernel's spec
+    writer (kernels/ppt_extract.py::build_ppt). A non-latin-1 character in
+    some decks forces the TextCharsAtom (UTF-16LE) path; the rest ride
+    TextBytesAtom. Multi-paragraph atoms via the \\r separator."""
+    from ocr_model_spark.kernels.ppt_extract import build_ppt
+
+    texts = []
+    for _ in range(rng.randint(2, 5)):
+        t = " ".join(_sentences(words, rng, rng.randint(1, 2)))
+        if rng.random() < 0.25:
+            t += "\r" + " ".join(_sentences(words, rng, 1))
+        if rng.random() < 0.2:
+            t += " — Σ"  # forces the UTF-16LE chars atom
+        texts.append(t)
+    return build_ppt(texts)
+
+
 def _pdf_doc(rng: random.Random, words: list[str]) -> bytes:
     # half the PDFs are real classic files (native stdlib reader path),
     # half the %%SYNTHPAGE subset (deterministic reference grammar)
@@ -743,6 +794,10 @@ def build_page_row(seed: int, i: int, base_text: str, base_lang: str) -> dict:
         )
     elif roll < 0.182:  # v16: real Word 97 .doc (piece-table extraction)
         html = _doc_doc(rng, words)
+    elif roll < 0.185:  # v17: Excel 97 .xls (BIFF8 record-chain extraction)
+        html = _xls_doc(rng, words)
+    elif roll < 0.188:  # v17: PowerPoint 97 .ppt (text-atom walk)
+        html = _ppt_doc(rng, words)
     else:
         accented = rng.random() < 0.03
         if accented:

@@ -103,7 +103,7 @@ def host_ingest_counters(
         url_host("url").alias("url_host"),
         # extractable types (mirrors the gate in operators/extract.py)
         doc_type_col(F.col("html"))
-        .isin("pdf", "html", "text", "docx", "doc")
+        .isin("pdf", "html", "text", "docx", "doc", "xls", "ppt")
         .alias("ok"),
         F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
     )

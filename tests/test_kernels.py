@@ -1387,6 +1387,58 @@ def test_xlsx_shared_inline_and_numeric_cells():
     assert row["text"] == "shared one | 42.5 | inline text"
 
 
+def test_xlsx_formula_cells_render_cached_values_never_formula_text():
+    """Crawl spreadsheets carry <f> formulas with cached results: plain
+    formulas, shared-formula masters AND followers (si-ref with no <f>
+    body), string-typed results (t="str"), booleans (t="b"), errors
+    (t="e"), and date-styled cached numerics — every one renders its
+    cached value; formula text never leaks."""
+    import io
+    import zipfile
+
+    from ocr_model_spark.kernels.ooxml_extract import extract_xlsx
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    styles = (
+        f'<?xml version="1.0"?><styleSheet {ns}>'
+        '<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs>'
+        "</styleSheet>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        # plain formula with cached numeric
+        '<row r="1"><c r="A1"><f>SUM(B1:B9)</f><v>105.5</v></c>'
+        # shared master + follower (follower has si-only <f/>)
+        '<c r="B1"><f t="shared" ref="B1:C1" si="0">A1*2</f><v>211</v></c>'
+        '<c r="C1"><f t="shared" si="0"/><v>422</v></c>'
+        # string result, boolean result, error result
+        '<c r="D1" t="str"><f>CONCAT(A,B)</f><v>net total</v></c>'
+        '<c r="E1" t="b"><f>1&gt;0</f><v>1</v></c>'
+        '<c r="F1" t="b"><v>0</v></c>'
+        '<c r="G1" t="e"><f>1/0</f><v>#DIV/0!</v></c>'
+        # date-styled cached numeric renders ISO like any date cell
+        '<c r="H1" s="1"><f>TODAY()</f><v>45292</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook {ns}>'
+        '<sheets><sheet name="S" sheetId="1"/></sheets></workbook>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/styles.xml", styles)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    r = extract_xlsx(buf.getvalue())
+    assert r["ok"]
+    row = [reg for reg in r["regions"] if reg["type"] == "table_row"][0]
+    assert row["text"] == (
+        "105.5 | 211 | 422 | net total | TRUE | FALSE | #DIV/0! | 2024-01-01"
+    )
+    joined = " ".join(reg["text"] for reg in r["regions"])
+    assert "SUM" not in joined and "CONCAT" not in joined
+
+
 def test_xlsx_date_numfmt_renders_iso_dates():
     """Numeric cells styled with a date numFmt render as ISO dates, not raw
     serials: builtin id 14, a custom y/m/d formatCode, fractional serials

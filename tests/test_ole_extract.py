@@ -88,8 +88,10 @@ def test_encrypted_doc_fails_typed():
     assert out["doc_type"] == "doc"
 
 
-def test_non_word_cfb_is_typed_unsupported():
-    blob = build_cfb([("Workbook", b"\x09\x08\x10\x00" * 64)])
+def test_non_office_cfb_is_typed_unsupported():
+    """A CFB whose children match none of the doc/xls/ppt stream markers
+    (e.g. an Outlook .msg) stays a typed 'ole' failure."""
+    blob = build_cfb([("__substg1.0_0037001F", b"subject text here" * 8)])
     assert sniff_doc_type(blob) == "ole"
     out = extract_ole(blob)
     assert out["ok"] is False and out["error"] == "ole-unsupported"

@@ -103,7 +103,7 @@ def test_salted_aggregate_two_stage_plan_and_values(spark, pages_path):
             F.sum(
                 (
                     ~doc_type_col(F.col("html")).isin(
-                        "pdf", "html", "text", "docx", "doc"
+                        "pdf", "html", "text", "docx", "doc", "xls", "ppt"
                     )
                 ).cast(
                     "long"
