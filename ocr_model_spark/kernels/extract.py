@@ -22,7 +22,17 @@ from ocr_model_spark.kernels import sniff
 from ocr_model_spark.kernels.ooxml_extract import extract_ooxml
 from ocr_model_spark.kernels.encoding import decode_with_fallback
 from ocr_model_spark.kernels.html_extract import extract_html
+from ocr_model_spark.kernels.ole_extract import extract_ole
 from ocr_model_spark.kernels.pdf_extract import extract_pdf
+
+# Import the legacy-Office child kernels at module load, NOT lazily inside
+# the per-doc call: the in-UDF timer (cost_by_doc_type) would otherwise
+# charge each worker's FIRST doc/xls/ppt document with the module import
+# (~ms), and with only ~100 such docs across 32 workers that first-call
+# cost dominated the reported per-type mean. Worker boot (the untimed
+# warm pass) absorbs it instead.
+from ocr_model_spark.kernels import ppt_extract as _ppt_extract  # noqa: F401
+from ocr_model_spark.kernels import xls_extract as _xls_extract  # noqa: F401
 
 EMPTY_RESULT = {
     "text": "",
@@ -201,8 +211,6 @@ def extract_document(data: bytes | None, max_pages: int | None = None) -> dict:
         # other children (.msg/unknown) stay typed failures. The kernel
         # re-derives doc_type from the actual directory entries (sniff's
         # marker scan is a heuristic)
-        from ocr_model_spark.kernels.ole_extract import extract_ole
-
         out = extract_ole(data)
         doc_type = out.get("doc_type", doc_type)
     else:  # IMAGE / UNKNOWN: engines not present in this build
