@@ -2088,6 +2088,10 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     # breadth slots whose machinery retained queries already exercise
     "semantic_dedup": (q_semantic_dedup, _SQL_SEMANTIC_DEDUP),
     "paragraph_dedup": (q_paragraph_dedup, _SQL_PARAGRAPH_DEDUP),
+    # promoted late-r6: the Lee-et-al ExactSubstr REMOVAL transform is a
+    # flagship dedup-family kernel — it belongs in the CORRECTNESS window
+    # ahead of the map-key-distinct breadth demo it displaces
+    "dup_span_removal": (q_dup_span_removal, _SQL_DUP_SPAN_REMOVAL),
     "repetition_profile": (q_repetition_profile, _SQL_REPETITION_PROFILE),
     "url_canonical_dups": (q_url_canonical_dups, _SQL_URL_CANONICAL_DUPS),
     "unigram_quality": (q_unigram_quality, _SQL_UNIGRAM_QUALITY),
@@ -2099,7 +2103,6 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "doc_fingerprints": (q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
     "corpus_filter_verdict": (q_corpus_filter_verdict, _corpus_filter_sql()),
     "json_props_stats": (q_json_props_stats, _SQL_JSON_PROPS_STATS),
-    "distinct_prop_keys": (q_distinct_prop_keys, _SQL_DISTINCT_PROP_KEYS),
     "asof_last_purchase": (q_asof_last_purchase, _SQL_ASOF_LAST_PURCHASE),
     "best_rotation": (q_best_rotation, _SQL_BEST_ROTATION),
     "near_dup_verified": (q_near_dup_verified, _near_dup_verified_sql()),
@@ -2123,12 +2126,13 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "daily_running": (q_daily_running, _SQL_DAILY_RUNNING),
     "c4_line_stats": (q_c4_line_stats, _SQL_C4_LINE_STATS),
     "dsir_importance": (q_dsir_importance, _SQL_DSIR_IMPORTANCE),
-    "dup_span_removal": (q_dup_span_removal, _SQL_DUP_SPAN_REMOVAL),
-    # demoted r6 to promote semantic_dedup + paragraph_dedup (VERDICT r5
-    # #3): set-op and width_bucket machinery stays driver-covered via
-    # distinct_prop_keys / customers_without_orders / conf_stats
+    # demoted r6 to promote semantic_dedup + paragraph_dedup +
+    # dup_span_removal (VERDICT r5 #3/#6): set-op, width_bucket, and
+    # exploded-map-distinct machinery stays driver-covered via
+    # json_props_stats / customers_without_orders / conf_stats
     "value_histogram": (q_value_histogram, _SQL_VALUE_HISTOGRAM),
     "set_intersect_except": (q_set_intersect_except, _SQL_SET_INTERSECT_EXCEPT),
+    "distinct_prop_keys": (q_distinct_prop_keys, _SQL_DISTINCT_PROP_KEYS),
     "dedup_max_value": (q_dedup_max_value, _SQL_DEDUP_MAX_VALUE),
     "event_type_presence": (q_event_type_presence, _SQL_EVENT_TYPE_PRESENCE),
     "pagination": (q_pagination, _SQL_PAGINATION),
