@@ -18,7 +18,7 @@ shuffle per band set, skew-safe because hot bands are capped).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # single source of truth for the minhash constants: the Spark-free kernel
@@ -469,6 +469,44 @@ def remove_duplicate_spans(
             ).alias("removed_frac"),
             F.array_join(kept, " ").alias("cleaned_text"),
         )
+    )
+
+
+def keep_best_per_cluster(
+    scored: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Near-dup RETENTION policy: one representative per duplicate cluster.
+    Measuring clusters is not a pipeline decision — this operator makes it:
+    the highest-``score_col`` member of each cluster is kept (min-id
+    tiebreak, so the choice is total and deterministic), everything else
+    drops. Docs absent from ``clusters`` (never a candidate pair) form
+    singleton clusters and keep themselves.
+
+    Inputs: ``scored`` = (id_col, score_col) over the full corpus;
+    ``clusters`` = (id, label) from either connected-components variant.
+    Output: (id_col, cluster_id, score_col, kept).
+
+    Scale shape: one left join on id (clusters is the small side — only
+    docs that had a candidate pair) + one window keyed on cluster_id.
+    Cluster sizes are near-dup groups (bounded in practice; AQE skew-join
+    covers pathological boilerplate clusters), so the rank window never
+    sees a corpus-sized partition."""
+    asg = (
+        scored.select(F.col(id_col).alias("id"), F.col(score_col))
+        .join(clusters.select("id", "label"), "id", "left")
+        .withColumn("cluster_id", F.coalesce("label", F.col("id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col("id").asc()
+    )
+    return asg.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        score_col,
+        (F.row_number().over(w) == 1).alias("kept"),
     )
 
 

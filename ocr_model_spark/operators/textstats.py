@@ -8,7 +8,7 @@ twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ocr_model_spark.operators.dedup import normalized_words, stable_hash
@@ -235,6 +235,51 @@ def dsir_importance(
                 round_to,
             ).alias("dsir_logweight"),
         )
+    )
+
+
+def token_budget_sample(
+    df,
+    budget_per_lang: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-language token-budget sampling — the corpus-mixing step of a
+    training pipeline (FineWeb/DoReMi-style: each language/domain gets a
+    token quota, not a document quota). Deterministic spec: every doc gets
+    ``lang`` (:func:`lang_id`), ``n_tokens`` (the canonical
+    ``normalized_words`` count — the same tokenization the dedup family
+    keys on), and a priority = md5-prefix stable hash of the STRING id;
+    docs are taken per language in (priority, id) order while the running
+    token total BEFORE the doc is under the budget. The boundary doc is
+    kept (simple, total rule: ``cum_before < budget``) so quotas overshoot
+    by at most one document.
+
+    Plan shape: one projection pass, then ONE window keyed on lang —
+    partitions are per-language and the order key is a precomputed hash
+    column. At 10^12 docs the per-lang cumulative sum is the only wide
+    state; a range-partitioned sort on (lang, priority) is exactly what
+    Spark's window exchange does, and no payload column survives the
+    projection."""
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        lang_id(F.col(text_col)).alias("lang"),
+        F.size(normalized_words(F.col(text_col))).cast("long").alias("n_tokens"),
+        stable_hash(F.col(id_col).cast("string")).alias("priority"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("priority", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) < budget_per_lang).alias(
+            "kept"
+        ),
     )
 
 

@@ -856,6 +856,95 @@ ORDER BY m.method, c.doc_id
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup RETENTION (dedup.keep_best_per_cluster): MinHash-LSH
+    candidates → star-contraction CC (the production 10^12-edge path) →
+    keep the longest doc per cluster by the canonical token count (min-id
+    tiebreak); docs that never paired keep themselves as singletons. The
+    decision step real pipelines run after clustering — measuring
+    clusters without choosing survivors isn't dedup."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = D.minhash_candidates(d, "doc_id", "text").localCheckpoint(eager=True)
+    clusters = D.connected_components_star(pairs)
+    scored = d.select(
+        "doc_id",
+        F.size(D.normalized_words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        D.keep_best_per_cluster(scored, clusters, "doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    candidates = _minhash_candidates_body()
+    return f"""
+WITH RECURSIVE cand AS ({candidates}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM cand
+    UNION ALL
+    SELECT id_b, id_a FROM cand
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (
+    SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+),
+toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents WHERE text IS NOT NULL
+),
+asg AS (
+    SELECT t.doc_id, COALESCE(c.cluster_id, t.doc_id) AS cluster_id, t.n_tokens
+    FROM toks t LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id, n_tokens,
+       row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) = 1 AS kept
+FROM asg ORDER BY doc_id
+"""
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Per-language token-budget sampling (textstats.token_budget_sample,
+    budget 1500): the corpus-mixing step — each language gets a token
+    quota filled in deterministic (md5-priority, id) order; the boundary
+    doc is kept, so quotas overshoot by at most one doc."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return X.token_budget_sample(d, 1500).orderBy("doc_id")
+
+
+def _token_budget_sample_sql() -> str:
+    return f"""
+WITH scored AS (
+    SELECT doc_id, text, {_lang_hits_sql()}
+    FROM documents WHERE text IS NOT NULL
+), base AS (
+    SELECT doc_id,
+           {_lang_case_sql()} AS lang,
+           CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS priority
+    FROM scored
+), cum AS (
+    SELECT doc_id, lang, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY priority, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM base
+)
+SELECT doc_id, lang, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+       cum_before < 1500 AS kept
+FROM cum ORDER BY doc_id
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic dedup over embeddings (similarity.semantic_dedup):
     centroid cells from the md5-reservoir seed, within-cell lower-id drop
@@ -2126,6 +2215,10 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "daily_running": (q_daily_running, _SQL_DAILY_RUNNING),
     "c4_line_stats": (q_c4_line_stats, _SQL_C4_LINE_STATS),
     "dsir_importance": (q_dsir_importance, _SQL_DSIR_IMPORTANCE),
+    # new r6: the retention decision after clustering, and per-language
+    # token-quota corpus mixing — both pipeline steps, both oracled
+    "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
+    "token_budget_sample": (q_token_budget_sample, _token_budget_sample_sql()),
     # demoted r6 to promote semantic_dedup + paragraph_dedup +
     # dup_span_removal (VERDICT r5 #3/#6): set-op, width_bucket, and
     # exploded-map-distinct machinery stays driver-covered via

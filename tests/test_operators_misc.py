@@ -672,3 +672,72 @@ def test_lang_id_cjk_script_chain(spark):
     assert 0.0 < mixed < 1.0
     # stray-han English text keeps the Latin vote-share semantics
     assert got["the cat and the dog saw 火 once"][1] == 1.0
+
+
+def test_keep_best_per_cluster_tiebreak_and_singletons(spark):
+    """Retention semantics: argmax score per cluster, min-id tiebreak,
+    docs absent from the cluster frame keep themselves as singletons."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import keep_best_per_cluster
+
+    scored = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1, 2, 3, 4, 5, 6], "score": [10, 30, 30, 7, 99, 5]}
+        )
+    )
+    # cluster A = {1,2,3} (2 and 3 tie on score -> 2 wins by id);
+    # cluster B = {4}; 5 and 6 never paired -> singletons
+    clusters = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3, 4], "label": [1, 1, 1, 4]})
+    )
+    rows = {
+        r["id"]: (r["cluster_id"], r["kept"])
+        for r in keep_best_per_cluster(scored, clusters).collect()
+    }
+    assert rows == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, False),
+        4: (4, True),
+        5: (5, True),
+        6: (6, True),
+    }
+
+
+def test_token_budget_sample_boundary_and_order(spark):
+    """Quota rule: docs taken per lang in (md5-priority, id) order while
+    cum_before < budget — the boundary doc is KEPT (overshoot ≤ 1 doc),
+    the next one is not. Single-language corpus makes the order exact."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import stable_hash
+    from ocr_model_spark.operators.textstats import token_budget_sample
+
+    # 6 docs x 4 tokens of plain English
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": ["the cat sat down"] * 6,
+        }
+    )
+    df = spark.createDataFrame(docs)
+    out = token_budget_sample(df, 10, id_col="doc_id", text_col="text")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(r["lang"] == "en" and r["n_tokens"] == 4 for r in rows.values())
+    # replicate the priority order and the cumulative rule exactly
+    prio = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", stable_hash(F.col("doc_id").cast("string")).alias("p")
+        ).collect()
+    }
+    order = sorted(rows, key=lambda i: (prio[i], i))
+    cum = 0
+    for i in order:
+        assert rows[i]["cum_before"] == cum
+        assert rows[i]["kept"] == (cum < 10)
+        cum += 4
+    # budget 10 with 4-token docs: doc at cum_before=8 is the kept
+    # boundary overshoot; exactly 3 kept
+    assert sum(1 for r in rows.values() if r["kept"]) == 3
