@@ -212,6 +212,8 @@ def _pieces_from_clx(clx: bytes) -> list[tuple[int, int, int, bool]]:
         pos += 3 + cb
     if pos >= len(clx) or clx[pos] != 0x02:
         raise CfbError("doc-no-pcdt")
+    if pos + 5 > len(clx):  # the 4-byte lcb itself is cut off
+        raise CfbError("doc-clx-truncated")
     (lcb,) = struct.unpack_from("<I", clx, pos + 1)
     plc = clx[pos + 5 : pos + 5 + lcb]
     if len(plc) < lcb or lcb < 4 or (lcb - 4) % 12 != 0:
@@ -283,7 +285,20 @@ def extract_ole(data: bytes) -> dict:
     """CFB container dispatch by directory entry, priority matching the
     sniff markers: Word .doc (piece table), Excel .xls (BIFF8 records),
     PowerPoint .ppt (text atoms); other children (.msg/unknown) fail
-    typed as ``ole-unsupported``. Shape matches every other kernel."""
+    typed as ``ole-unsupported``. Shape matches every other kernel.
+    TOTAL: any structural error anywhere — including stream-chain reads
+    on a truncated container, which raise past the constructor — comes
+    back as a typed failure dict, never an exception (the pandas UDF has
+    no catch-all by design; review finding r6)."""
+    from ocr_model_spark.kernels.extract import EMPTY_RESULT
+
+    try:
+        return _extract_ole_inner(data)
+    except (CfbError, struct.error) as exc:
+        return dict(EMPTY_RESULT, doc_type="ole", error=f"cfb-unreadable:{exc}")
+
+
+def _extract_ole_inner(data: bytes) -> dict:
     from ocr_model_spark.kernels.extract import EMPTY_RESULT
     from ocr_model_spark.kernels.ooxml_extract import _assemble
 

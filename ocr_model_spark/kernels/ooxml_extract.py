@@ -410,8 +410,13 @@ def _cell_text(
     v = c.find(f"{_S}v")
     val = (v.text or "") if v is not None else ""
     if t == "b":
-        # boolean cells store 0/1; Excel and pandas both display TRUE/FALSE
-        return "TRUE" if val.strip() == "1" else "FALSE"
+        # boolean cells store 0/1; Excel and pandas both display TRUE/FALSE.
+        # A valueless <c t="b"/> stays EMPTY — fabricating 'FALSE' would
+        # inject text that does not exist in the sheet (review finding r6)
+        bval = val.strip()
+        if not bval:
+            return ""
+        return "TRUE" if bval == "1" else "FALSE"
     if t == "s":
         try:
             idx = int(val)

@@ -26,6 +26,7 @@ mid-string to exercise the reader's continuation path.
 
 from __future__ import annotations
 
+import math
 import struct
 
 from ocr_model_spark.kernels.ole_extract import CfbError
@@ -188,7 +189,12 @@ def _rk_value(rk: int) -> float:
 
 def _fmt_num(x: float) -> str:
     """Deterministic numeric rendering matching the xlsx kernel's raw
-    ``<v>`` strings for the common cases: integral → no decimal point."""
+    ``<v>`` strings for the common cases: integral → no decimal point.
+    TOTAL: NaN/±Inf bit patterns occur in crawl-corrupted NUMBER/RK/
+    FORMULA payloads — ``int(nan)`` raises, so gate first (review
+    finding r6)."""
+    if not math.isfinite(x):
+        return repr(x)  # 'nan' / 'inf' / '-inf'
     if x == int(x) and abs(x) < 1e15:
         return str(int(x))
     return repr(x)
@@ -225,6 +231,13 @@ def extract_xls_stream(book: bytes) -> dict:
     recs = list(_records(book))
     if not recs or recs[0][0] != _BOF:
         return _fail("xls-parse-failed", "no-bof")
+    # BIFF5/7 shares the BOF opcode but has no Unicode-flags byte in its
+    # strings — parsing it with BIFF8 layouts produces ok=True mojibake
+    # (review finding r6). The BOF vers field decides: 0x0600 = BIFF8;
+    # anything else (0x0500 BIFF5, pre-BIFF5 streams behind a 'Book'
+    # directory entry) fails typed, honoring "never garbled".
+    if len(recs[0][1]) < 2 or struct.unpack_from("<H", recs[0][1], 0)[0] != 0x0600:
+        return _fail("xls-biff-unsupported", "pre-biff8")
     # ---- globals substream
     sst: list[str] = []
     sheets: list[tuple[str, int]] = []  # (name, lbPlyPos)
@@ -280,7 +293,7 @@ def extract_xls_stream(book: bytes) -> dict:
         if cell_is_date(ixfe):
             try:
                 iso = _serial_to_iso(x, date1904)
-            except ValueError:
+            except (ValueError, OverflowError):  # Inf serials overflow
                 iso = None
             if iso is not None:
                 return iso

@@ -438,7 +438,13 @@ def remove_duplicate_spans(
     rows never shuffle. At 10^12 docs key the shuffles on
     ``stable_hash`` grams (64-bit collision ⇒ ~n/2^64 overdeletion)."""
     worded = words if words is not None else words_frame(df, id_col, text_col)
-    worded = worded.filter(F.col("w").isNotNull())
+    # TOTAL output: null-text docs tokenize to a null words array — coalesce
+    # to empty so they survive whole (n_tokens=0, cleaned_text='') instead of
+    # vanishing from the corpus (review finding r6: a filter here silently
+    # dropped their ids from the cleaned frame).
+    worded = worded.withColumn(
+        "w", F.coalesce("w", F.array().cast("array<string>"))
+    )
     # every occurrence with its start position (posexplode index == start:
     # shingles_of emits one gram per start 0..size-n). No array_distinct —
     # repeated grams at different positions are distinct occurrences.

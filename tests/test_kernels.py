@@ -1417,7 +1417,10 @@ def test_xlsx_formula_cells_render_cached_values_never_formula_text():
         '<c r="F1" t="b"><v>0</v></c>'
         '<c r="G1" t="e"><f>1/0</f><v>#DIV/0!</v></c>'
         # date-styled cached numeric renders ISO like any date cell
-        '<c r="H1" s="1"><f>TODAY()</f><v>45292</v></c></row>'
+        '<c r="H1" s="1"><f>TODAY()</f><v>45292</v></c>'
+        # valueless boolean cell: stays EMPTY — fabricating FALSE would
+        # inject text that does not exist in the sheet (review finding r6)
+        '<c r="I1" t="b"/></row>'
         "</sheetData></worksheet>"
     )
     wb = (
@@ -1435,6 +1438,7 @@ def test_xlsx_formula_cells_render_cached_values_never_formula_text():
     assert row["text"] == (
         "105.5 | 211 | 422 | net total | TRUE | FALSE | #DIV/0! | 2024-01-01"
     )
+    assert row["text"].count("FALSE") == 1  # none from the valueless I1
     joined = " ".join(reg["text"] for reg in r["regions"])
     assert "SUM" not in joined and "CONCAT" not in joined
 

@@ -198,3 +198,26 @@ def test_build_doc_round_trip_property(paras, split):
         assert got == expect
     else:
         assert len(got) == len(expect)
+
+
+def test_truncated_stream_chain_fails_typed():
+    """Review finding r6: a CFB whose header/FAT/directory survive a WARC
+    length cap but whose stream chain is cut used to raise CfbError OUT of
+    extract_ole (CfbFile() succeeds; read_stream raises past the doc-branch
+    handler, and the pandas UDF has no catch-all). Now a typed failure."""
+    whole = build_doc(["alpha beta gamma", "second paragraph"])
+    out = extract_ole(whole[:2100])
+    assert out["ok"] is False
+    assert out["error"].startswith("cfb-unreadable:")
+    assert out["doc_type"] == "ole"
+
+
+def test_short_clx_pcdt_lcb_fails_typed():
+    """Review finding r6: a Clx whose Pcdt lcb field is itself cut off
+    (lcbClx in 1..4, first byte 0x02) raised raw struct.error — escaping
+    even `except CfbError`. The bounds check turns it into CfbError, and
+    the extract_ole wrapper catches struct.error besides."""
+    from ocr_model_spark.kernels.ole_extract import _pieces_from_clx
+
+    with pytest.raises(CfbError):
+        _pieces_from_clx(b"\x02\x00\x00")

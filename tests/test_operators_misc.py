@@ -550,6 +550,28 @@ def test_remove_duplicate_spans_byte_identity(spark):
     assert got[1]["removed_frac"] == round(5 / 9 + 1e-9, 4)
 
 
+def test_remove_duplicate_spans_total_on_null_text(spark):
+    """Review finding r6: null-text docs used to be FILTERED from the
+    cleaned frame — they vanished from the corpus instead of surviving
+    whole. The operator's output must be total over its input ids."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["plain words here", None]}
+        ).astype({"text": "object"})
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, "doc_id", "text", 3).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[2]["n_tokens"] == 0 and got[2]["n_removed"] == 0
+    assert got[2]["cleaned_text"] == "" and got[2]["removed_frac"] == 0.0
+
+
 def test_benchmark_contamination_broadcast_and_semantics(spark):
     """Decontamination: a doc sharing >= min_hits 3-grams with the
     benchmark flags contaminated, clean docs report 0 hits, and the plan

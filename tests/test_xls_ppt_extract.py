@@ -290,3 +290,44 @@ def test_build_ppt_byte_identity():
 def test_extract_ppt_stream_total_on_fuzz(data):
     out = extract_ppt_stream(data)
     assert isinstance(out, dict) and "error" in out and "ok" in out
+
+
+def test_fmt_num_nonfinite_total():
+    """Review finding r6: NaN/±Inf doubles (arbitrary crawl bytes in
+    NUMBER/RK/FORMULA payloads) raised ValueError/OverflowError from
+    int(x). Rendering must be TOTAL."""
+    from ocr_model_spark.kernels.xls_extract import _fmt_num
+
+    assert _fmt_num(float("nan")) == "nan"
+    assert _fmt_num(float("inf")) == "inf"
+    assert _fmt_num(float("-inf")) == "-inf"
+    assert _fmt_num(3.0) == "3"
+
+
+def test_xls_nan_number_cell_extracts_typed():
+    """Full-path version: a NUMBER record whose 8 payload bytes decode to
+    NaN must not crash the kernel (review finding r6)."""
+    import math
+
+    blob = bytearray(build_xls([("S", [["label", 1.5]])]))
+    patched = bytes(blob).replace(
+        struct.pack("<d", 1.5), struct.pack("<d", math.nan)
+    )
+    assert patched != bytes(blob)
+    out = extract_ole(patched)
+    assert isinstance(out, dict)
+    assert "nan" in (out.get("text") or "")
+
+
+def test_xls_biff5_fails_typed_not_mojibake():
+    """Review finding r6: BIFF5/7 shares the 0x0809 BOF opcode but has no
+    Unicode-flags byte in its strings — parsing it with BIFF8 layouts
+    produced ok=True mojibake. The BOF vers field (0x0500) now gates it
+    to a typed failure, honoring 'fail typed, never garbled'."""
+    bof5 = _rec(_BOF, struct.pack("<HH", 0x0500, 0x0005))
+    label5 = _rec(0x0204, struct.pack("<HHHH", 0, 0, 0, 5) + b"hello")
+    stream = bof5 + label5 + _rec(_EOF, b"")
+    out = extract_xls_stream(stream)
+    assert out["ok"] is False
+    assert out["error"] == "xls-biff-unsupported:pre-biff8"
+    assert out["doc_type"] == "xls"
