@@ -102,6 +102,87 @@ def c4_line_stats(text: Column) -> dict[str, Column]:
     }
 
 
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", Appendix A1.1 MassiveWeb quality filtering). The published
+# thresholds, kept verbatim so the keep-bit means what the paper means.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_quality_stats(text: Column) -> dict[str, Column]:
+    """Gopher / MassiveWeb quality-filter statistics as pure columns
+    (Rae et al. 2021 §A1.1): a document is kept when ALL of
+    50 ≤ word count ≤ 100,000; 3 ≤ mean word length ≤ 10;
+    symbol-to-word ratio ≤ 0.1 (symbols: '#' and ellipsis);
+    < 90% of lines start with a bullet; < 30% of lines end with an
+    ellipsis; ≥ 80% of words carry an alphabetic character; and at least
+    2 of the 8 Gopher stop words appear. Whole-stage-codegen expressions
+    only; every ratio is emitted rounded (4 dp, +1e-9 nudge) and the
+    keep rule compares the ROUNDED values so both engines agree at
+    thresholds. Returns named columns for callers to project."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    total_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_len = F.when(
+        n_words > 0, F.round(total_len / n_words + 1e-9, 4)
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.regexp_extract_all(text, F.lit("#"), F.lit(0)))
+        + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), F.lit(0)))
+        + F.size(F.regexp_extract_all(text, F.lit("…"), F.lit(0)))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, F.round(n_symbols / n_words + 1e-9, 4)
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.substring(ln, 1, 1).isin(*_GOPHER_BULLETS))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: ln.endswith("...") | ln.endswith("…"))
+    )
+    bullet_frac = F.when(
+        n_lines > 0, F.round(n_bullet / n_lines + 1e-9, 4)
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0, F.round(n_ellipsis / n_lines + 1e-9, 4)
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(
+        n_words > 0, F.round(n_alpha / n_words + 1e-9, 4)
+    ).otherwise(F.lit(0.0))
+    low = F.lower(text)
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = low.rlike(rf"\b{w}\b").cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_stop_hits": stop_hits,
+        "gopher_keep": keep,
+    }
+
+
 def _marker_hits(text: Column, markers: list[str]) -> Column:
     pattern = r"\b(" + "|".join(markers) + r")\b"
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))

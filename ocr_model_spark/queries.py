@@ -1072,6 +1072,103 @@ FROM scored ORDER BY doc_id
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveWeb quality rules (textstats.gopher_quality_stats —
+    Rae et al. 2021 Appendix A1.1) over multi-line text CONSTRUCTED
+    in-plan on both engines (the synth corpus is single-line): a
+    word-repeated body pushes the default slice past the 50-word floor,
+    a %4 bullet line and %6 ellipsis line vary the line fracs, a %9
+    hash-symbol line trips the 0.1 symbol-ratio ceiling, and a %11
+    all-bullet override fails word-count + stopword + bullet rules at
+    once — so every rule branch and the keep bit fire both ways."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = F.substring(F.regexp_replace("text", r"\s+", " "), 1, 80)
+    body = F.concat(
+        F.repeat(F.concat(base, F.lit(" ")), 8),
+        F.lit("It must have that to be with of and the rest."),
+    )
+    line2 = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("• first bullet item")
+    ).otherwise(F.lit("A perfectly normal sentence appears."))
+    line3 = F.when(
+        F.col("doc_id") % 6 == 0, F.lit("the thought trails off...")
+    ).otherwise(F.lit("A closing line of words."))
+    line4 = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.lit("# # # # # # # # # # # # # # # # # #"),
+    ).otherwise(F.lit("Numbers 12 and 34 mix in."))
+    t = F.concat_ws("\n", body, line2, line3, line4)
+    t = F.when(
+        F.col("doc_id") % 11 == 0, F.lit("• a\n• b\n• c\n• d")
+    ).otherwise(t)
+    stats = X.gopher_quality_stats(t)
+    return d.select(
+        "doc_id", *[col.alias(name) for name, col in stats.items()]
+    ).orderBy("doc_id")
+
+
+_SQL_GOPHER_QUALITY = r"""
+WITH made AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0
+                THEN '• a' || chr(10) || '• b' || chr(10) || '• c' || chr(10) || '• d'
+                ELSE repeat(substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 80) || ' ', 8)
+                     || 'It must have that to be with of and the rest.'
+                     || chr(10) || (CASE WHEN doc_id % 4 = 0 THEN '• first bullet item'
+                                         ELSE 'A perfectly normal sentence appears.' END)
+                     || chr(10) || (CASE WHEN doc_id % 6 = 0 THEN 'the thought trails off...'
+                                         ELSE 'A closing line of words.' END)
+                     || chr(10) || (CASE WHEN doc_id % 9 = 0 THEN '# # # # # # # # # # # # # # # # # #'
+                                         ELSE 'Numbers 12 and 34 mix in.' END)
+           END AS t
+    FROM documents WHERE text IS NOT NULL
+), toks AS (
+    SELECT doc_id, t,
+           list_filter(regexp_split_to_array(trim(t), '\s+'), w -> w <> '') AS words,
+           list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS lns
+    FROM made
+), m AS (
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER) AS n_words,
+           CASE WHEN len(words) > 0
+                THEN ROUND(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                           / len(words) + 1e-9, 4) ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len(words) > 0
+                THEN ROUND(CAST(len(regexp_extract_all(t, '#'))
+                              + len(regexp_extract_all(t, '\.\.\.'))
+                              + len(regexp_extract_all(t, '…')) AS DOUBLE)
+                           / len(words) + 1e-9, 4) ELSE 0.0 END AS symbol_word_ratio,
+           CASE WHEN len(lns) > 0
+                THEN ROUND(CAST(len(list_filter(lns, x -> substr(x, 1, 1) IN ('•', '-', '*'))) AS DOUBLE)
+                           / len(lns) + 1e-9, 4) ELSE 0.0 END AS bullet_line_frac,
+           CASE WHEN len(lns) > 0
+                THEN ROUND(CAST(len(list_filter(lns, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE)
+                           / len(lns) + 1e-9, 4) ELSE 0.0 END AS ellipsis_line_frac,
+           CASE WHEN len(words) > 0
+                THEN ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                           / len(words) + 1e-9, 4) ELSE 0.0 END AS alpha_word_frac,
+           CAST((CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_stop_hits
+    FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+        AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2) AS gopher_keep
+FROM m ORDER BY doc_id
+"""
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """CCNet paragraph-granularity dedup (dedup.paragraph_dedup) over
     multi-paragraph text CONSTRUCTED in-plan on both engines: one
@@ -2214,6 +2311,7 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     # and the demoted sliding_window_sum exercises the same range frames
     "daily_running": (q_daily_running, _SQL_DAILY_RUNNING),
     "c4_line_stats": (q_c4_line_stats, _SQL_C4_LINE_STATS),
+    "gopher_quality": (q_gopher_quality, _SQL_GOPHER_QUALITY),
     "dsir_importance": (q_dsir_importance, _SQL_DSIR_IMPORTANCE),
     # new r6: the retention decision after clustering, and per-language
     # token-quota corpus mixing — both pipeline steps, both oracled

@@ -763,3 +763,45 @@ def test_token_budget_sample_boundary_and_order(spark):
     # budget 10 with 4-token docs: doc at cum_before=8 is the kept
     # boundary overshoot; exactly 3 kept
     assert sum(1 for r in rows.values() if r["kept"]) == 3
+
+
+def test_gopher_quality_rule_semantics(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) fails in isolation on a
+    crafted doc while the good doc passes all seven."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.textstats import gopher_quality_stats
+
+    good = "the quick brown fox jumps over with that lazy dog and it is " * 5
+    bullets = "\n".join("• item %d the with more words here" % i for i in range(10))
+    symbols = good + " " + "# " * 20
+    ellipsis = "\n".join(
+        ("the line with words trails off..." if i < 4 else "a solid line of the words with it")
+        for i in range(10)
+    ) + " " + good
+    numbers = "the with " + "12345 67890 " * 30
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [good, "tiny doc", bullets, symbols, ellipsis, numbers],
+            }
+        )
+    )
+    stats = gopher_quality_stats(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[c.alias(n) for n, c in stats.items()]
+        ).collect()
+    }
+    assert got[1]["gopher_keep"] is True and got[1]["n_words"] >= 50
+    assert got[2]["gopher_keep"] is False  # < 50 words
+    assert got[3]["gopher_keep"] is False and got[3]["bullet_line_frac"] == 1.0
+    assert got[4]["gopher_keep"] is False and got[4]["symbol_word_ratio"] > 0.1
+    assert got[5]["gopher_keep"] is False and got[5]["ellipsis_line_frac"] == 0.4
+    assert got[6]["gopher_keep"] is False and got[6]["alpha_word_frac"] < 0.8
+    # stopword rule: the good doc hits >= 2 distinct Gopher stop words
+    assert got[1]["n_stop_hits"] >= 2
