@@ -593,6 +593,116 @@ def minhash_candidates(
     )
 
 
+# -------------------------------------------------------------- Winnowing
+
+
+def _let(value: Column, body) -> Column:
+    """Let-binding for expensive array expressions inside higher-order
+    functions: evaluate ``value`` ONCE per row and expose it to ``body`` as
+    a lambda variable (a bound reference, free to read repeatedly).
+
+    Why this exists: "project the array to a column first" is NOT a
+    guarantee — Catalyst's CollapseProject can inline a multi-referenced
+    alias back into the consuming expression (observed on the packaged
+    spark-submit path: the winnow chain collapsed and re-ran the
+    tokenize+hash pipeline per window start, turning O(n) into O(n³);
+    jstack showed RegExpReplace.nullSafeEval inside the winnow stage).
+    A single-element ``transform`` is collapse-proof by construction:
+    the optimizer cannot substitute through a NamedLambdaVariable."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def gram_hashes(words: Column, k: int = 3) -> Column:
+    """Stable 32-bit hashes of the k-word shingles of a words-array column.
+    Let-bound (see ``_let``): safe even if ``words`` is a computed
+    expression or a collapse-inlined alias."""
+    return _let(words, lambda ws: F.transform(shingles_of(ws, k), stable_hash))
+
+
+def winnow_select(hashes: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local-fingerprint algorithm; no reference equivalent, this is
+    a driver-brief dedup-family operator): slide a window of ``w``
+    consecutive gram hashes and keep each window's minimum; the sorted
+    distinct selected values are the document's fingerprint set.
+
+    Guarantee: any shared run of k + w - 1 words between two documents
+    yields at least one shared fingerprint, so fingerprints are a
+    position-robust LOCAL similarity key (MinHash is global — a long doc
+    quoting a short one dilutes Jaccard below any LSH threshold, but its
+    winnow fingerprints still collide). Expected density is 2/(w+1).
+
+    The paper breaks value ties by taking the RIGHTMOST minimal hash to
+    minimize density; since only hash VALUES are returned (not positions),
+    the selected set is identical under any tie rule — which is what makes
+    the operator expression-only on both engines. When there are fewer
+    than ``w`` hashes the single clamped window covers the whole list (the
+    paper's degenerate case).
+
+    Let-bound (see ``_let``): the window reads are bound-reference lookups
+    even when ``hashes`` is a computed expression or an alias that
+    CollapseProject inlined — the selection stays O(n·w) under any plan
+    shape."""
+
+    def body(h: Column) -> Column:
+        starts = F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0)))
+        mins = F.transform(starts, lambda i: F.array_min(F.slice(h, i + 1, w)))
+        return F.array_sort(F.array_distinct(mins))
+
+    return _let(hashes, body)
+
+
+def winnow_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_common: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs sharing >= ``min_common`` winnow fingerprints, with
+    the shared-fingerprint count per pair.
+
+    Plan shape at 10^12 docs: fingerprints explode ~2/(w+1) × n_grams rows
+    per doc (each only (id, fp) — the text never shuffles), then ONE
+    groupBy on the fingerprint value with per-bucket higher-order pair
+    generation (the ``minhash_candidates`` pattern — no self-join), then a
+    combining count groupBy on the pair key. ``max_bucket`` caps
+    boilerplate-hot fingerprints exactly like the LSH band cap."""
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), normalized_words(F.col(text_col)).alias("w")
+    )
+    hashed = words.select("id", gram_hashes(F.col("w"), k).alias("h"))
+    fps = hashed.select("id", F.explode(winnow_select(F.col("h"), w)).alias("fp"))
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ids)),
+                lambda j: F.struct(
+                    F.element_at(ids, i).alias("id_a"), F.element_at(ids, j).alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 

@@ -1216,6 +1216,96 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (dedup.winnow_select — Schleimer
+    et al. 2003, the MOSS algorithm): per document the sorted distinct
+    window-min gram hashes, their count, and the selection density.
+    Expression-only on both engines; the winnow operators let-bind their
+    array inputs (dedup._let) so the chain stays O(n) under any plan."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wdf = d.select("doc_id", D.normalized_words(F.col("text")).alias("w"))
+    hdf = wdf.select("doc_id", D.gram_hashes(F.col("w"), 3).alias("h"))
+    out = hdf.select(
+        "doc_id",
+        F.size("h").alias("n_grams"),
+        D.winnow_select(F.col("h"), 4).alias("fps"),
+    )
+    # the fingerprint SET is pinned via an md5 digest of the sorted list —
+    # the parity harness cannot value-hash array-typed columns
+    fps_str = F.array_join(
+        F.transform(F.col("fps"), lambda x: x.cast("string")), ","
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").alias("n_fps"),
+        F.round(F.size("fps") / F.col("n_grams") + 1e-9, 4).alias("fp_density"),
+        F.element_at("fps", 1).alias("fp_min"),
+        F.element_at("fps", -1).alias("fp_max"),
+        F.md5(fps_str).alias("fps_md5"),
+    ).orderBy("doc_id")
+
+
+_SQL_WINNOW_CTE = r"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents WHERE text IS NOT NULL
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END AS g
+    FROM words
+), hashed AS (
+    SELECT doc_id, list_transform(g, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS h
+    FROM grams
+), sel AS (
+    SELECT doc_id, len(h) AS n_grams,
+           list_sort(list_distinct(list_transform(
+               generate_series(0, greatest(len(h) - 4, 0)),
+               i -> list_aggregate(h[i+1:i+4], 'min')))) AS fps
+    FROM hashed
+)
+"""
+
+_SQL_WINNOW_FINGERPRINTS = (
+    _SQL_WINNOW_CTE
+    + """
+SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+       CAST(len(fps) AS INTEGER) AS n_fps,
+       ROUND(CAST(len(fps) AS DOUBLE) / n_grams + 1e-9, 4) AS fp_density,
+       fps[1] AS fp_min,
+       fps[len(fps)] AS fp_max,
+       md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fps_md5
+FROM sel ORDER BY doc_id
+"""
+)
+
+
+def q_winnow_candidates(spark, sf_dir):
+    """Shared-winnow-fingerprint candidate pairs (dedup.winnow_candidates):
+    one fingerprint-key shuffle with per-bucket HOF pair generation — the
+    local-similarity complement to the MinHash (global Jaccard) candidates."""
+    d = _t(spark, sf_dir, "documents")
+    return D.winnow_candidates(d, "doc_id", "text", min_common=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_SQL_WINNOW_CANDIDATES = (
+    _SQL_WINNOW_CTE
+    + """
+, fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b
+"""
+)
+
+
 def q_dup_span_removal(spark, sf_dir):
     """Exact-substring duplicate-span removal (dedup.remove_duplicate_spans
     — Lee et al. 2022 ExactSubstr as a TRANSFORM): the cleaned_text column
@@ -2317,6 +2407,9 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     # token-quota corpus mixing — both pipeline steps, both oracled
     "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
     "token_budget_sample": (q_token_budget_sample, _token_budget_sample_sql()),
+    # new r6: MOSS winnowing — local-fingerprint complement to MinHash
+    "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW_FINGERPRINTS),
+    "winnow_candidates": (q_winnow_candidates, _SQL_WINNOW_CANDIDATES),
     # demoted r6 to promote semantic_dedup + paragraph_dedup +
     # dup_span_removal (VERDICT r5 #3/#6): set-op, width_bucket, and
     # exploded-map-distinct machinery stays driver-covered via

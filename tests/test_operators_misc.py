@@ -506,6 +506,62 @@ def test_duplicate_ngram_coverage_semantics(spark):
     # the sane range above
 
 
+def test_winnowing_fingerprints_and_candidates(spark):
+    """Winnow selection matches a pure-Python reference on every document
+    (incl. sub-k and empty degenerate cases), the Schleimer guarantee holds
+    (a shared k+w-1-word run => >=1 shared fingerprint), and the candidate
+    generator returns exactly the sharing pair."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import (
+        gram_hashes,
+        normalized_words,
+        winnow_candidates,
+        winnow_select,
+    )
+
+    def py_winnow(text, k=3, w=4):
+        words = [x for x in _re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if x]
+        grams = (
+            [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+            if len(words) >= k
+            else [" ".join(words)]
+        )
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        return sorted({min(hs[i : i + w]) for i in range(max(len(hs) - w, 0) + 1)})
+
+    shared = "the quick brown fox jumps over"  # 6 words = k + w - 1
+    texts = {
+        1: f"alpha bravo charlie delta {shared} echo foxtrot golf",
+        2: f"hotel india juliet {shared} kilo lima mike november oscar",
+        3: "papa quebec romeo sierra tango uniform victor whiskey xray",
+        4: "yz",  # < k words: single whole-doc gram
+        5: "",  # degenerate: one '' gram (totality)
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    fps = (
+        docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
+        .select("doc_id", gram_hashes(F.col("w"), 3).alias("h"))
+        .select("doc_id", winnow_select(F.col("h"), 4).alias("fps"))
+    )
+    got = {r["doc_id"]: list(r["fps"]) for r in fps.collect()}
+    for i, t in texts.items():
+        assert got[i] == py_winnow(t), f"doc {i}"
+    assert set(got[1]) & set(got[2])  # the winnowing guarantee
+    assert not (set(got[3]) & set(got[1]))
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in winnow_candidates(docs, "doc_id", "text", min_common=1).collect()
+    }
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] >= 1
+
+
 def test_remove_duplicate_spans_byte_identity(spark):
     """Constructed duplicate pair: the cleaned strings are asserted EXACTLY
     (byte identity) against the hand-derived spec output — every token
