@@ -39,6 +39,22 @@ def stable_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for expensive array expressions inside higher-order
+    functions: evaluate ``value`` ONCE per row and expose it to ``body`` as
+    a lambda variable (a bound reference, free to read repeatedly).
+
+    Why this exists: "project the array to a column first" is NOT a
+    guarantee — Catalyst's CollapseProject can inline a multi-referenced
+    alias back into the consuming expression (observed on the packaged
+    spark-submit path: the winnow chain collapsed and re-ran the
+    tokenize+hash pipeline per window start, turning O(n) into O(n³);
+    jstack showed RegExpReplace.nullSafeEval inside the winnow stage).
+    A single-element ``transform`` is collapse-proof by construction:
+    the optimizer cannot substitute through a NamedLambdaVariable."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def normalized_words(text: Column) -> Column:
     """Canonical tokenization shared by all text-dedup ops (and the oracle):
     lowercase, strip non-alphanumerics, split on whitespace runs."""
@@ -47,19 +63,26 @@ def normalized_words(text: Column) -> Column:
 
 
 def shingles_of(words: Column, n: int = 3) -> Column:
-    """Array of n-word shingles from a MATERIALIZED words-array column.
+    """Array of n-word shingles from a words-array column.
 
-    ``words`` must be a plain column reference, not a computed expression: an
-    expression captured inside the ``transform`` lambda re-evaluates per
-    element (the regex tokenization would run O(n_words) times per document —
-    measured 25× slowdown). Project ``normalized_words`` to a column first."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        ),
-    ).otherwise(F.array(F.array_join(words, " ")))
+    Let-bound (see ``_let``): the per-shingle ``slice`` reads a lambda
+    variable, so the input evaluates exactly once per row even when
+    ``words`` is a computed expression or an alias CollapseProject inlined
+    (an expression captured inside a HOF lambda otherwise re-evaluates per
+    element — measured 25× on the regex tokenization, O(n³) after a
+    collapse). Still project ``normalized_words`` to a column in hot paths
+    that reuse the words array across several output columns."""
+
+    def body(ws: Column) -> Column:
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(ws, " ")))
+
+    return _let(words, body)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -402,6 +425,95 @@ def paragraph_dedup(
     )
 
 
+def _norm_line(p: Column) -> Column:
+    """Line normalization shared by paragraph_dedup / boilerplate removal
+    (and their oracles): lowercase, whitespace-squeezed, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(p), r"\s+", " "))
+
+
+def boilerplate_line_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_docs: int = 2,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Frequency-based boilerplate line REMOVAL, scoped per group (host /
+    source): a line whose normalized form occurs in >= ``min_docs`` AND
+    >= ``min_frac`` of the group's documents is chrome (nav, footer,
+    cookie banner) and is dropped; everything else — including original
+    spelling, ordering, and blank lines — survives byte-exact. The
+    frequency-scoped variant of what CCNet's paragraph dedup and
+    trafilatura's duplicate-element detection do to crawl text; the
+    reference has no equivalent (driver-brief training-pipeline tier).
+
+    Scale shape (the part that matters at 10^12 docs): the heavy text
+    NEVER shuffles. Frequencies come from an exploded (id, group, norm)
+    distinct frame — one shuffle of short normalized lines; group doc
+    totals are a combining count; the boilerplate SET collapses to one
+    bounded array per group (per doc each norm counts once, so at most
+    ~lines_per_doc / min_frac norms can clear the threshold) and joins
+    back to the docs frame on the group key — broadcastable for
+    source-scoped runs, an ordinary co-partitioned join for 10^8-host
+    runs (AQE decides). The final filter is an in-row HOF over
+    split(text): cleaned text is produced on the documents' own scan
+    partitions."""
+    docs = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(text_col).alias("t"),
+    )
+    spread = _spread(docs)
+    norms = spread.select(
+        "id",
+        "grp",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.transform(F.split("t", "\n"), _norm_line), lambda p: p != "")
+            )
+        ).alias("norm"),
+    )
+    freq = norms.groupBy("grp", "norm").agg(F.count("*").alias("n"))
+    totals = docs.groupBy("grp").agg(F.count("*").alias("d"))
+    boiler = (
+        freq.join(totals, "grp")
+        .filter((F.col("n") >= min_docs) & (F.col("n") / F.col("d") >= min_frac))
+        .groupBy("grp")
+        .agg(F.sort_array(F.collect_list("norm")).alias("bl"))
+    )
+    is_boiler = lambda ln: F.coalesce(  # noqa: E731
+        F.array_contains(F.col("bl"), _norm_line(ln)), F.lit(False)
+    )
+
+    # nested let-bindings: split once, filter once, derive all four outputs
+    # from the bound arrays (collapse-proof and single-pass; see _let)
+    def outputs(lines: Column) -> Column:
+        def from_kept(kept: Column) -> Column:
+            n, k = F.size(lines), F.size(kept)
+            return F.struct(
+                n.alias("n_lines"),
+                (n - k).alias("n_removed"),
+                F.round(
+                    F.when(n > 0, (n - k) / n).otherwise(F.lit(0.0)) + 1e-9, 4
+                ).alias("removed_frac"),
+                F.array_join(kept, "\n").alias("cleaned_text"),
+            )
+
+        return _let(F.filter(lines, lambda ln: ~is_boiler(ln)), from_kept)
+
+    return (
+        docs.join(boiler, "grp", "left")
+        .select(
+            F.col("id").alias(id_col),
+            _let(F.split(F.col("t"), "\n"), outputs).alias("o"),
+        )
+        .select(
+            id_col, "o.n_lines", "o.n_removed", "o.removed_frac", "o.cleaned_text"
+        )
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -596,27 +708,11 @@ def minhash_candidates(
 # -------------------------------------------------------------- Winnowing
 
 
-def _let(value: Column, body) -> Column:
-    """Let-binding for expensive array expressions inside higher-order
-    functions: evaluate ``value`` ONCE per row and expose it to ``body`` as
-    a lambda variable (a bound reference, free to read repeatedly).
-
-    Why this exists: "project the array to a column first" is NOT a
-    guarantee — Catalyst's CollapseProject can inline a multi-referenced
-    alias back into the consuming expression (observed on the packaged
-    spark-submit path: the winnow chain collapsed and re-ran the
-    tokenize+hash pipeline per window start, turning O(n) into O(n³);
-    jstack showed RegExpReplace.nullSafeEval inside the winnow stage).
-    A single-element ``transform`` is collapse-proof by construction:
-    the optimizer cannot substitute through a NamedLambdaVariable."""
-    return F.element_at(F.transform(F.array(value), body), 1)
-
-
 def gram_hashes(words: Column, k: int = 3) -> Column:
     """Stable 32-bit hashes of the k-word shingles of a words-array column.
-    Let-bound (see ``_let``): safe even if ``words`` is a computed
-    expression or a collapse-inlined alias."""
-    return _let(words, lambda ws: F.transform(shingles_of(ws, k), stable_hash))
+    ``shingles_of`` is let-bound internally, and the shingle array is this
+    transform's collection argument (evaluated once) — collapse-safe."""
+    return F.transform(shingles_of(words, k), stable_hash)
 
 
 def winnow_select(hashes: Column, w: int = 4) -> Column:

@@ -1306,6 +1306,69 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b
 )
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """Per-source frequency-based boilerplate line removal
+    (dedup.boilerplate_line_removal) over multi-line text CONSTRUCTED
+    in-plan on both engines: a footer line in every doc (always removed),
+    a doc_id%3 promo line (~1/3 of each source — below the 0.5 floor,
+    kept), the doc's own body prefix, and a doc_id%2 newsletter/end line
+    (~1/2 each — exercises the threshold boundary both ways)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = F.concat_ws(
+        "\n",
+        F.lit("© Example Site — all rights reserved"),
+        F.concat(F.lit("promo "), (F.col("doc_id") % 3).cast("string")),
+        F.substring(F.regexp_replace("text", r"\s+", " "), 1, 60),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Subscribe to our newsletter!"))
+        .otherwise(F.lit("End of page.")),
+    )
+    made = d.select("doc_id", "source", t.alias("text"))
+    return D.boilerplate_line_removal(made, "doc_id", "text", "source").orderBy(
+        "doc_id"
+    )
+
+
+_SQL_BOILERPLATE_REMOVAL = r"""
+WITH made AS (
+    SELECT doc_id, source,
+           '© Example Site — all rights reserved' || chr(10)
+             || 'promo ' || CAST(doc_id % 3 AS VARCHAR) || chr(10)
+             || substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 60) || chr(10)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter!'
+                      ELSE 'End of page.' END) AS t
+    FROM documents WHERE text IS NOT NULL
+), lns AS (
+    SELECT doc_id, source, string_split(t, chr(10)) AS lines FROM made
+), nk AS (
+    SELECT DISTINCT doc_id, source,
+           trim(regexp_replace(lower(ln), '\s+', ' ', 'g')) AS norm
+    FROM (SELECT doc_id, source, unnest(lines) AS ln FROM lns)
+    WHERE trim(regexp_replace(lower(ln), '\s+', ' ', 'g')) <> ''
+), totals AS (SELECT source, COUNT(*) AS d FROM made GROUP BY source),
+freq AS (SELECT source, norm, COUNT(*) AS n FROM nk GROUP BY 1, 2),
+bset AS (
+    SELECT source, list(norm) AS bl
+    FROM freq JOIN totals USING (source)
+    WHERE n >= 2 AND CAST(n AS DOUBLE) / d >= 0.5
+    GROUP BY source
+), cleaned AS (
+    SELECT l.doc_id, lines,
+           list_filter(lines, ln -> NOT coalesce(
+               list_contains(bl, trim(regexp_replace(lower(ln), '\s+', ' ', 'g'))),
+               false)) AS kept
+    FROM lns l LEFT JOIN bset USING (source)
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(lines) - len(kept) AS INT) AS n_removed,
+       ROUND(CASE WHEN len(lines) > 0
+                  THEN CAST(len(lines) - len(kept) AS DOUBLE) / len(lines)
+                  ELSE 0.0 END + 1e-9, 4) AS removed_frac,
+       COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text
+FROM cleaned ORDER BY doc_id
+"""
+
+
 def q_dup_span_removal(spark, sf_dir):
     """Exact-substring duplicate-span removal (dedup.remove_duplicate_spans
     — Lee et al. 2022 ExactSubstr as a TRANSFORM): the cleaned_text column
@@ -2410,6 +2473,8 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     # new r6: MOSS winnowing — local-fingerprint complement to MinHash
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW_FINGERPRINTS),
     "winnow_candidates": (q_winnow_candidates, _SQL_WINNOW_CANDIDATES),
+    # new r6: per-source frequency-based chrome removal (CCNet/trafilatura)
+    "boilerplate_removal": (q_boilerplate_removal, _SQL_BOILERPLATE_REMOVAL),
     # demoted r6 to promote semantic_dedup + paragraph_dedup +
     # dup_span_removal (VERDICT r5 #3/#6): set-op, width_bucket, and
     # exploded-map-distinct machinery stays driver-covered via

@@ -562,6 +562,47 @@ def test_winnowing_fingerprints_and_candidates(spark):
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] >= 1
 
 
+def test_boilerplate_line_removal_byte_identity(spark):
+    """Hand-built two-source corpus: the footer (3/3 of src-a docs) and the
+    nav line (2/3, >= 0.5) are removed for src-a; the same nav line in
+    src-b (1/2 = 0.5 but only 1 doc < min_docs=2) survives; casing /
+    spacing variants of a boilerplate line are removed via the normalized
+    key while NON-boiler lines keep their original bytes, order, and
+    blank lines."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import boilerplate_line_removal
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "source": ["a", "a", "a", "b", "b"],
+                "text": [
+                    "Footer Inc.\nHome | About\nunique alpha body",
+                    "FOOTER   inc.\n\nsecond Body Text",  # variant casing+spacing; blank line kept
+                    "footer inc.\nHome | About\nthird body here",
+                    "Home | About\nbeta content",  # src b: 1 of 2 docs < min_docs
+                    "totally different page",
+                ],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_line_removal(docs, "doc_id", "text", "source").collect()
+    }
+    assert got[1]["cleaned_text"] == "unique alpha body"
+    assert got[1]["n_lines"] == 3 and got[1]["n_removed"] == 2
+    assert got[2]["cleaned_text"] == "\nsecond Body Text"  # blank line survives
+    assert got[2]["n_removed"] == 1
+    assert got[3]["cleaned_text"] == "third body here"
+    # src b: nav line appears in only 1 doc -> below min_docs, kept verbatim
+    assert got[4]["cleaned_text"] == "Home | About\nbeta content"
+    assert got[4]["n_removed"] == 0
+    assert got[5]["cleaned_text"] == "totally different page"
+
+
 def test_remove_duplicate_spans_byte_identity(spark):
     """Constructed duplicate pair: the cleaned strings are asserted EXACTLY
     (byte identity) against the hand-derived spec output — every token
