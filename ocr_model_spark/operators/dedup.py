@@ -55,6 +55,28 @@ def _let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def _all_pairs(items: Column) -> Column:
+    """All (i < j) element pairs of a SORTED bucket array, as (a, b)
+    structs — the bucket-local pair generator shared by every candidate
+    operator (minhash / simhash / winnow). Pairs generate inside the row
+    after one groupBy on the bucket key, so bucket size stays observable
+    (for ``max_bucket`` caps) and there is never a self-join. ``items``
+    must sit behind an aggregation boundary (it always does: every caller
+    passes a collect_list output), which Catalyst cannot inline through."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(items) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(items)),
+                lambda j: F.struct(
+                    F.element_at(items, i).alias("a"),
+                    F.element_at(items, j).alias("b"),
+                ),
+            ),
+        )
+    )
+
+
 def normalized_words(text: Column) -> Column:
     """Canonical tokenization shared by all text-dedup ops (and the oracle):
     lowercase, strip non-alphanumerics, split on whitespace runs."""
@@ -502,15 +524,12 @@ def boilerplate_line_removal(
 
         return _let(F.filter(lines, lambda ln: ~is_boiler(ln)), from_kept)
 
-    return (
-        docs.join(boiler, "grp", "left")
-        .select(
-            F.col("id").alias(id_col),
-            _let(F.split(F.col("t"), "\n"), outputs).alias("o"),
-        )
-        .select(
-            id_col, "o.n_lines", "o.n_removed", "o.removed_frac", "o.cleaned_text"
-        )
+    # F.inline puts a Generate boundary under the struct: split + filter
+    # run exactly once per row regardless of how CollapseProject treats
+    # the four field references
+    return docs.join(boiler, "grp", "left").select(
+        F.col("id").alias(id_col),
+        F.inline(F.array(_let(F.split(F.col("t"), "\n"), outputs))),
     )
 
 
@@ -686,21 +705,9 @@ def minhash_candidates(
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ids) - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size(ids)),
-                lambda j: F.struct(
-                    F.element_at(ids, i).alias("id_a"), F.element_at(ids, j).alias("id_b")
-                ),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        buckets.select(F.explode(_all_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
 
@@ -778,21 +785,9 @@ def winnow_candidates(
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ids) - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size(ids)),
-                lambda j: F.struct(
-                    F.element_at(ids, i).alias("id_a"), F.element_at(ids, j).alias("id_b")
-                ),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        buckets.select(F.explode(_all_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
@@ -1037,20 +1032,8 @@ def simhash_candidates(
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ms") <= max_bucket)
-    ms = F.col("ms")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ms) - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size(ms)),
-                lambda j: F.struct(
-                    F.element_at(ms, i).alias("a"), F.element_at(ms, j).alias("b")
-                ),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(F.explode(_all_pairs(F.col("ms"))).alias("p"))
         .select(
             F.col("p.a.id").alias("id_a"),
             F.col("p.b.id").alias("id_b"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-from ocr_model_spark.operators.dedup import normalized_words, stable_hash
+from ocr_model_spark.operators.dedup import _let, normalized_words, stable_hash
 
 # tiny deterministic stopword sets per language (n-gram-free heuristic:
 # function-word hit rate decides; ties break by the fixed language order)
@@ -61,19 +61,9 @@ FINGERPRINT_MOD = 2147483647
 _C4_TERMINAL = (".", "!", "?", '"')
 
 
-def c4_line_stats(text: Column) -> dict[str, Column]:
-    """C4-style line-filter statistics as pure columns (Raffel et al. 2020,
-    "Exploring the Limits of Transfer Learning…", §2.2): lines split on
-    newline; a line is KEPT when it ends in terminal punctuation and has
-    at least five words; page flags for 'lorem ipsum', literal '{', and
-    javascript-mentioning lines. The page-keep rule (≥3 kept lines, no
-    lorem-ipsum, no brace) mirrors the published heuristic — C4 counts
-    sentences, this engine counts kept lines (documented deviation; the
-    oracle pins the same rule). Returns a dict of named columns so callers
-    project what they need."""
-    lines = F.split(text, "\n")
-    trimmed = F.transform(lines, lambda ln: F.trim(ln))
-    nonempty = F.filter(trimmed, lambda ln: ln != "")
+def _c4_stats_from(text: Column, nonempty: Column) -> dict[str, Column]:
+    """C4 stat columns given the trimmed non-empty lines array (either an
+    inline expression or a let-bound lambda variable)."""
     kept = F.filter(
         nonempty,
         lambda ln: (
@@ -102,6 +92,44 @@ def c4_line_stats(text: Column) -> dict[str, Column]:
     }
 
 
+def _nonempty_lines(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+
+
+def c4_line_stats(text: Column) -> dict[str, Column]:
+    """C4-style line-filter statistics as pure columns (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning…", §2.2): lines split on
+    newline; a line is KEPT when it ends in terminal punctuation and has
+    at least five words; page flags for 'lorem ipsum', literal '{', and
+    javascript-mentioning lines. The page-keep rule (≥3 kept lines, no
+    lorem-ipsum, no brace) mirrors the published heuristic — C4 counts
+    sentences, this engine counts kept lines (documented deviation; the
+    oracle pins the same rule). Returns a dict of named columns so callers
+    project what they need; each projected column re-embeds the line
+    split — prefer ``c4_line_struct`` behind ``F.inline`` in hot paths."""
+    return _c4_stats_from(text, _nonempty_lines(text))
+
+
+def c4_line_struct(text: Column) -> Column:
+    """Single-evaluation form of ``c4_line_stats``: the text and its
+    trimmed-lines array are let-bound (dedup._let) and all seven columns
+    live in ONE struct — project it with ``F.inline(F.array(...))`` so the
+    Generate boundary pins exactly one tokenization per row under any
+    plan shape (CollapseProject cannot substitute through it)."""
+    return _let(
+        text,
+        lambda t: _let(
+            _nonempty_lines(t),
+            lambda lns: F.struct(
+                *[c.alias(n) for n, c in _c4_stats_from(t, lns).items()]
+            ),
+        ),
+    )
+
+
 # Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
 # Gopher", Appendix A1.1 MassiveWeb quality filtering). The published
 # thresholds, kept verbatim so the keep-bit means what the paper means.
@@ -119,8 +147,41 @@ def gopher_quality_stats(text: Column) -> dict[str, Column]:
     2 of the 8 Gopher stop words appear. Whole-stage-codegen expressions
     only; every ratio is emitted rounded (4 dp, +1e-9 nudge) and the
     keep rule compares the ROUNDED values so both engines agree at
-    thresholds. Returns named columns for callers to project."""
+    thresholds. Returns named columns for callers to project; each column
+    re-embeds the word/line tokenization — prefer ``gopher_quality_struct``
+    behind ``F.inline`` in hot paths."""
     words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    lines = _nonempty_lines(text)
+    return _gopher_stats_from(text, words, lines)
+
+
+def gopher_quality_struct(text: Column) -> Column:
+    """Single-evaluation form of ``gopher_quality_stats``: text, words,
+    and lines are let-bound (dedup._let) and all eight columns live in ONE
+    struct — project it with ``F.inline(F.array(...))`` so the Generate
+    boundary pins exactly one tokenization per row under any plan shape."""
+    return _let(
+        text,
+        lambda t: _let(
+            F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != ""),
+            lambda ws: _let(
+                _nonempty_lines(t),
+                lambda lns: F.struct(
+                    *[
+                        c.alias(n)
+                        for n, c in _gopher_stats_from(t, ws, lns).items()
+                    ]
+                ),
+            ),
+        ),
+    )
+
+
+def _gopher_stats_from(
+    text: Column, words: Column, lines: Column
+) -> dict[str, Column]:
+    """Gopher stat columns given the words and trimmed non-empty lines
+    arrays (inline expressions or let-bound lambda variables)."""
     n_words = F.size(words)
     total_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
     mean_len = F.when(
@@ -134,10 +195,6 @@ def gopher_quality_stats(text: Column) -> dict[str, Column]:
     symbol_ratio = F.when(
         n_words > 0, F.round(n_symbols / n_words + 1e-9, 4)
     ).otherwise(F.lit(0.0))
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
-        lambda ln: ln != "",
-    )
     n_lines = F.size(lines)
     n_bullet = F.size(
         F.filter(lines, lambda ln: F.substring(ln, 1, 1).isin(*_GOPHER_BULLETS))
@@ -181,6 +238,113 @@ def gopher_quality_stats(text: Column) -> dict[str, Column]:
         "n_stop_hits": stop_hits,
         "gopher_keep": keep,
     }
+
+
+# ---------------------------------------------- Gopher repetition filters
+# (Rae et al. 2021 Appendix A1.1, the REPETITION half of the MassiveWeb
+# filter — the quality half is gopher_quality_stats above)
+
+# published thresholds: (signal, max allowed fraction)
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+_DUP_ACC = F.struct(
+    F.lit("").alias("prev"),
+    F.lit(0).cast("long").alias("run"),
+    F.lit(0).cast("long").alias("dup_cnt"),
+    F.lit(0).cast("long").alias("dup_mass"),
+    F.lit(0).cast("long").alias("best_cnt"),
+    F.lit(0).cast("long").alias("best_len"),
+)
+
+
+def _close_run(acc: Column) -> Column:
+    """Fold a finished run of equal items into the accumulator tallies."""
+    plen = F.length(acc["prev"]).cast("long")
+    better = (acc["run"] > acc["best_cnt"]) | (
+        (acc["run"] == acc["best_cnt"]) & (plen > acc["best_len"])
+    )
+    return F.struct(
+        acc["prev"].alias("prev"),
+        acc["run"].alias("run"),
+        (acc["dup_cnt"] + F.greatest(acc["run"] - 1, F.lit(0))).alias("dup_cnt"),
+        (acc["dup_mass"] + F.greatest(acc["run"] - 1, F.lit(0)) * plen).alias(
+            "dup_mass"
+        ),
+        F.when(better, acc["run"]).otherwise(acc["best_cnt"]).alias("best_cnt"),
+        F.when(better, plen).otherwise(acc["best_len"]).alias("best_len"),
+    )
+
+
+def dup_mass_stats(items: Column) -> Column:
+    """Duplication statistics of a string-array column, computed IN-ROW
+    (zero shuffle — the scale design for per-document repetition signals):
+    sort the items, fold adjacent runs once, and return
+
+        struct(n          total items,
+               n_dup      items beyond the first of each distinct value,
+               total_mass sum of char lengths over all items,
+               dup_mass   char mass of the beyond-first occurrences,
+               top_mass   count × char-length of the most frequent item
+                          — ties broken toward the longer item)
+
+    ``items`` is let-bound; the fold closes its final run in the
+    aggregate's finish lambda. Empty arrays yield all-zero tallies."""
+
+    def body(arr: Column) -> Column:
+        s = F.array_sort(arr)
+        folded = F.aggregate(
+            s,
+            _DUP_ACC,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.when(x == acc["prev"], acc["dup_cnt"])
+                .otherwise(_close_run(acc)["dup_cnt"])
+                .alias("dup_cnt"),
+                F.when(x == acc["prev"], acc["dup_mass"])
+                .otherwise(_close_run(acc)["dup_mass"])
+                .alias("dup_mass"),
+                F.when(x == acc["prev"], acc["best_cnt"])
+                .otherwise(_close_run(acc)["best_cnt"])
+                .alias("best_cnt"),
+                F.when(x == acc["prev"], acc["best_len"])
+                .otherwise(_close_run(acc)["best_len"])
+                .alias("best_len"),
+            ),
+            lambda acc: _let(
+                _close_run(acc),
+                lambda c: F.struct(
+                    F.size(arr).cast("long").alias("n"),
+                    c["dup_cnt"].alias("n_dup"),
+                    F.aggregate(
+                        arr,
+                        F.lit(0).cast("long"),
+                        lambda m, x: m + F.length(x),
+                    ).alias("total_mass"),
+                    c["dup_mass"].alias("dup_mass"),
+                    (c["best_cnt"] * c["best_len"]).alias("top_mass"),
+                ),
+            ),
+        )
+        return folded
+
+    return _let(items, body)
 
 
 def _marker_hits(text: Column, markers: list[str]) -> Column:

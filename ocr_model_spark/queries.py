@@ -1029,10 +1029,10 @@ def q_c4_line_stats(spark, sf_dir):
         line4,
         line5,
     )
-    stats = X.c4_line_stats(t)
+    # one Generate-bounded struct: the line split runs once per row under
+    # any plan shape (the dict form re-embeds it in every column)
     return d.select(
-        "doc_id",
-        *[col.alias(name) for name, col in stats.items()],
+        "doc_id", F.inline(F.array(X.c4_line_struct(t)))
     ).orderBy("doc_id")
 
 
@@ -1101,9 +1101,10 @@ def q_gopher_quality(spark, sf_dir):
     t = F.when(
         F.col("doc_id") % 11 == 0, F.lit("• a\n• b\n• c\n• d")
     ).otherwise(t)
-    stats = X.gopher_quality_stats(t)
+    # one Generate-bounded struct: tokenization runs once per row (the
+    # dict form re-embeds the word/line splits in every column)
     return d.select(
-        "doc_id", *[col.alias(name) for name, col in stats.items()]
+        "doc_id", F.inline(F.array(X.gopher_quality_struct(t)))
     ).orderBy("doc_id")
 
 
@@ -1225,24 +1226,29 @@ def q_winnow_fingerprints(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     wdf = d.select("doc_id", D.normalized_words(F.col("text")).alias("w"))
     hdf = wdf.select("doc_id", D.gram_hashes(F.col("w"), 3).alias("h"))
-    out = hdf.select(
-        "doc_id",
-        F.size("h").alias("n_grams"),
-        D.winnow_select(F.col("h"), 4).alias("fps"),
-    )
-    # the fingerprint SET is pinned via an md5 digest of the sorted list —
-    # the parity harness cannot value-hash array-typed columns
-    fps_str = F.array_join(
-        F.transform(F.col("fps"), lambda x: x.cast("string")), ","
-    )
-    return out.select(
-        "doc_id",
-        "n_grams",
-        F.size("fps").alias("n_fps"),
-        F.round(F.size("fps") / F.col("n_grams") + 1e-9, 4).alias("fp_density"),
-        F.element_at("fps", 1).alias("fp_min"),
-        F.element_at("fps", -1).alias("fp_max"),
-        F.md5(fps_str).alias("fps_md5"),
+
+    # one Generate-bounded struct with h and fps let-bound: the hash array
+    # and the selection each evaluate once per row under any plan shape.
+    # The fingerprint SET is pinned via an md5 digest of the sorted list —
+    # the parity harness cannot value-hash array-typed columns.
+    def outputs(h):
+        def from_fps(fps):
+            fps_str = F.array_join(
+                F.transform(fps, lambda x: x.cast("string")), ","
+            )
+            return F.struct(
+                F.size(h).alias("n_grams"),
+                F.size(fps).alias("n_fps"),
+                F.round(F.size(fps) / F.size(h) + 1e-9, 4).alias("fp_density"),
+                F.element_at(fps, 1).alias("fp_min"),
+                F.element_at(fps, -1).alias("fp_max"),
+                F.md5(fps_str).alias("fps_md5"),
+            )
+
+        return D._let(D.winnow_select(h, 4), from_fps)
+
+    return hdf.select(
+        "doc_id", F.inline(F.array(D._let(F.col("h"), outputs)))
     ).orderBy("doc_id")
 
 
