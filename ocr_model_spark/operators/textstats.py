@@ -261,14 +261,17 @@ GOPHER_REP_THRESHOLDS = {
     "dup_10gram_char_frac": 0.10,
 }
 
-_DUP_ACC = F.struct(
-    F.lit("").alias("prev"),
-    F.lit(0).cast("long").alias("run"),
-    F.lit(0).cast("long").alias("dup_cnt"),
-    F.lit(0).cast("long").alias("dup_mass"),
-    F.lit(0).cast("long").alias("best_cnt"),
-    F.lit(0).cast("long").alias("best_len"),
-)
+def _dup_acc() -> Column:
+    """Fold accumulator (built lazily — Column creation needs an active
+    SparkContext, and this module imports before the session exists)."""
+    return F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup_cnt"),
+        F.lit(0).cast("long").alias("dup_mass"),
+        F.lit(0).cast("long").alias("best_cnt"),
+        F.lit(0).cast("long").alias("best_len"),
+    )
 
 
 def _close_run(acc: Column) -> Column:
@@ -308,7 +311,7 @@ def dup_mass_stats(items: Column) -> Column:
         s = F.array_sort(arr)
         folded = F.aggregate(
             s,
-            _DUP_ACC,
+            _dup_acc(),
             lambda acc, x: F.struct(
                 x.alias("prev"),
                 F.when(x == acc["prev"], acc["run"] + 1)
@@ -347,7 +350,99 @@ def dup_mass_stats(items: Column) -> Column:
     return _let(items, body)
 
 
-def _marker_hits(text: Column, markers: list[str]) -> Column:
+def _strict_shingles(ws: Column, n: int) -> Column:
+    """n-word shingles that are EMPTY (not whole-doc degenerate) below n
+    words — repetition signals are inapplicable to sub-n docs, and the
+    degenerate single gram would score top_frac = 1.0 and falsely fail
+    every short document. ``ws`` must be a lambda variable or cheap ref."""
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _rep_frac(num: Column, den: Column) -> Column:
+    return F.when(den > 0, F.round(num / den + 1e-9, 4)).otherwise(F.lit(0.0))
+
+
+def gopher_repetition_struct(text: Column) -> Column:
+    """The REPETITION half of the Gopher/MassiveWeb filter (Rae et al.
+    2021 Appendix A1.1) as ONE Generate-ready struct: duplicate line /
+    paragraph fractions (by count and by character mass), the top-{2,3,4}-
+    gram character fraction, and the duplicate-{5..10}-gram character
+    fraction, each compared against the paper's published threshold and
+    ANDed into ``rep_keep``.
+
+    Spec notes (documented deviations, both engines pinned identical):
+      * character fractions are OCCURRENCE-MASS ratios — (count-1)·len of
+        duplicated items (resp. count·len of the most frequent item) over
+        count·len summed across all items — not positional coverage
+        (coverage needs interval merging; the mass ratio is monotone in it
+        and bounded by 1).
+      * paragraphs split on blank lines (\\n{2,}); lines on \\n; n-grams
+        over ``normalized_words``. Sub-n docs yield empty gram sets and
+        fraction 0 (signal inapplicable), never a degenerate whole-doc gram.
+      * most-frequent-gram ties break toward the LONGER gram; equal-length
+        ties are value-independent (count × length is what's reported).
+      * keep compares the ROUNDED fractions (4 dp, +1e-9 nudge) so both
+        engines agree at thresholds.
+
+    Everything is computed in-row (let-bound arrays, one sorted fold per
+    signal family, zero shuffle) — project with ``F.inline(F.array(...))``.
+    Cost: 11 sorted folds per document (~100 ms/core on 1-2 KB docs,
+    interpreted HOF) — linear, embarrassingly parallel, and run once per
+    corpus; drop unused families from GOPHER_REP_THRESHOLDS to slim it."""
+
+    def body(t: Column) -> Column:
+        words = normalized_words(t)
+        paras = F.filter(
+            F.transform(F.split(t, r"\n{2,}"), lambda p: F.trim(p)),
+            lambda p: p != "",
+        )
+
+        def with_stats(sa: Column) -> Column:
+            def st(i: int) -> Column:
+                return F.element_at(sa, i)
+
+            fields = {
+                "dup_line_frac": _rep_frac(st(1)["n_dup"], st(1)["n"]),
+                "dup_line_char_frac": _rep_frac(
+                    st(1)["dup_mass"], st(1)["total_mass"]
+                ),
+                "dup_para_frac": _rep_frac(st(2)["n_dup"], st(2)["n"]),
+                "dup_para_char_frac": _rep_frac(
+                    st(2)["dup_mass"], st(2)["total_mass"]
+                ),
+            }
+            for n in (2, 3, 4):
+                fields[f"top_{n}gram_char_frac"] = _rep_frac(
+                    st(n + 1)["top_mass"], st(n + 1)["total_mass"]
+                )
+            for n in range(5, 11):
+                fields[f"dup_{n}gram_char_frac"] = _rep_frac(
+                    st(n + 1)["dup_mass"], st(n + 1)["total_mass"]
+                )
+            keep = None
+            for name, thr in GOPHER_REP_THRESHOLDS.items():
+                cond = fields[name] <= thr
+                keep = cond if keep is None else keep & cond
+            fields["rep_keep"] = keep
+            return F.struct(*[c.alias(n) for n, c in fields.items()])
+
+        def with_words(ws: Column) -> Column:
+            stats = [
+                dup_mass_stats(_nonempty_lines(t)),
+                dup_mass_stats(paras),
+                *[dup_mass_stats(_strict_shingles(ws, n)) for n in range(2, 11)],
+            ]
+            return _let(F.array(*stats), with_stats)
+
+        return _let(words, with_words)
+
+    return _let(text, body)
     pattern = r"\b(" + "|".join(markers) + r")\b"
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
 

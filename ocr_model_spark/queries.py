@@ -1312,6 +1312,179 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b
 )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (textstats.gopher_repetition_struct —
+    Rae et al. 2021 A1.1, the repetition half) over multi-line text
+    CONSTRUCTED in-plan on both engines: a doc_id%2 duplicated line, a
+    doc_id%3 duplicated paragraph, and a doc_id%4 'buy now'×6 slice that
+    trips the top-2/3/4-gram and dup-5..10-gram mass fractions — so every
+    signal and the keep bit fire both ways."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    line1 = F.concat(
+        F.substring(F.regexp_replace("text", r"\s+", " "), 1, 40), F.lit(" tail.")
+    )
+    p1 = F.concat_ws(
+        "\n",
+        line1,
+        F.when(F.col("doc_id") % 2 == 0, line1).otherwise(
+            F.lit("A different second line.")
+        ),
+        F.lit("Third line of prose."),
+    )
+    t = F.concat_ws(
+        "\n\n",
+        p1,
+        F.when(F.col("doc_id") % 3 == 0, p1).otherwise(
+            F.lit("Second paragraph with distinct words.")
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("buy now buy now buy now buy now buy now buy now"),
+        ).otherwise(F.lit("calm closing paragraph text here finally")),
+    )
+    return d.select(
+        "doc_id", F.inline(F.array(X.gopher_repetition_struct(t)))
+    ).orderBy("doc_id")
+
+
+def _gopher_rep_sql() -> str:
+    """Generated DuckDB oracle for q_gopher_repetition: per signal family
+    an occurrences CTE, a per-item count CTE, and a per-doc mass CTE
+    (relational GROUP BY replaces the engine's in-row sorted fold); the
+    top-gram mass uses a (count DESC, length DESC) window — the same
+    longer-gram tie rule as the fold."""
+    fam_stats = []
+    tops = []
+    # lines and paragraphs
+    pre = r"""
+WITH parts AS (
+    SELECT doc_id,
+           substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 40) || ' tail.' AS line1
+    FROM documents WHERE text IS NOT NULL
+), made0 AS (
+    SELECT doc_id,
+           line1 || chr(10)
+             || (CASE WHEN doc_id % 2 = 0 THEN line1 ELSE 'A different second line.' END)
+             || chr(10) || 'Third line of prose.' AS p1
+    FROM parts
+), made AS (
+    SELECT doc_id,
+           p1 || chr(10) || chr(10)
+             || (CASE WHEN doc_id % 3 = 0 THEN p1 ELSE 'Second paragraph with distinct words.' END)
+             || chr(10) || chr(10)
+             || (CASE WHEN doc_id % 4 = 0 THEN 'buy now buy now buy now buy now buy now buy now'
+                      ELSE 'calm closing paragraph text here finally' END) AS t
+    FROM made0
+), wds AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g')), '\s+'),
+                       x -> x <> '') AS w
+    FROM made
+), ln_oc AS (
+    SELECT doc_id, unnest(list_filter(list_transform(regexp_split_to_array(t, '\n'), x -> trim(x)),
+                                      x -> x <> '')) AS it
+    FROM made
+), pa_oc AS (
+    SELECT doc_id, unnest(list_filter(list_transform(regexp_split_to_array(t, '\n{2,}'), x -> trim(x)),
+                                      x -> x <> '')) AS it
+    FROM made
+)"""
+    for fam in ("ln", "pa"):
+        fam_stats.append(
+            f""", {fam}_ct AS (SELECT doc_id, it, COUNT(*) AS c FROM {fam}_oc GROUP BY 1, 2)
+, {fam}_st AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c - 1) AS BIGINT) AS n_dup,
+           CAST(SUM(c * length(it)) AS BIGINT) AS tm,
+           CAST(SUM((c - 1) * length(it)) AS BIGINT) AS dm
+    FROM {fam}_ct GROUP BY doc_id
+)"""
+        )
+    for n in range(2, 11):
+        fam = f"g{n}"
+        fam_stats.append(
+            f""", {fam}_oc AS (
+    SELECT doc_id, array_to_string(list_slice(w, i, i + {n - 1}), ' ') AS it
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+          FROM wds WHERE len(w) >= {n})
+), {fam}_ct AS (SELECT doc_id, it, COUNT(*) AS c FROM {fam}_oc GROUP BY 1, 2)
+, {fam}_st AS (
+    SELECT doc_id, CAST(SUM(c * length(it)) AS BIGINT) AS tm,
+           CAST(SUM((c - 1) * length(it)) AS BIGINT) AS dm
+    FROM {fam}_ct GROUP BY doc_id
+)"""
+        )
+        if n in (2, 3, 4):
+            tops.append(
+                f""", {fam}_tp AS (
+    SELECT doc_id, tmass FROM (
+        SELECT doc_id, c * length(it) AS tmass,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, length(it) DESC) AS rn
+        FROM {fam}_ct) WHERE rn = 1
+)"""
+            )
+
+    def frac(num: str, den: str, alias: str) -> str:
+        return (
+            f"CASE WHEN COALESCE({den}, 0) > 0 THEN "
+            f"ROUND(CAST({num} AS DOUBLE) / {den} + 1e-9, 4) ELSE 0.0 END AS {alias}"
+        )
+
+    sel = [
+        frac("ln_st.n_dup", "ln_st.n", "dup_line_frac"),
+        frac("ln_st.dm", "ln_st.tm", "dup_line_char_frac"),
+        frac("pa_st.n_dup", "pa_st.n", "dup_para_frac"),
+        frac("pa_st.dm", "pa_st.tm", "dup_para_char_frac"),
+    ]
+    for n in (2, 3, 4):
+        sel.append(frac(f"g{n}_tp.tmass", f"g{n}_st.tm", f"top_{n}gram_char_frac"))
+    for n in range(5, 11):
+        sel.append(frac(f"g{n}_st.dm", f"g{n}_st.tm", f"dup_{n}gram_char_frac"))
+    from ocr_model_spark.operators.textstats import GOPHER_REP_THRESHOLDS
+
+    keep = " AND ".join(
+        f"({_rep_frac_sql(name)} <= {thr})"
+        for name, thr in GOPHER_REP_THRESHOLDS.items()
+    )
+    joins = "".join(
+        f"\nLEFT JOIN {fam}_st USING (doc_id)" for fam in ["ln", "pa"] + [f"g{n}" for n in range(2, 11)]
+    ) + "".join(f"\nLEFT JOIN g{n}_tp USING (doc_id)" for n in (2, 3, 4))
+    return (
+        pre
+        + "".join(fam_stats)
+        + "".join(tops)
+        + "\nSELECT made.doc_id,\n       "
+        + ",\n       ".join(sel)
+        + f",\n       ({keep}) AS rep_keep"
+        + "\nFROM made"
+        + joins
+        + "\nORDER BY made.doc_id"
+    )
+
+
+def _rep_frac_sql(name: str) -> str:
+    """The same rounded fraction expression used in the select list, for
+    re-embedding inside the rep_keep conjunction."""
+    num_den = {
+        "dup_line_frac": ("ln_st.n_dup", "ln_st.n"),
+        "dup_line_char_frac": ("ln_st.dm", "ln_st.tm"),
+        "dup_para_frac": ("pa_st.n_dup", "pa_st.n"),
+        "dup_para_char_frac": ("pa_st.dm", "pa_st.tm"),
+        **{
+            f"top_{n}gram_char_frac": (f"g{n}_tp.tmass", f"g{n}_st.tm")
+            for n in (2, 3, 4)
+        },
+        **{
+            f"dup_{n}gram_char_frac": (f"g{n}_st.dm", f"g{n}_st.tm")
+            for n in range(5, 11)
+        },
+    }[name]
+    num, den = num_den
+    return (
+        f"CASE WHEN COALESCE({den}, 0) > 0 THEN "
+        f"ROUND(CAST({num} AS DOUBLE) / {den} + 1e-9, 4) ELSE 0.0 END"
+    )
+
+
 def q_boilerplate_removal(spark, sf_dir):
     """Per-source frequency-based boilerplate line removal
     (dedup.boilerplate_line_removal) over multi-line text CONSTRUCTED
@@ -2481,6 +2654,8 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "winnow_candidates": (q_winnow_candidates, _SQL_WINNOW_CANDIDATES),
     # new r6: per-source frequency-based chrome removal (CCNet/trafilatura)
     "boilerplate_removal": (q_boilerplate_removal, _SQL_BOILERPLATE_REMOVAL),
+    # new r6: the repetition half of the Gopher filter (quality half above)
+    "gopher_repetition": (q_gopher_repetition, _gopher_rep_sql()),
     # demoted r6 to promote semantic_dedup + paragraph_dedup +
     # dup_span_removal (VERDICT r5 #3/#6): set-op, width_bucket, and
     # exploded-map-distinct machinery stays driver-covered via

@@ -562,6 +562,85 @@ def test_winnowing_fingerprints_and_candidates(spark):
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] >= 1
 
 
+def test_gopher_repetition_matches_python_reference(spark):
+    """Every repetition signal matches a Counter-based reference on docs
+    covering duplicated lines, duplicated paragraphs, an n-gram-repeating
+    spam slice, a no-repetition doc, and sub-n/empty degenerates."""
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+
+    from ocr_model_spark.operators.textstats import (
+        GOPHER_REP_THRESHOLDS,
+        gopher_repetition_struct,
+    )
+
+    def mass(items):
+        c = Counter(items)
+        n = sum(c.values())
+        nd = sum(v - 1 for v in c.values())
+        tm = sum(v * len(k) for k, v in c.items())
+        dm = sum((v - 1) * len(k) for k, v in c.items())
+        top = max(((v, len(k)) for k, v in c.items()), default=(0, 0))
+        return n, nd, tm, dm, top[0] * top[1]
+
+    def frac(num, den):
+        return num / den if den else 0.0
+
+    def py_rep(text):
+        lines = [x.strip() for x in text.split("\n") if x.strip()]
+        paras = [x.strip() for x in _re.split(r"\n{2,}", text) if x.strip()]
+        words = [x for x in _re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if x]
+        out = {}
+        ln, lnd, ltm, ldm, _ = mass(lines)
+        pn, pnd, ptm, pdm, _ = mass(paras)
+        out["dup_line_frac"] = frac(lnd, ln)
+        out["dup_line_char_frac"] = frac(ldm, ltm)
+        out["dup_para_frac"] = frac(pnd, pn)
+        out["dup_para_char_frac"] = frac(pdm, ptm)
+        for n in range(2, 11):
+            grams = (
+                [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+                if len(words) >= n
+                else []
+            )
+            _, _, tm, dm, topm = mass(grams)
+            if n <= 4:
+                out[f"top_{n}gram_char_frac"] = frac(topm, tm)
+            else:
+                out[f"dup_{n}gram_char_frac"] = frac(dm, tm)
+        out["rep_keep"] = all(
+            round(out[k] + 1e-9, 4) <= thr for k, thr in GOPHER_REP_THRESHOLDS.items()
+        )
+        return out
+
+    texts = {
+        1: "alpha line\nalpha line\nbeta line\n\nsame para\n\nsame para",
+        2: "buy now buy now buy now buy now buy now buy now",
+        3: "completely normal text with several distinct words and zero repeats",
+        4: "one two",  # sub-n for every gram size >= 3
+        5: "",  # degenerate
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in docs.select(
+            "doc_id", F.inline(F.array(gopher_repetition_struct(F.col("text"))))
+        ).collect()
+    }
+    for i, t in texts.items():
+        want = py_rep(t)
+        for k, v in want.items():
+            if k == "rep_keep":
+                assert got[i][k] == v, (i, k)
+            else:
+                assert abs(got[i][k] - v) < 5e-5, (i, k, got[i][k], v)
+    assert got[3]["rep_keep"] and not got[2]["rep_keep"]
+
+
 def test_boilerplate_line_removal_byte_identity(spark):
     """Hand-built two-source corpus: the footer (3/3 of src-a docs) and the
     nav line (2/3, >= 0.5) are removed for src-a; the same nav line in
