@@ -664,6 +664,22 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     return sh.groupBy("id").agg(*aggs)
 
 
+def _band_structs() -> list[Column]:
+    """The LSH band keys as (band, band_key) structs over a signature
+    frame's mh0..mhN columns — shared by the within-corpus and the
+    cross-corpus candidate generators."""
+    out = []
+    for b in range(N_BANDS):
+        cols = [
+            F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        out.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("band_key"))
+        )
+    return out
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -686,16 +702,7 @@ def minhash_candidates(
     Default None = emit everything (exact LSH semantics; matches the SQL
     oracle)."""
     sig = minhash_signatures(df, id_col, text_col, n)
-    band_structs = []
-    for b in range(N_BANDS):
-        cols = [
-            F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-            for r in range(ROWS_PER_BAND)
-        ]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("band_key"))
-        )
-    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+    banded = sig.select("id", F.explode(F.array(*_band_structs())).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
     buckets = (
@@ -792,6 +799,89 @@ def winnow_candidates(
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+# ------------------------------------------------- incremental (cross) dedup
+
+
+def cross_corpus_candidates(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs ACROSS two frames only — the incremental-crawl
+    shape: dedupe a NEW batch against the STANDING corpus without paying
+    for batch×batch or corpus×corpus pairs. Returns distinct
+    (batch_id, corpus_id).
+
+    Plan at 10^12 corpus docs: signatures are 17 narrow longs per doc (text
+    never shuffles) — in production the corpus side is computed once and
+    persisted as the dedup index, so each crawl increment only signatures
+    the batch. One groupBy on the band key with SIDE-SPLIT id lists
+    (collect_list skips the other side's nulls), cross pairs generated
+    in-row; ``max_bucket`` caps len(batch)×len(corpus) per bucket."""
+    sb = minhash_signatures(batch, id_col, text_col, n).withColumn(
+        "side", F.lit("b")
+    )
+    sc = minhash_signatures(corpus, id_col, text_col, n).withColumn(
+        "side", F.lit("c")
+    )
+    banded = (
+        sb.unionByName(sc)
+        .select("id", "side", F.explode(F.array(*_band_structs())).alias("bk"))
+        .select("id", "side", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == "b", F.col("id")))
+            ).alias("bids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == "c", F.col("id")))
+            ).alias("cids"),
+        )
+        .filter((F.size("bids") > 0) & (F.size("cids") > 0))
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("bids") * F.size("cids") <= max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            F.col("bids"),
+            lambda b: F.transform(
+                F.col("cids"),
+                lambda c: F.struct(b.alias("batch_id"), c.alias("corpus_id")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.batch_id").alias("batch_id"), F.col("p.corpus_id").alias("corpus_id"))
+        .distinct()
+    )
+
+
+def dedup_new_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Batch rows that share no LSH bucket with any corpus document — the
+    survivors an incremental pipeline appends to the corpus (left_anti on
+    the candidate batch ids; exact-verify survivors with jaccard_verify
+    when the LSH false-positive rate matters)."""
+    hit = (
+        cross_corpus_candidates(batch, corpus, id_col, text_col, n, max_bucket)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(hit, id_col, "left_anti")
 
 
 # ----------------------------------------------------------------- SimHash

@@ -443,6 +443,9 @@ def gopher_repetition_struct(text: Column) -> Column:
         return _let(words, with_words)
 
     return _let(text, body)
+
+
+def _marker_hits(text: Column, markers: list[str]) -> Column:
     pattern = r"\b(" + "|".join(markers) + r")\b"
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
 

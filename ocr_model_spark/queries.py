@@ -695,6 +695,58 @@ ORDER BY id_a, id_b
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental crawl dedup (dedup.cross_corpus_candidates): the
+    doc_id%5==0 slice plays the NEW batch, the rest the standing corpus;
+    per batch doc the count of corpus LSH-bucket matches and the is_new
+    bit an incremental pipeline appends on. Cross-side candidates only —
+    batch×batch pairs never generate."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    cands = D.cross_corpus_candidates(batch, corpus, "doc_id", "text")
+    m = cands.groupBy(F.col("batch_id").alias("doc_id")).agg(
+        F.count("*").alias("n_corpus_matches")
+    )
+    return (
+        batch.select("doc_id")
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
+            (F.coalesce("n_corpus_matches", F.lit(0)) == 0).alias("is_new"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    band_rows = []
+    for b in range(D.N_BANDS):
+        cols = [f"mh{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    sig_sql = _minhash_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sig AS ({sig_sql}),
+banded AS ({bands}),
+cand AS (
+    SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+    FROM banded b JOIN banded c
+      ON b.band = c.band AND b.band_key = c.band_key
+    WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+)
+SELECT d.doc_id,
+       CAST(COALESCE(m.cnt, 0) AS BIGINT) AS n_corpus_matches,
+       COALESCE(m.cnt, 0) = 0 AS is_new
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN (SELECT batch_id, COUNT(*) AS cnt FROM cand GROUP BY 1) m
+  ON m.batch_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     """Training-data chunking: 64-token windows, 8-token overlap, pure
     JVM expressions (operators/chunking.py)."""
@@ -2656,6 +2708,9 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "boilerplate_removal": (q_boilerplate_removal, _SQL_BOILERPLATE_REMOVAL),
     # new r6: the repetition half of the Gopher filter (quality half above)
     "gopher_repetition": (q_gopher_repetition, _gopher_rep_sql()),
+    # new r6: incremental crawl dedup — batch vs standing corpus, cross-
+    # side LSH candidates only
+    "incremental_dedup": (q_incremental_dedup, _incremental_dedup_sql()),
     # demoted r6 to promote semantic_dedup + paragraph_dedup +
     # dup_span_removal (VERDICT r5 #3/#6): set-op, width_bucket, and
     # exploded-map-distinct machinery stays driver-covered via

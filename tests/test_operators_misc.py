@@ -641,6 +641,53 @@ def test_gopher_repetition_matches_python_reference(spark):
     assert got[3]["rep_keep"] and not got[2]["rep_keep"]
 
 
+def test_incremental_dedup_cross_side_only(spark):
+    """A batch doc copying a corpus doc is caught, a unique batch doc
+    survives, and two near-identical BATCH docs never pair with each
+    other (cross-side candidates only — the incremental-crawl contract)."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import (
+        cross_corpus_candidates,
+        dedup_new_against,
+    )
+
+    body = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew quartz elixirs behind the old stone bridge near town square"
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [101, 102],
+                "text": [body, "an entirely different corpus document about sailing ships"],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    body,  # exact copy of corpus 101 -> caught
+                    body + " extra",  # near-copy of 101 AND of batch doc 1
+                    "totally fresh content on underwater basket weaving today",
+                ],
+            }
+        )
+    )
+    cands = {
+        (r["batch_id"], r["corpus_id"])
+        for r in cross_corpus_candidates(batch, corpus, "doc_id", "text").collect()
+    }
+    assert (1, 101) in cands
+    assert all(b in (1, 2) and c in (101, 102) for b, c in cands)  # no batch×batch
+    survivors = {
+        r["doc_id"] for r in dedup_new_against(batch, corpus, "doc_id", "text").collect()
+    }
+    assert 3 in survivors and 1 not in survivors
+
+
 def test_boilerplate_line_removal_byte_identity(spark):
     """Hand-built two-source corpus: the footer (3/3 of src-a docs) and the
     nav line (2/3, >= 0.5) are removed for src-a; the same nav line in
