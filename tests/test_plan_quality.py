@@ -232,3 +232,38 @@ def test_semantic_dedup_plan_cell_equijoin_no_crossjoin(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_winnow_let_binding_survives_optimizer(spark):
+    """The collapse-proof let-binding (dedup._let) must survive into the
+    OPTIMIZED plan: the winnow selection reads its gram-hash array through
+    a single-element transform's lambda variable. Regression pin for the
+    CollapseProject incident — the alias got inlined into the window
+    lambda on the packaged plan shape and the chain re-ran the tokenizer
+    per window start (O(n^3), 0.9 s -> >520 s on 300 docs)."""
+    from ocr_model_spark.queries import q_winnow_fingerprints
+
+    df = q_winnow_fingerprints(spark, "/root/testdata/sf0.001")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the winnow outputs sit behind a Generate boundary (F.inline) ...
+    gen_lines = [ln for ln in optimized.split("\n") if "Generate inline" in ln]
+    assert gen_lines, optimized
+    # ... and the tokenize+hash pipeline was NOT re-inlined into it: the
+    # Generate's expression reads the hash array as a child-Project
+    # ATTRIBUTE (array(h#N)), never recomputing the tokenizer regex
+    assert "regexp_replace" not in gen_lines[0], gen_lines[0]
+    assert "array(h#" in gen_lines[0], gen_lines[0]
+
+
+def test_boilerplate_removal_plan_shape(spark):
+    """Boilerplate removal: text cleaning happens in-row after an equi-join
+    on the group key — no cartesian product, no Python stage, and the
+    final outputs sit behind a Generate (single-pass split+filter)."""
+    from ocr_model_spark.queries import q_boilerplate_removal
+
+    df = q_boilerplate_removal(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate inline" in optimized, optimized
