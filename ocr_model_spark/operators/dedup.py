@@ -847,7 +847,12 @@ def cross_corpus_candidates(
         .filter((F.size("bids") > 0) & (F.size("cids") > 0))
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("bids") * F.size("cids") <= max_bucket)
+        # cast before multiplying: two int32 sizes overflow exactly on the
+        # degenerate mega-bucket this cap exists to skip (ANSI mode would
+        # throw; non-ANSI would wrap negative and BYPASS the cap)
+        buckets = buckets.filter(
+            F.size("bids").cast("long") * F.size("cids") <= max_bucket
+        )
     pairs = F.flatten(
         F.transform(
             F.col("bids"),
@@ -874,8 +879,12 @@ def dedup_new_against(
 ) -> DataFrame:
     """Batch rows that share no LSH bucket with any corpus document — the
     survivors an incremental pipeline appends to the corpus (left_anti on
-    the candidate batch ids; exact-verify survivors with jaccard_verify
-    when the LSH false-positive rate matters)."""
+    the candidate batch ids). When the LSH false-positive rate matters,
+    the recovery pass runs on the DROPPED side, not the survivors:
+    exact-verify the ``cross_corpus_candidates`` pairs (jaccard on the
+    shingle sets) and re-admit batch ids whose every candidate pair falls
+    below the similarity threshold — survivors share no bucket by
+    construction, so verifying them finds nothing."""
     hit = (
         cross_corpus_candidates(batch, corpus, id_col, text_col, n, max_bucket)
         .select(F.col("batch_id").alias(id_col))

@@ -384,7 +384,12 @@ def gopher_repetition_struct(text: Column) -> Column:
         and bounded by 1).
       * paragraphs split on blank lines (\\n{2,}); lines on \\n; n-grams
         over ``normalized_words``. Sub-n docs yield empty gram sets and
-        fraction 0 (signal inapplicable), never a degenerate whole-doc gram.
+        fraction 0, never a degenerate whole-doc gram. Docs BARELY above n
+        words still fail the top-gram thresholds arithmetically (3 words →
+        top 2-gram ≥ 0.5 of the gram mass) — faithful to the reference
+        implementations, which compute the signal regardless of length;
+        Gopher's ≥50-word rule in ``gopher_quality_stats`` is the intended
+        companion gate for short documents.
       * most-frequent-gram ties break toward the LONGER gram; equal-length
         ties are value-independent (count × length is what's reported).
       * keep compares the ROUNDED fractions (4 dp, +1e-9 nudge) so both

@@ -677,13 +677,20 @@ def q_minhash_candidates(spark, sf_dir):
     return D.minhash_candidates(d, "doc_id", "text").orderBy("id_a", "id_b")
 
 
-def _minhash_candidates_sql() -> str:
+def _band_rows_sql() -> str:
+    """The LSH band-key rows over a `sig` CTE — the SQL twin of
+    dedup._band_structs, shared by the within-corpus and cross-corpus
+    candidate oracles (one place to change the key format)."""
     band_rows = []
     for b in range(D.N_BANDS):
         cols = [f"mh{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
         key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
         band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig")
-    bands = " UNION ALL ".join(band_rows)
+    return " UNION ALL ".join(band_rows)
+
+
+def _minhash_candidates_sql() -> str:
+    bands = _band_rows_sql()
     sig_sql = _minhash_sql().replace("ORDER BY doc_id", "")
     return f"""
 WITH sig AS ({sig_sql}),
@@ -721,12 +728,7 @@ def q_incremental_dedup(spark, sf_dir):
 
 
 def _incremental_dedup_sql() -> str:
-    band_rows = []
-    for b in range(D.N_BANDS):
-        cols = [f"mh{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
-        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig")
-    bands = " UNION ALL ".join(band_rows)
+    bands = _band_rows_sql()
     sig_sql = _minhash_sql().replace("ORDER BY doc_id", "")
     return f"""
 WITH sig AS ({sig_sql}),
@@ -1475,24 +1477,21 @@ WITH parts AS (
 )"""
             )
 
-    def frac(num: str, den: str, alias: str) -> str:
-        return (
-            f"CASE WHEN COALESCE({den}, 0) > 0 THEN "
-            f"ROUND(CAST({num} AS DOUBLE) / {den} + 1e-9, 4) ELSE 0.0 END AS {alias}"
-        )
-
-    sel = [
-        frac("ln_st.n_dup", "ln_st.n", "dup_line_frac"),
-        frac("ln_st.dm", "ln_st.tm", "dup_line_char_frac"),
-        frac("pa_st.n_dup", "pa_st.n", "dup_para_frac"),
-        frac("pa_st.dm", "pa_st.tm", "dup_para_char_frac"),
-    ]
-    for n in (2, 3, 4):
-        sel.append(frac(f"g{n}_tp.tmass", f"g{n}_st.tm", f"top_{n}gram_char_frac"))
-    for n in range(5, 11):
-        sel.append(frac(f"g{n}_st.dm", f"g{n}_st.tm", f"dup_{n}gram_char_frac"))
     from ocr_model_spark.operators.textstats import GOPHER_REP_THRESHOLDS
 
+    # the select list and the rep_keep conjunction build from the SAME
+    # num/den mapping (_REP_NUM_DEN via _rep_frac_sql) — they cannot drift.
+    # Column order mirrors the Spark struct: line, line_char, para,
+    # para_char, top 2-4, dup 5-10.
+    order = [
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        *[f"top_{n}gram_char_frac" for n in (2, 3, 4)],
+        *[f"dup_{n}gram_char_frac" for n in range(5, 11)],
+    ]
+    sel = [f"{_rep_frac_sql(name)} AS {name}" for name in order]
     keep = " AND ".join(
         f"({_rep_frac_sql(name)} <= {thr})"
         for name, thr in GOPHER_REP_THRESHOLDS.items()
@@ -1513,24 +1512,26 @@ WITH parts AS (
     )
 
 
+# single source of truth for every repetition signal's SQL num/den — the
+# select list AND the rep_keep conjunction both render through it
+_REP_NUM_DEN = {
+    "dup_line_frac": ("ln_st.n_dup", "ln_st.n"),
+    "dup_line_char_frac": ("ln_st.dm", "ln_st.tm"),
+    "dup_para_frac": ("pa_st.n_dup", "pa_st.n"),
+    "dup_para_char_frac": ("pa_st.dm", "pa_st.tm"),
+    **{
+        f"top_{n}gram_char_frac": (f"g{n}_tp.tmass", f"g{n}_st.tm")
+        for n in (2, 3, 4)
+    },
+    **{
+        f"dup_{n}gram_char_frac": (f"g{n}_st.dm", f"g{n}_st.tm")
+        for n in range(5, 11)
+    },
+}
+
+
 def _rep_frac_sql(name: str) -> str:
-    """The same rounded fraction expression used in the select list, for
-    re-embedding inside the rep_keep conjunction."""
-    num_den = {
-        "dup_line_frac": ("ln_st.n_dup", "ln_st.n"),
-        "dup_line_char_frac": ("ln_st.dm", "ln_st.tm"),
-        "dup_para_frac": ("pa_st.n_dup", "pa_st.n"),
-        "dup_para_char_frac": ("pa_st.dm", "pa_st.tm"),
-        **{
-            f"top_{n}gram_char_frac": (f"g{n}_tp.tmass", f"g{n}_st.tm")
-            for n in (2, 3, 4)
-        },
-        **{
-            f"dup_{n}gram_char_frac": (f"g{n}_st.dm", f"g{n}_st.tm")
-            for n in range(5, 11)
-        },
-    }[name]
-    num, den = num_den
+    num, den = _REP_NUM_DEN[name]
     return (
         f"CASE WHEN COALESCE({den}, 0) > 0 THEN "
         f"ROUND(CAST({num} AS DOUBLE) / {den} + 1e-9, 4) ELSE 0.0 END"
