@@ -893,6 +893,40 @@ def dedup_new_against(
     return batch.join(hit, id_col, "left_anti")
 
 
+def dedup_new_against_verified(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental dedup WITH the false-positive recovery pass: LSH
+    candidates (cross-side only) are exact-Jaccard verified, and a batch
+    document drops only when SOME corpus pair clears ``threshold`` —
+    batch ids whose every candidate pair was a bucket-collision false
+    positive are re-admitted. Ids must be unique ACROSS both frames (they
+    key the shared shingle frame).
+
+    Scale: verification touches only candidate MEMBERS (jaccard_verify
+    broadcast-prunes the shingle frame), so the extra cost scales with
+    the candidate set, not the corpus."""
+    pairs = cross_corpus_candidates(
+        batch, corpus, id_col, text_col, n, max_bucket
+    ).select(F.col("batch_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
+    both = batch.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus.select(F.col(id_col), F.col(text_col))
+    )
+    dup_ids = (
+        jaccard_verify(pairs, both, id_col, text_col, n)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")
+
+
 # ----------------------------------------------------------------- SimHash
 
 

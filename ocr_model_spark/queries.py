@@ -749,6 +749,86 @@ ORDER BY d.doc_id
 """
 
 
+def q_incremental_dedup_verified(spark, sf_dir):
+    """Incremental dedup with the false-positive recovery pass
+    (dedup.dedup_new_against_verified's plan): cross-side LSH candidates
+    exact-Jaccard verified (broadcast-pruned shingles), per batch doc the
+    candidate count, the verified-duplicate count (jaccard >= 0.12, the
+    suite corpus's natural overlap level), and the recovered is_new bit —
+    a bucket-collision-only batch doc is re-admitted where the unverified
+    query drops it."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    pairs = D.cross_corpus_candidates(batch, corpus, "doc_id", "text").select(
+        F.col("batch_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+    )
+    v = D.jaccard_verify(pairs, d, "doc_id", "text")
+    agg = v.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("jaccard") >= 0.12).cast("long")).alias("n_verified_dups"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_verified_dups", F.lit(0)).alias("n_verified_dups"),
+            (F.coalesce("n_verified_dups", F.lit(0)) == 0).alias("is_new"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_dedup_verified_sql() -> str:
+    bands = _band_rows_sql()
+    sig_sql = _minhash_sql().replace("ORDER BY doc_id", "")
+    return (
+        _SQL_SHINGLES_CTE
+        + f""",
+sig AS ({sig_sql}),
+banded AS ({bands}),
+cand AS (
+    SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+    FROM banded b JOIN banded c
+      ON b.band = c.band AND b.band_key = c.band_key
+    WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT c.id_a,
+           ROUND(CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - COALESCE(m.n_common, 0)), 6) AS j
+    FROM cand c
+    LEFT JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+),
+agg AS (
+    SELECT id_a AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN j >= 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_dups
+    FROM jac GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_candidates, 0) AS n_candidates,
+       COALESCE(a.n_verified_dups, 0) AS n_verified_dups,
+       COALESCE(a.n_verified_dups, 0) = 0 AS is_new
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Training-data chunking: 64-token windows, 8-token overlap, pure
     JVM expressions (operators/chunking.py)."""
@@ -2710,8 +2790,13 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     # new r6: the repetition half of the Gopher filter (quality half above)
     "gopher_repetition": (q_gopher_repetition, _gopher_rep_sql()),
     # new r6: incremental crawl dedup — batch vs standing corpus, cross-
-    # side LSH candidates only
+    # side LSH candidates only; _verified adds the exact-Jaccard
+    # false-positive recovery pass
     "incremental_dedup": (q_incremental_dedup, _incremental_dedup_sql()),
+    "incremental_dedup_verified": (
+        q_incremental_dedup_verified,
+        _incremental_dedup_verified_sql(),
+    ),
     # demoted r6 to promote semantic_dedup + paragraph_dedup +
     # dup_span_removal (VERDICT r5 #3/#6): set-op, width_bucket, and
     # exploded-map-distinct machinery stays driver-covered via

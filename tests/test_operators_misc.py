@@ -641,6 +641,53 @@ def test_gopher_repetition_matches_python_reference(spark):
     assert got[3]["rep_keep"] and not got[2]["rep_keep"]
 
 
+def test_dup_mass_fold_matches_counter_on_seeded_random_batch(spark):
+    """The in-row sorted fold (textstats.dup_mass_stats) equals a
+    Counter-based reference on 200 seeded-random string arrays in ONE
+    Spark job — skewed small alphabets force long equal runs, singleton
+    and empty arrays hit the init/finish edges, and mixed lengths break
+    count-only tie handling."""
+    import random
+    from collections import Counter
+
+    import pandas as pd
+
+    from ocr_model_spark.operators.textstats import dup_mass_stats
+
+    rng = random.Random(20260817)
+    vocab = ["a", "bb", "ccc", "dddd", "e", "ffffff", "gg", "hhh"]
+    rows = []
+    for i in range(200):
+        k = rng.randint(0, 30)
+        alphabet = rng.randint(1, len(vocab))
+        rows.append([rng.choice(vocab[:alphabet]) for _ in range(k)])
+    rows += [[], ["solo"], ["x"] * 25]  # forced edges
+
+    def ref(items):
+        c = Counter(items)
+        top = max(((v, len(g)) for g, v in c.items()), default=(0, 0))
+        return (
+            len(items),
+            sum(v - 1 for v in c.values()),
+            sum(v * len(g) for g, v in c.items()),
+            sum((v - 1) * len(g) for g, v in c.items()),
+            top[0] * top[1],
+        )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(rows)), "items": rows})
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", dup_mass_stats(F.col("items")).alias("s")).collect()
+    }
+    for i, items in enumerate(rows):
+        s = got[i]
+        assert (
+            s["n"], s["n_dup"], s["total_mass"], s["dup_mass"], s["top_mass"]
+        ) == ref(items), (i, items, s)
+
+
 def test_incremental_dedup_cross_side_only(spark):
     """A batch doc copying a corpus doc is caught, a unique batch doc
     survives, and two near-identical BATCH docs never pair with each
@@ -686,6 +733,27 @@ def test_incremental_dedup_cross_side_only(spark):
         r["doc_id"] for r in dedup_new_against(batch, corpus, "doc_id", "text").collect()
     }
     assert 3 in survivors and 1 not in survivors
+
+    # the verified variant: at a threshold the exact copy genuinely clears,
+    # it still drops; at an unreachable threshold every LSH candidate is
+    # treated as a false positive and RE-ADMITTED (the recovery pass)
+    from ocr_model_spark.operators.dedup import dedup_new_against_verified
+
+    v_strict = {
+        r["doc_id"]
+        for r in dedup_new_against_verified(
+            batch, corpus, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert 1 not in v_strict and 3 in v_strict
+    v_all_fp = {
+        r["doc_id"]
+        for r in dedup_new_against_verified(
+            batch, corpus, "doc_id", "text", threshold=1.01
+        ).collect()
+    }
+    assert v_all_fp == {1, 2, 3}
+    assert survivors <= v_strict  # recovery only ever ADDS batch docs back
 
 
 def test_boilerplate_line_removal_byte_identity(spark):
