@@ -595,9 +595,11 @@ def token_budget_sample(
     """Per-language token-budget sampling — the corpus-mixing step of a
     training pipeline (FineWeb/DoReMi-style: each language/domain gets a
     token quota, not a document quota). Deterministic spec: every doc gets
-    ``lang`` (:func:`lang_id`), ``n_tokens`` (the canonical
-    ``normalized_words`` count — the same tokenization the dedup family
-    keys on), and a priority = md5-prefix stable hash of the STRING id;
+    ``lang`` (:func:`lang_id`), ``n_tokens``
+    (:func:`multilingual_token_count` — the normalized_words count plus
+    one token per CJK codepoint, so zh/ja/ko quotas fill at realistic
+    rates instead of ~0 tokens/doc), and a priority = md5-prefix stable
+    hash of the STRING id;
     docs are taken per language in (priority, id) order while the running
     token total BEFORE the doc is under the budget. The boundary doc is
     kept (simple, total rule: ``cum_before < budget``) so quotas overshoot
@@ -612,7 +614,7 @@ def token_budget_sample(
     scored = df.select(
         F.col(id_col).alias("id"),
         lang_id(F.col(text_col)).alias("lang"),
-        F.size(normalized_words(F.col(text_col))).cast("long").alias("n_tokens"),
+        multilingual_token_count(F.col(text_col)).alias("n_tokens"),
         stable_hash(F.col(id_col).cast("string")).alias("priority"),
     )
     w = (
@@ -663,6 +665,18 @@ def lang_confidence(text: Column) -> Column:
             F.round(credit[lang] / denom + 1e-9, 4),
         ).otherwise(result)
     return result
+
+
+def multilingual_token_count(text: Column) -> Column:
+    """Token count valid for whitespace-delimited AND unsegmented CJK
+    scripts: the ``normalized_words`` count (whose [^a-z0-9 ] strip
+    removes CJK codepoints entirely) plus ONE token per Han / kana /
+    Hangul codepoint — the standard rough 1-char≈1-token rule for
+    unsegmented scripts. Without the CJK term a Chinese document counts
+    ~0 tokens, so a per-language token budget would admit unbounded zh
+    docs (and length/quality ratios silently treat CJK text as empty)."""
+    cjk = _script_count(text, "".join(CJK_SCRIPTS[k] for k in CJK_PRIORITY))
+    return (F.size(normalized_words(text)) + cjk).cast("long")
 
 
 def ws_token_count(text: Column) -> Column:

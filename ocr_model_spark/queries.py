@@ -1054,6 +1054,13 @@ def q_token_budget_sample(spark, sf_dir):
     return X.token_budget_sample(d, 1500).orderBy("doc_id")
 
 
+def _cjk_class() -> str:
+    """The combined Han/kana/Hangul character class, generated from the
+    same CJK_SCRIPTS table the Spark side uses (multilingual_token_count
+    and the lang-ID vote)."""
+    return "".join(X.CJK_SCRIPTS[k] for k in X.CJK_PRIORITY)
+
+
 def _token_budget_sample_sql() -> str:
     return f"""
 WITH scored AS (
@@ -1063,7 +1070,9 @@ WITH scored AS (
     SELECT doc_id,
            {_lang_case_sql()} AS lang,
            CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),
-                                x -> x <> '')) AS BIGINT) AS n_tokens,
+                                x -> x <> ''))
+                + length(text) - length(regexp_replace(text, '[{_cjk_class()}]', '', 'g'))
+                AS BIGINT) AS n_tokens,
            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS priority
     FROM scored
 ), cum AS (

@@ -641,6 +641,38 @@ def test_gopher_repetition_matches_python_reference(spark):
     assert got[3]["rep_keep"] and not got[2]["rep_keep"]
 
 
+def test_multilingual_token_count_cjk(spark):
+    """CJK codepoints count one token each (normalized_words strips them
+    entirely — a zh doc previously counted ~0 tokens and a per-language
+    token budget admitted unbounded docs); mixed text adds both terms;
+    Latin-only counts are unchanged."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.textstats import multilingual_token_count
+
+    rows = {
+        1: ("hello brave new world", 4),
+        2: ("这是一个中文句子", 8),  # 8 Han chars
+        3: ("日本語のテキストです", 10),  # kanji + kana, 10 CJK codepoints
+        4: ("한국어 문장 입니다", 8),  # 8 Hangul syllables (spaces excluded)
+        5: ("mixed 中文 and english", 5),  # 3 latin words + 2 Han... and 'mixed'
+        6: ("", 0),
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(rows), "text": [t for t, _ in rows.values()]}
+        )
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", multilingual_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    want = {i: n for i, (_, n) in rows.items()}
+    assert got == want, (got, want)
+
+
 def test_dup_mass_fold_matches_counter_on_seeded_random_batch(spark):
     """The in-row sorted fold (textstats.dup_mass_stats) equals a
     Counter-based reference on 200 seeded-random string arrays in ONE
