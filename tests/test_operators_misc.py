@@ -641,6 +641,52 @@ def test_gopher_repetition_matches_python_reference(spark):
     assert got[3]["rep_keep"] and not got[2]["rep_keep"]
 
 
+def test_winnow_matches_python_reference_on_seeded_random_batch(spark):
+    """winnow_select == the pure-Python reference on 150 seeded-random
+    texts (tiny vocab forces gram collisions and min-hash ties) in ONE
+    Spark job, across two (k, w) configurations."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from ocr_model_spark.operators.dedup import (
+        gram_hashes,
+        normalized_words,
+        winnow_select,
+    )
+
+    rng = random.Random(17)
+    vocab = ["ab", "cd", "ef", "gh", "ij"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for _ in range(150)
+    ]
+
+    def py_winnow(text, k, w):
+        words = text.split()
+        grams = (
+            [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+            if len(words) >= k
+            else [" ".join(words)]
+        )
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        return sorted({min(hs[i : i + w]) for i in range(max(len(hs) - w, 0) + 1)})
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(texts)), "text": texts})
+    )
+    for k, w in ((3, 4), (2, 5)):
+        fps = (
+            docs.select("i", normalized_words(F.col("text")).alias("wd"))
+            .select("i", gram_hashes(F.col("wd"), k).alias("h"))
+            .select("i", winnow_select(F.col("h"), w).alias("fps"))
+        )
+        got = {r["i"]: list(r["fps"]) for r in fps.collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == py_winnow(t, k, w), (k, w, i, t)
+
+
 def test_multilingual_token_count_cjk(spark):
     """CJK codepoints count one token each (normalized_words strips them
     entirely — a zh doc previously counted ~0 tokens and a per-language
