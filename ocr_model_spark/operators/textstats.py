@@ -49,6 +49,9 @@ CJK_SCRIPTS = {
     "zh": "一-鿿",  # CJK Unified Ideographs (main block)
 }
 CJK_PRIORITY = ("ja", "ko", "zh")
+# the combined class, used by multilingual_token_count AND rendered into
+# the DuckDB oracles (queries._cjk_class) — one definition point
+CJK_ALL_CLASS = "".join(CJK_SCRIPTS[k] for k in CJK_PRIORITY)
 # one stray CJK codepoint inside Latin text must not flip the vote
 CJK_MIN_CHARS = 2
 _EN_STOPWORDS = LANG_MARKERS["en"] + ["for", "on", "with", "as", "this", "that"]
@@ -675,7 +678,7 @@ def multilingual_token_count(text: Column) -> Column:
     unsegmented scripts. Without the CJK term a Chinese document counts
     ~0 tokens, so a per-language token budget would admit unbounded zh
     docs (and length/quality ratios silently treat CJK text as empty)."""
-    cjk = _script_count(text, "".join(CJK_SCRIPTS[k] for k in CJK_PRIORITY))
+    cjk = _script_count(text, CJK_ALL_CLASS)
     return (F.size(normalized_words(text)) + cjk).cast("long")
 
 

@@ -653,20 +653,33 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
-def _minhash_sql() -> str:
-    mins = ",\n       ".join(
+def _minhash_mins() -> str:
+    """The 16 per-permutation MIN expressions over a `sids` CTE."""
+    return ",\n       ".join(
         f"MIN(({a} * sid + {b}) % {D.MERSENNE31}) AS mh{i}"
         for i, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
     )
+
+
+# sids over an in-scope `sh` CTE — shared by every minhash oracle builder
+_SQL_SIDS_CTE = """
+, sids AS (
+    SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) %% %d AS sid
+    FROM sh
+)"""
+
+
+def _sids_cte() -> str:
+    return _SQL_SIDS_CTE % D.MERSENNE31
+
+
+def _minhash_sql() -> str:
     return (
         _SQL_SHINGLES_CTE
+        + _sids_cte()
         + f"""
-, sids AS (
-    SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % {D.MERSENNE31} AS sid
-    FROM sh
-)
 SELECT doc_id,
-       {mins}
+       {_minhash_mins()}
 FROM sids GROUP BY doc_id ORDER BY doc_id
 """
     )
@@ -782,12 +795,14 @@ def q_incremental_dedup_verified(spark, sf_dir):
 
 
 def _incremental_dedup_verified_sql() -> str:
+    # sig derives from the SAME outer sh CTE the jaccard arithmetic uses —
+    # one tokenize+shingle pass, no nested shadowed copy
     bands = _band_rows_sql()
-    sig_sql = _minhash_sql().replace("ORDER BY doc_id", "")
     return (
         _SQL_SHINGLES_CTE
+        + _sids_cte()
         + f""",
-sig AS ({sig_sql}),
+sig AS (SELECT doc_id, {_minhash_mins()} FROM sids GROUP BY doc_id),
 banded AS ({bands}),
 cand AS (
     SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
@@ -1055,10 +1070,9 @@ def q_token_budget_sample(spark, sf_dir):
 
 
 def _cjk_class() -> str:
-    """The combined Han/kana/Hangul character class, generated from the
-    same CJK_SCRIPTS table the Spark side uses (multilingual_token_count
-    and the lang-ID vote)."""
-    return "".join(X.CJK_SCRIPTS[k] for k in X.CJK_PRIORITY)
+    """The combined Han/kana/Hangul character class — the SAME constant
+    the Spark side uses (textstats.CJK_ALL_CLASS)."""
+    return X.CJK_ALL_CLASS
 
 
 def _token_budget_sample_sql() -> str:
