@@ -453,6 +453,67 @@ def gopher_repetition_struct(text: Column) -> Column:
     return _let(text, body)
 
 
+# FineWeb custom filters (Penedo et al. 2024, "The FineWeb Datasets",
+# §3.3 — the three line-level heuristics developed on top of the
+# C4/Gopher batteries, thresholds as published)
+FINEWEB_SHORT_LINE_CHARS = 30
+FINEWEB_THRESHOLDS = {
+    "short_line_frac": ("<=", 0.67),  # drop when > 0.67 of lines are short
+    "dup_line_char_frac": ("<=", 0.01),  # drop when > 1% of chars duplicate
+    "terminal_punct_line_frac": (">=", 0.12),  # drop when < 12% end in punct
+}
+
+
+def fineweb_quality_struct(text: Column) -> Column:
+    """The three published FineWeb line-level heuristics as ONE
+    Generate-ready struct: the fraction of lines shorter than 30 chars
+    (<= 0.67 to keep), the character fraction of duplicated lines
+    (<= 0.01 — char mass of beyond-first occurrences over total line
+    mass, the ``dup_mass_stats`` ratio), and the fraction of lines ending
+    in C4 terminal punctuation (>= 0.12). ``fineweb_keep`` ANDs the three
+    rounded comparisons; fractions round 4 dp with the +1e-9 nudge so
+    both engines agree at thresholds. Line-less docs score 0 everywhere
+    and fail only the terminal-punctuation floor — matching the reference
+    pipeline, which drops empty pages. In-row only (one let-bound lines
+    array, one sorted fold) — project with ``F.inline(F.array(...))``."""
+
+    def body(t: Column) -> Column:
+        def with_lines(lns: Column) -> Column:
+            def with_dup(d: Column) -> Column:
+                n = F.size(lns)
+                short = F.size(
+                    F.filter(lns, lambda ln: F.length(ln) < FINEWEB_SHORT_LINE_CHARS)
+                )
+                punct = F.size(
+                    F.filter(
+                        lns, lambda ln: F.substring(ln, -1, 1).isin(*_C4_TERMINAL)
+                    )
+                )
+                short_frac = _rep_frac(short, n)
+                dup_frac = _rep_frac(d["dup_mass"], d["total_mass"])
+                punct_frac = _rep_frac(punct, n)
+                return F.struct(
+                    n.alias("n_lines"),
+                    short_frac.alias("short_line_frac"),
+                    dup_frac.alias("dup_line_char_frac"),
+                    punct_frac.alias("terminal_punct_line_frac"),
+                    (
+                        (short_frac <= FINEWEB_THRESHOLDS["short_line_frac"][1])
+                        & (dup_frac <= FINEWEB_THRESHOLDS["dup_line_char_frac"][1])
+                        & (
+                            punct_frac
+                            >= FINEWEB_THRESHOLDS["terminal_punct_line_frac"][1]
+                        )
+                    ).alias("fineweb_keep"),
+                )
+
+            return _let(dup_mass_stats(lns), with_dup)
+
+        return _let(_nonempty_lines(t), with_lines)
+
+    return _let(text, body)
+
+
 def _marker_hits(text: Column, markers: list[str]) -> Column:
     pattern = r"\b(" + "|".join(markers) + r")\b"
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))

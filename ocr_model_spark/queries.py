@@ -1641,6 +1641,77 @@ def _rep_frac_sql(name: str) -> str:
     )
 
 
+def q_fineweb_quality(spark, sf_dir):
+    """FineWeb custom filters (textstats.fineweb_quality_struct — Penedo
+    et al. 2024 §3.3) over multi-line text CONSTRUCTED in-plan on both
+    engines: a doc_id%2 'nav' short line flips the short-line fraction, a
+    doc_id%3 duplicated first line flips the duplicate-char fraction, and
+    a no-period closing line varies the terminal-punctuation ratio — every
+    rule and the keep bit fire both ways."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    l1 = F.concat(
+        F.substring(F.regexp_replace("text", r"\s+", " "), 1, 50),
+        F.lit(" and more."),
+    )
+    t = F.concat_ws(
+        "\n",
+        l1,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("nav")).otherwise(
+            F.lit("A complete sentence that is long enough to matter.")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, l1).otherwise(
+            F.lit("Unique closing line without period")
+        ),
+    )
+    return d.select(
+        "doc_id", F.inline(F.array(X.fineweb_quality_struct(t)))
+    ).orderBy("doc_id")
+
+
+_SQL_FINEWEB_QUALITY = r"""
+WITH made AS (
+    SELECT doc_id,
+           substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 50) || ' and more.' AS l1
+    FROM documents WHERE text IS NOT NULL
+), built AS (
+    SELECT doc_id,
+           l1 || chr(10)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'nav'
+                      ELSE 'A complete sentence that is long enough to matter.' END)
+             || chr(10)
+             || (CASE WHEN doc_id % 3 = 0 THEN l1
+                      ELSE 'Unique closing line without period' END) AS t
+    FROM made
+), lns AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS ls
+    FROM built
+), oc AS (SELECT doc_id, unnest(ls) AS it FROM lns),
+ct AS (SELECT doc_id, it, COUNT(*) AS c FROM oc GROUP BY 1, 2),
+dup AS (
+    SELECT doc_id, SUM(c * length(it)) AS tm, SUM((c - 1) * length(it)) AS dm
+    FROM ct GROUP BY doc_id
+), feats AS (
+    SELECT l.doc_id,
+           CAST(len(ls) AS INT) AS n_lines,
+           CASE WHEN len(ls) > 0
+                THEN ROUND(CAST(len(list_filter(ls, x -> length(x) < 30)) AS DOUBLE)
+                           / len(ls) + 1e-9, 4) ELSE 0.0 END AS short_line_frac,
+           CASE WHEN COALESCE(tm, 0) > 0
+                THEN ROUND(CAST(dm AS DOUBLE) / tm + 1e-9, 4) ELSE 0.0 END AS dup_line_char_frac,
+           CASE WHEN len(ls) > 0
+                THEN ROUND(CAST(len(list_filter(ls, x -> substr(x, length(x), 1) IN ('.', '!', '?', '"'))) AS DOUBLE)
+                           / len(ls) + 1e-9, 4) ELSE 0.0 END AS terminal_punct_line_frac
+    FROM lns l LEFT JOIN dup USING (doc_id)
+)
+SELECT doc_id, n_lines, short_line_frac, dup_line_char_frac, terminal_punct_line_frac,
+       (short_line_frac <= 0.67 AND dup_line_char_frac <= 0.01
+        AND terminal_punct_line_frac >= 0.12) AS fineweb_keep
+FROM feats ORDER BY doc_id
+"""
+
+
 def q_boilerplate_removal(spark, sf_dir):
     """Per-source frequency-based boilerplate line removal
     (dedup.boilerplate_line_removal) over multi-line text CONSTRUCTED
@@ -2812,6 +2883,8 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "boilerplate_removal": (q_boilerplate_removal, _SQL_BOILERPLATE_REMOVAL),
     # new r6: the repetition half of the Gopher filter (quality half above)
     "gopher_repetition": (q_gopher_repetition, _gopher_rep_sql()),
+    # new r6: the three published FineWeb line heuristics
+    "fineweb_quality": (q_fineweb_quality, _SQL_FINEWEB_QUALITY),
     # new r6: incremental crawl dedup — batch vs standing corpus, cross-
     # side LSH candidates only; _verified adds the exact-Jaccard
     # false-positive recovery pass

@@ -687,6 +687,50 @@ def test_winnow_matches_python_reference_on_seeded_random_batch(spark):
             assert got[i] == py_winnow(t, k, w), (k, w, i, t)
 
 
+def test_fineweb_quality_rule_isolation(spark):
+    """Each FineWeb rule fires alone: a clean doc keeps; a short-line doc
+    fails only short_line_frac; a duplicated-line doc fails only
+    dup_line_char_frac; an unpunctuated doc fails only the terminal floor;
+    an empty doc scores zeros and fails the punctuation floor."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.textstats import fineweb_quality_struct
+
+    long_p = "This is a perfectly reasonable long sentence here."
+    texts = {
+        1: "\n".join(
+            [
+                long_p,
+                "Another distinct sentence of respectable length follows.",
+                "The third and final line also ends with a period.",
+            ]
+        ),
+        2: "\n".join(["nav", "ok", "hi", long_p]),  # 3/4 short
+        3: "\n".join([long_p, long_p, "A different long closing line appears now."]),
+        4: "\n".join(
+            [
+                "A long line with no closing punctuation at all",
+                "Another long line that also just trails away",
+            ]
+        ),
+        5: "",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", F.inline(F.array(fineweb_quality_struct(F.col("text"))))
+        ).collect()
+    }
+    assert got[1]["fineweb_keep"] and got[1]["dup_line_char_frac"] == 0.0
+    assert got[2]["short_line_frac"] == 0.75 and not got[2]["fineweb_keep"]
+    assert got[3]["dup_line_char_frac"] > 0.01 and not got[3]["fineweb_keep"]
+    assert got[4]["terminal_punct_line_frac"] == 0.0 and not got[4]["fineweb_keep"]
+    assert got[5]["n_lines"] == 0 and not got[5]["fineweb_keep"]
+
+
 def test_multilingual_token_count_cjk(spark):
     """CJK codepoints count one token each (normalized_words strips them
     entirely — a zh doc previously counted ~0 tokens and a per-language
