@@ -686,6 +686,7 @@ def minhash_candidates(
     text_col: str,
     n: int = 3,
     max_bucket: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any (band_idx, band_key) bucket become a
     candidate pair. Returns distinct (id_a < id_b) pairs.
@@ -700,8 +701,12 @@ def minhash_candidates(
     pair count is quadratic per bucket, so at web scale run exact dedup
     first and cap here (the dropped buckets are already exact-dup groups).
     Default None = emit everything (exact LSH semantics; matches the SQL
-    oracle)."""
-    sig = minhash_signatures(df, id_col, text_col, n)
+    oracle).
+
+    ``sigs``: pass a precomputed :func:`minhash_signatures` frame to share
+    the tokenize+shingle+min pass with other consumers (the estimator,
+    the verifier) — the ``words=`` pattern from ``repetition_profile``."""
+    sig = sigs if sigs is not None else minhash_signatures(df, id_col, text_col, n)
     banded = sig.select("id", F.explode(F.array(*_band_structs())).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
@@ -716,6 +721,45 @@ def minhash_candidates(
         buckets.select(F.explode(_all_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
+    )
+
+
+def estimate_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Signature-agreement Jaccard estimate per candidate pair — the free
+    ranking/gating step a real pipeline runs BETWEEN LSH banding and exact
+    shingle verification: each of the 16 minhash components of two docs
+    agrees with probability equal to their true Jaccard, so the agreement
+    fraction is an unbiased estimate that costs two narrow joins (the
+    signatures already exist) instead of a shingle re-walk. Returns
+    ``(id_a, id_b, n_agree, est_jaccard)``; the estimate rounds 4 dp with
+    the +1e-9 nudge so both engines agree at gate thresholds.
+
+    Scale shape: the corpus-sized signature frame is semi-join-pruned to
+    candidate ids FIRST (the BM25 doc-length lesson — at 10^12 docs the
+    full frame can neither broadcast nor shuffle wide); both remaining
+    joins are candidate-scale."""
+    n = len(MINHASH_A)
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    pruned = sigs.join(ids, "id")
+    sa = pruned.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(n)]
+    )
+    sb = pruned.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(n)]
+    )
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    n_agree = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(n)
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        n_agree.alias("n_agree"),
+        F.round(n_agree / F.lit(float(n)) + 1e-9, 4).alias("est_jaccard"),
     )
 
 

@@ -77,6 +77,113 @@ def canonical_url(url: Column) -> Column:
     return F.regexp_replace(F.concat(base, q), r"[?&]+\z", "")
 
 
+# Embedded slice of the Public Suffix List — the suffixes that dominate
+# web crawls (generic TLDs, the common ccTLD second-level registries, and
+# the bare ccTLDs those registries live under). Production swaps in the
+# full published PSL the same way: a literal in-expression array (the
+# whole list is ~10k entries — still O(KB) in the plan and loop-free);
+# wildcard (*.ck) and exception (!www.ck) rules are intentionally not
+# modeled (rare; a full-PSL build would pre-expand them into this table).
+# The PSL default rule applies: a host whose tail matches NO entry treats
+# its last label as the public suffix.
+PUBLIC_SUFFIXES = (
+    # generic TLDs
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "co", "ai", "dev", "app", "xyz", "online", "site", "me", "tv",
+    # ccTLD second-level registries
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.br", "net.br", "org.br",
+    "co.in", "net.in", "org.in",
+    "co.kr", "or.kr", "co.nz", "org.nz",
+    "com.mx", "com.ar", "com.tr", "com.tw",
+    # bare ccTLDs
+    "uk", "de", "fr", "jp", "cn", "ru", "br", "in", "au", "ca", "it",
+    "nl", "es", "se", "pl", "ch", "at", "be", "dk", "fi", "no", "cz",
+    "kr", "nz", "mx", "ar", "tr", "tw", "us", "eu",
+)
+
+# IPv4 literal — PSL semantics never apply to addresses. \z not $ (Java's
+# $ matches before a trailing newline, RE2's does not).
+_IPV4_RE = r"^\d{1,3}(\.\d{1,3}){3}\z"
+
+
+def psl_struct(host: Column) -> Column:
+    """Public-suffix decomposition of a host as ONE struct
+    ``(host_norm, public_suffix, reg_domain)`` — the eTLD+1 operator a
+    crawl pipeline needs before any domain-level statistic (per-host
+    capping treats blog1.example.co.uk and blog2.example.co.uk as two
+    hosts; per-DOMAIN budgets, ownership dedup and contamination
+    blocklists all key on the registrable domain instead).
+
+    Semantics (PSL algorithm over the embedded table, longest match
+    wins): the host is lowercased and FQDN trailing dots stripped;
+    ``public_suffix`` is the longest table entry that equals the host or
+    is its dotted tail (default rule: the bare last label when nothing
+    matches); ``reg_domain`` is the suffix plus one label, or NULL when
+    the host IS a public suffix (nothing is registrable). IPv4 literals
+    short-circuit: NULL suffix, the address itself as reg_domain. Empty
+    host → NULL everywhere.
+
+    Scale shape: pure expressions end-to-end — the suffix table rides in
+    the plan, the match is an in-row HOF over ~70 entries, zero shuffle,
+    zero UDF. Every intermediate is let-bound (``dedup._let``) so the
+    lower/strip/split chain runs once per row no matter how Catalyst
+    collapses projections."""
+    from ocr_model_spark.operators.dedup import _let
+
+    table = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
+
+    def with_host(hv: Column) -> Column:
+        def with_labels(labels: Column) -> Column:
+            matched = F.filter(
+                table,
+                lambda s: (hv == s) | hv.endswith(F.concat(F.lit("."), s)),
+            )
+            best = F.aggregate(
+                matched,
+                F.lit(""),
+                lambda acc, x: F.when(F.length(x) > F.length(acc), x).otherwise(acc),
+            )
+
+            def with_best(b: Column) -> Column:
+                n = F.size(labels)
+                lcnt = F.when(b == "", F.lit(1)).otherwise(
+                    F.size(F.split(b, r"\."))
+                )
+                suffix = F.concat_ws(".", F.slice(labels, n - lcnt + 1, lcnt))
+                reg = F.when(
+                    n >= lcnt + 1,
+                    F.concat_ws(".", F.slice(labels, n - lcnt, lcnt + 1)),
+                ).otherwise(F.lit(None).cast("string"))
+                null_s = F.lit(None).cast("string")
+                return F.struct(
+                    F.when(hv == "", null_s).otherwise(hv).alias("host_norm"),
+                    F.when(hv == "", null_s)
+                    .when(hv.rlike(_IPV4_RE), null_s)
+                    .otherwise(suffix)
+                    .alias("public_suffix"),
+                    F.when(hv == "", null_s)
+                    .when(hv.rlike(_IPV4_RE), hv)
+                    .otherwise(reg)
+                    .alias("reg_domain"),
+                )
+
+            return _let(best, with_best)
+
+        return _let(F.split(hv, r"\."), with_labels)
+
+    h = F.regexp_replace(F.lower(host), r"\.+\z", "")
+    return _let(h, with_host)
+
+
+def registrable_domain(host: Column) -> Column:
+    """The eTLD+1 column alone (see :func:`psl_struct`)."""
+    return psl_struct(host)["reg_domain"]
+
+
 def cap_per_host(
     df: DataFrame,
     url_col: str = "url",

@@ -715,6 +715,40 @@ ORDER BY id_a, id_b
 """
 
 
+def q_minhash_est_jaccard(spark, sf_dir):
+    """Signature-agreement Jaccard estimates (dedup.estimate_jaccard) for
+    the corpus's LSH candidate pairs — ONE minhash_signatures frame
+    (lazily checkpointed) feeds both the banding and the estimator, so
+    the tokenize+shingle+min pass runs once."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text").localCheckpoint(eager=False)
+    pairs = D.minhash_candidates(d, "doc_id", "text", sigs=sigs)
+    return D.estimate_jaccard(pairs, sigs).orderBy("id_a", "id_b")
+
+
+def _minhash_est_jaccard_sql() -> str:
+    n = len(D.MINHASH_A)
+    bands = _band_rows_sql()
+    sig_sql = _minhash_sql().replace("ORDER BY doc_id", "")
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+WITH sig AS ({sig_sql}),
+banded AS ({bands}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST({agree} AS INT) AS n_agree,
+       ROUND(({agree}) / {n}.0 + 1e-9, 4) AS est_jaccard
+FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+ORDER BY id_a, id_b
+"""
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental crawl dedup (dedup.cross_corpus_candidates): the
     doc_id%5==0 slice plays the NEW batch, the rest the standing corpus;
@@ -1939,6 +1973,85 @@ FROM c5 GROUP BY u ORDER BY canonical_url
 """
 
 
+def q_registrable_domains(spark, sf_dir):
+    """Public-suffix (eTLD+1) decomposition (operators/urls.py::psl_struct)
+    over hosts CONSTRUCTED in-plan on both engines from doc_id — one
+    variant per doc covering every branch: generic TLD, ccTLD second-level
+    registry (co.uk / com.au), deep subdomain on a bare ccTLD, uppercase +
+    FQDN trailing dot, a host that IS a public suffix (NULL reg_domain),
+    an IPv4 literal (PSL bypass), and an unknown single label (the PSL
+    default rule)."""
+    from ocr_model_spark.operators.urls import psl_struct
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 37).cast("string")
+    ip = (F.col("doc_id") % 254 + 1).cast("string")
+    k = F.col("doc_id") % 8
+    host = (
+        F.when(k == 0, F.concat(F.lit("www.site"), m, F.lit(".example.com")))
+        .when(k == 1, F.concat(F.lit("blog.site"), m, F.lit(".co.uk")))
+        .when(k == 2, F.concat(F.lit("site"), m, F.lit(".com.au")))
+        .when(k == 3, F.concat(F.lit("Site"), m, F.lit(".Example.COM.")))
+        .when(k == 4, F.lit("co.uk"))
+        .when(k == 5, F.concat(F.lit("192.0.2."), ip))
+        .when(k == 6, F.lit("localhost"))
+        .otherwise(F.concat(F.lit("a.b.site"), m, F.lit(".de")))
+    )
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.inline(F.array(psl_struct(host))),
+    ).orderBy("doc_id")
+
+
+def _registrable_sql() -> str:
+    """DuckDB twin of psl_struct over the same constructed hosts — the
+    suffix table is rendered from the SAME operators/urls.py constant (no
+    hand copy), longest match via max_by(s, length(s)) (matched suffixes
+    of one host form a tail chain, so lengths are distinct and the argmax
+    deterministic)."""
+    from ocr_model_spark.operators.urls import PUBLIC_SUFFIXES
+
+    values = ", ".join(f"('{s}')" for s in PUBLIC_SUFFIXES)
+    return rf"""
+WITH built AS (
+    SELECT doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'www.site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+             WHEN 1 THEN 'blog.site' || CAST(doc_id % 37 AS VARCHAR) || '.co.uk'
+             WHEN 2 THEN 'site' || CAST(doc_id % 37 AS VARCHAR) || '.com.au'
+             WHEN 3 THEN 'Site' || CAST(doc_id % 37 AS VARCHAR) || '.Example.COM.'
+             WHEN 4 THEN 'co.uk'
+             WHEN 5 THEN '192.0.2.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+             WHEN 6 THEN 'localhost'
+             ELSE 'a.b.site' || CAST(doc_id % 37 AS VARCHAR) || '.de'
+           END AS host
+    FROM documents
+), norm AS (
+    SELECT doc_id, host, regexp_replace(lower(host), '\.+\z', '') AS h FROM built
+), sfx(s) AS (VALUES {values}),
+mt AS (
+    SELECT n.doc_id, COALESCE(max_by(s, length(s)), '') AS best
+    FROM norm n LEFT JOIN sfx ON (n.h = s OR ends_with(n.h, '.' || s))
+    GROUP BY n.doc_id
+), f AS (
+    SELECT n.doc_id, n.host, n.h, string_split(n.h, '.') AS ls,
+           CASE WHEN best = '' THEN 1 ELSE len(string_split(best, '.')) END AS L
+    FROM norm n JOIN mt USING (doc_id)
+)
+SELECT doc_id, host,
+       CASE WHEN h = '' THEN NULL ELSE h END AS host_norm,
+       CASE WHEN h = '' THEN NULL
+            WHEN regexp_matches(h, '^\d{{1,3}}(\.\d{{1,3}}){{3}}\z') THEN NULL
+            ELSE array_to_string(ls[len(ls)-L+1:len(ls)], '.') END AS public_suffix,
+       CASE WHEN h = '' THEN NULL
+            WHEN regexp_matches(h, '^\d{{1,3}}(\.\d{{1,3}}){{3}}\z') THEN h
+            WHEN len(ls) >= L + 1 THEN array_to_string(ls[len(ls)-L:len(ls)], '.')
+            ELSE NULL END AS reg_domain
+FROM f ORDER BY doc_id
+"""
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition metrics per document (duplicate-content
     quality filters: distinct-word / top-word / top-bigram fractions),
@@ -2885,6 +2998,10 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "gopher_repetition": (q_gopher_repetition, _gopher_rep_sql()),
     # new r6: the three published FineWeb line heuristics
     "fineweb_quality": (q_fineweb_quality, _SQL_FINEWEB_QUALITY),
+    # new r6: public-suffix eTLD+1 decomposition (domain-level budgets)
+    "registrable_domains": (q_registrable_domains, _registrable_sql()),
+    # new r6: free signature-agreement gate between LSH and exact verify
+    "minhash_est_jaccard": (q_minhash_est_jaccard, _minhash_est_jaccard_sql()),
     # new r6: incremental crawl dedup — batch vs standing corpus, cross-
     # side LSH candidates only; _verified adds the exact-Jaccard
     # false-positive recovery pass

@@ -1218,3 +1218,87 @@ def test_gopher_quality_rule_semantics(spark):
     assert got[6]["gopher_keep"] is False and got[6]["alpha_word_frac"] < 0.8
     # stopword rule: the good doc hits >= 2 distinct Gopher stop words
     assert got[1]["n_stop_hits"] >= 2
+
+
+def test_psl_struct_branches(spark):
+    """Public-suffix decomposition hits every branch: generic TLD,
+    second-level registry (longest match beats the bare ccTLD), FQDN
+    trailing dot + case folding, host-is-a-suffix (NULL reg_domain),
+    IPv4 bypass, the PSL default rule for an unknown TLD, and the empty
+    host."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.urls import psl_struct
+
+    hosts = [
+        "www.example.com",
+        "blog.x.co.uk",
+        "Example.COM.",
+        "co.uk",
+        "192.0.2.7",
+        "localhost",
+        "",
+        "foo.unknowntld",
+        "a.b.site.de",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(hosts)), "host": hosts})
+    )
+    got = {
+        r["i"]: r
+        for r in docs.select(
+            "i", F.inline(F.array(psl_struct(F.col("host"))))
+        ).collect()
+    }
+    expect = {
+        0: ("www.example.com", "com", "example.com"),
+        1: ("blog.x.co.uk", "co.uk", "x.co.uk"),
+        2: ("example.com", "com", "example.com"),
+        3: ("co.uk", "co.uk", None),
+        4: ("192.0.2.7", None, "192.0.2.7"),
+        5: ("localhost", "localhost", None),
+        6: (None, None, None),
+        7: ("foo.unknowntld", "unknowntld", "foo.unknowntld"),
+        8: ("a.b.site.de", "de", "site.de"),
+    }
+    for i, (hn, sfx, reg) in expect.items():
+        assert got[i]["host_norm"] == hn, (i, got[i])
+        assert got[i]["public_suffix"] == sfx, (i, got[i])
+        assert got[i]["reg_domain"] == reg, (i, got[i])
+
+
+def test_estimate_jaccard_matches_python_signatures(spark):
+    """The signature-agreement estimate equals the pure-Python kernel's
+    component-wise agreement count: identical docs estimate 1.0, near
+    docs a high fraction, unrelated docs a low one."""
+    import pandas as pd
+
+    from ocr_model_spark.kernels.minhash import minhash_signature
+    from ocr_model_spark.operators.dedup import estimate_jaccard, minhash_signatures
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy cat again and again",
+        3: "completely different content about spark query engines at scale",
+        4: "the quick brown fox jumps over the lazy dog again and again",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 1, 1], "id_b": [2, 3, 4]})
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r for r in estimate_jaccard(pairs, sigs).collect()
+    }
+    assert len(got) == 3
+    for (a, b), r in got.items():
+        exp = sum(
+            x == y
+            for x, y in zip(minhash_signature(texts[a]), minhash_signature(texts[b]))
+        )
+        assert r["n_agree"] == exp, (a, b, r)
+        assert abs(r["est_jaccard"] - round(exp / 16 + 1e-9, 4)) < 1e-12
+    assert got[(1, 4)]["n_agree"] == 16 and got[(1, 4)]["est_jaccard"] == 1.0
+    assert got[(1, 3)]["n_agree"] < got[(1, 2)]["n_agree"]
