@@ -559,6 +559,77 @@ def lang_id(text: Column) -> Column:
     return result
 
 
+def hashed_linear_score(
+    df,
+    weights,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    round_to: int = 4,
+):
+    """fastText-style hashed bag-of-words linear scorer — the model-based
+    quality-filter tier (DCLM and FineWeb-Edu run a small classifier over
+    every crawl document and keep the top fraction; the heuristic
+    batteries only gate what this ranks). ``weights`` is a ``(b, weight)``
+    DataFrame — in production the exported classifier vector loaded as a
+    table; features are hashed unigram buckets
+    ``pmod(stable_hash(token), n_buckets)``. Per doc:
+
+      score = (Σ_t weight[bucket(t)]) / n_tokens      (mean pooling)
+      prob  = sigmoid(score), computed FROM the rounded score
+      keep  = rounded score ≥ 0
+
+    Docs with zero tokens produce no row (nothing to pool) — compose with
+    a left join when totality is needed. Cross-engine determinism: the
+    dot product folds (b, c·w) structs sorted by bucket (doubles add in
+    one fixed order), score/prob round with the +1e-9 nudge, and the
+    sigmoid exps the ALREADY-ROUNDED score so both engines transcend the
+    same input.
+
+    Plan shape (the 10^12 one): ONE (id, bucket, c) combining groupBy
+    from the shared tokenizer, the ≤ n_buckets-row weight table broadcast
+    back, one per-doc fold. Nothing scales with corpus × buckets, no UDF,
+    no count-distinct."""
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.dedup import stable_hash, words_frame
+
+    worded = words_frame(df, id_col, text_col).filter(
+        F.col("w").isNotNull() & (F.size("w") > 0)
+    )
+    bc = (
+        worded.select("id", F.explode("w").alias("t"))
+        .select("id", F.pmod(stable_hash(F.col("t")), F.lit(n_buckets)).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    joined = bc.join(F.broadcast(weights), "b", "left").withColumn(
+        "weight", F.coalesce("weight", F.lit(0.0))
+    )
+    per_doc = joined.groupBy(F.col("id").alias(id_col)).agg(
+        F.sum("c").alias("n_tokens"),
+        F.collect_list(
+            F.struct("b", (F.col("c") * F.col("weight")).alias("x"))
+        ).alias("bx"),
+    )
+    score = F.round(
+        F.aggregate(F.sort_array("bx"), F.lit(0.0), lambda acc, e: acc + e["x"])
+        / F.col("n_tokens")
+        + 1e-9,
+        round_to,
+    )
+    scored = per_doc.select(id_col, "n_tokens", score.alias("score"))
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "score",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))) + 1e-9, round_to).alias(
+            "prob"
+        ),
+        (F.col("score") >= 0.0).alias("clf_keep"),
+    )
+
+
 def dsir_importance(
     df,
     target,

@@ -1746,6 +1746,60 @@ FROM feats ORDER BY doc_id
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring (textstats.hashed_linear_score — the
+    DCLM / FineWeb-Edu classifier tier): a 256-bucket hashed-unigram
+    linear model whose weight vector is CONSTRUCTED deterministically
+    in-plan on both engines (md5-derived pseudo-weights in [-1, 1] —
+    production loads an exported classifier the same way: a broadcast
+    (bucket, weight) table); per doc the mean-pooled score, sigmoid
+    probability, and keep bit."""
+    from ocr_model_spark.operators.dedup import stable_hash
+
+    n_buckets = 256
+    w = spark.range(n_buckets).select(
+        F.col("id").alias("b"),
+        F.round(
+            F.pmod(stable_hash(F.col("id").cast("string")), F.lit(2001)) / 1000.0
+            - 1.0,
+            6,
+        ).alias("weight"),
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return X.hashed_linear_score(d, w, n_buckets=n_buckets).orderBy("doc_id")
+
+
+_SQL_QUALITY_CLASSIFIER = r"""
+WITH wt AS (
+    SELECT b,
+           ROUND(CAST(CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 2001 AS DOUBLE)
+                 / 1000.0 - 1.0, 6) AS weight
+    FROM range(256) t(b)
+), wds AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents WHERE text IS NOT NULL
+), tk AS (SELECT doc_id, unnest(w) AS t FROM wds WHERE len(w) > 0),
+bc AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 256 AS b,
+           COUNT(*) AS c
+    FROM tk GROUP BY 1, 2
+), agg AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           list_sum(list(c * COALESCE(weight, 0.0) ORDER BY bc.b)) AS s
+    FROM bc LEFT JOIN wt ON bc.b = wt.b GROUP BY doc_id
+), sc AS (
+    SELECT doc_id, n_tokens, ROUND(s / n_tokens + 1e-9, 4) AS score FROM agg
+)
+SELECT doc_id, n_tokens, score,
+       ROUND(1.0 / (1.0 + exp(-score)) + 1e-9, 4) AS prob,
+       score >= 0.0 AS clf_keep
+FROM sc ORDER BY doc_id
+"""
+
+
 def q_boilerplate_removal(spark, sf_dir):
     """Per-source frequency-based boilerplate line removal
     (dedup.boilerplate_line_removal) over multi-line text CONSTRUCTED
@@ -3002,6 +3056,8 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "registrable_domains": (q_registrable_domains, _registrable_sql()),
     # new r6: free signature-agreement gate between LSH and exact verify
     "minhash_est_jaccard": (q_minhash_est_jaccard, _minhash_est_jaccard_sql()),
+    # new r6: model-based quality scoring (hashed linear classifier tier)
+    "quality_classifier": (q_quality_classifier, _SQL_QUALITY_CLASSIFIER),
     # new r6: incremental crawl dedup — batch vs standing corpus, cross-
     # side LSH candidates only; _verified adds the exact-Jaccard
     # false-positive recovery pass

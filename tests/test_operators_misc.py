@@ -1302,3 +1302,50 @@ def test_estimate_jaccard_matches_python_signatures(spark):
         assert abs(r["est_jaccard"] - round(exp / 16 + 1e-9, 4)) < 1e-12
     assert got[(1, 4)]["n_agree"] == 16 and got[(1, 4)]["est_jaccard"] == 1.0
     assert got[(1, 3)]["n_agree"] < got[(1, 2)]["n_agree"]
+
+
+def test_hashed_linear_score_hand_computed(spark):
+    """The classifier pools exactly: a doc whose only weighted bucket is
+    'spark' (weight 2.0, twice in 4 tokens) scores 1.0 → prob 0.7311;
+    an all-zero-weight doc scores 0.0 and keeps (>= 0); a negatively
+    weighted doc drops; a punctuation-only doc yields no row."""
+    import math
+
+    import pandas as pd
+
+    from ocr_model_spark.kernels.minhash import stable_hash32
+    from ocr_model_spark.operators.textstats import hashed_linear_score
+
+    n_buckets = 64
+    texts = {
+        1: "spark spark is great",
+        2: "neutral words only here",
+        3: "bad bad bad mild",
+        4: "?!...",
+    }
+    wmap = {
+        stable_hash32("spark") % n_buckets: 2.0,
+        stable_hash32("bad") % n_buckets: -1.0,
+    }
+    # the weighted buckets must not collide with any other token's bucket
+    others = {
+        stable_hash32(t) % n_buckets
+        for t in "is great neutral words only here mild".split()
+    }
+    assert not (set(wmap) & others)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    w = spark.createDataFrame(
+        pd.DataFrame({"b": list(wmap), "weight": list(wmap.values())})
+    )
+    got = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(docs, w, n_buckets=n_buckets).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_tokens"] == 4 and got[1]["score"] == 1.0
+    assert got[1]["prob"] == round(1.0 / (1.0 + math.exp(-1.0)) + 1e-9, 4)
+    assert got[1]["clf_keep"] is True
+    assert got[2]["score"] == 0.0 and got[2]["clf_keep"] is True
+    assert got[3]["score"] == -0.75 and got[3]["clf_keep"] is False
