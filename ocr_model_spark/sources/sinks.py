@@ -328,3 +328,72 @@ def write_rows_xlsx(rows: DataFrame, path: str, max_rows: int = XLSX_MAX_ROWS) -
     with open(path, "wb") as f:
         f.write(_xlsx_bytes(list(cols), data))
     return len(data)
+
+
+# ------------------------------------------- training-data shard export
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Training-data export: JSONL shards plus a deterministic manifest —
+    the OUTPUT stage of a corpus pipeline (trainers consume fixed shard
+    lists; reproducibility means the same input set must always produce
+    the same shards with the same content).
+
+    Shard assignment is ``pmod(xxhash64(id), n_shards)`` — a pure
+    function of the row (house determinism rule: never rand()), so
+    re-exports land every document in the same shard and two exports of
+    the same set diff clean. Rows sort by id within each shard partition,
+    making file CONTENT deterministic, not just membership.
+
+    The manifest records per-shard row counts and an order-free
+    ``bit_xor`` fingerprint of the md5-prefix id hashes (xor, not sum —
+    sum(long) overflows under ANSI), cheap for a consumer to recompute
+    and verify. No wall-clock anywhere (committed-artifact rule).
+
+    Scale shape: ONE hash repartition on the uniform shard key (no skew
+    by construction), a bounded ≤ n_shards-row aggregate for the
+    manifest; ``max_records_per_file`` caps file sizes for object-store
+    friendliness without extra shuffles."""
+    import json
+    import os
+
+    from ocr_model_spark.operators.dedup import stable_hash
+
+    sid = F.col(id_col).cast("string")
+    sharded = docs.withColumn("shard", F.pmod(F.xxhash64(sid), F.lit(n_shards)))
+    writer = (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.json(out_dir)
+    stats = (
+        sharded.withColumn("_h", stable_hash(sid))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.expr("bit_xor(_h)").alias("fingerprint"))
+        .orderBy("shard")
+        .collect()  # bounded: <= n_shards rows
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "total_docs": int(sum(r["n_docs"] for r in stats)),
+        "shards": {
+            str(r["shard"]): {
+                "n_docs": int(r["n_docs"]),
+                "fingerprint": int(r["fingerprint"]),
+            }
+            for r in stats
+        },
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True, indent=2)
+    return manifest

@@ -267,3 +267,42 @@ def test_boilerplate_removal_plan_shape(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Generate inline" in optimized, optimized
+
+
+def test_registrable_domains_plan_pure_expressions(spark):
+    """psl_struct is in-row only: the suffix table rides the plan as a
+    literal array — no Join of any kind, no Python stage, and the
+    decomposition sits behind one Generate (inline of the struct)."""
+    from ocr_model_spark.queries import q_registrable_domains
+
+    df = q_registrable_domains(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert node not in plan, f"{node} leaked into the PSL plan"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate inline" in optimized, optimized
+
+
+def test_estimate_jaccard_plan_prunes_sig_frame(spark):
+    """The estimator touches the corpus-sized signature frame only through
+    the candidate-id semi-prune (the BM25 doc-length shape): exactly four
+    equi-joins in the optimized plan — the prune join materialized once
+    per consumed side (2) plus the two candidate-scale signature joins.
+    Without the prune the plan has two joins and ships the full frame."""
+    import re
+
+    from ocr_model_spark.queries import q_minhash_est_jaccard
+
+    df = q_minhash_est_jaccard(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = len(re.findall(r"\bJoin\b", optimized))
+    assert n_joins == 4, f"expected the pruned 4-join shape, got {n_joins}:\n{optimized}"

@@ -184,3 +184,48 @@ def test_annotated_pdf_sink_enforces_cap(spark, tmp_path):
     toks = derived_tokens(spark, "/root/testdata/sf0.001")
     with _pytest.raises(ValueError, match="exceeds"):
         write_annotated_pdfs(toks, str(tmp_path / "x"), max_docs=3)
+
+
+def test_training_shard_export_deterministic(spark, tmp_path):
+    """The shard export is a pure function of the input set: same docs →
+    identical manifest twice; shard membership is the xxhash64 rule;
+    counts sum to the corpus; the JSONL roundtrip recovers every doc id
+    in its assigned shard."""
+    import json
+
+    from ocr_model_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_training_shards(docs, out1, n_shards=8)
+    m2 = write_training_shards(docs, out2, n_shards=8)
+    assert m1 == m2  # determinism across runs
+    assert m1["total_docs"] == docs.count()
+    assert sum(s["n_docs"] for s in m1["shards"].values()) == m1["total_docs"]
+    with open(f"{out1}/_manifest.json") as f:
+        assert json.load(f) == m1
+
+    back = spark.read.json(out1)
+    assert back.count() == m1["total_docs"]
+    # membership: every row sits in its xxhash64 shard
+    bad = back.filter(
+        F.col("shard")
+        != F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(8))
+    ).count()
+    assert bad == 0
+    # file content determinism: same bytes for the same shard across runs
+    import glob as g
+    import hashlib
+
+    def shard_digest(out, shard):
+        parts = sorted(g.glob(f"{out}/shard={shard}/part-*"))
+        h = hashlib.md5()
+        for p in parts:
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()
+
+    for s in m1["shards"]:
+        assert shard_digest(out1, s) == shard_digest(out2, s)
