@@ -184,6 +184,77 @@ def registrable_domain(host: Column) -> Column:
     return psl_struct(host)["reg_domain"]
 
 
+# RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1 + App. G run a
+# domain blocklist and a weighted URL-word score before ANY content
+# processing — rejecting by URL is the cheapest filter in the pipeline).
+# Deterministic stand-in lists; production swaps in the curated blocklist
+# (~4.6M domains in the paper) loaded as a broadcast table the same way.
+URL_BLOCKLIST = ("badsite.example", "spam-mill.net", "tracker.co.uk")
+# fixed ORDER matters: both engines sum the weights left-to-right
+URL_SCORE_WORDS = (
+    ("casino", 1.0),
+    ("escort", 1.0),
+    ("adult", 1.0),
+    ("poker", 0.5),
+    ("pills", 0.5),
+    ("webcam", 0.5),
+)
+URL_SCORE_THRESHOLD = 1.0
+
+
+def url_filter_struct(url: Column) -> Column:
+    """URL-level keep/drop verdict as ONE struct ``(host, domain_blocked,
+    url_word_score, url_keep)`` — the zero-content-cost front gate of a
+    crawl pipeline. ``domain_blocked``: the host equals or is a subdomain
+    of a blocklist entry (standard blocklist semantics — sub.bad.example
+    is as blocked as bad.example). ``url_word_score``: the weighted sum
+    of flagged words appearing anywhere in the lowercased url, rounded
+    2 dp with the +1e-9 nudge. ``url_keep`` = not blocked AND score under
+    the threshold.
+
+    Pure expressions: blocklist and word table ride the plan as literals,
+    matching is an in-row fold, zero shuffle/UDF; the lowercased url and
+    host are let-bound so the regex runs once per row under any plan
+    shape."""
+    from functools import reduce
+
+    from ocr_model_spark.operators.dedup import _let
+
+    table = F.array(*[F.lit(d) for d in URL_BLOCKLIST])
+
+    def with_lower(lo: Column) -> Column:
+        score = F.round(
+            reduce(
+                lambda acc, wt: acc
+                + F.when(lo.contains(wt[0]), F.lit(wt[1])).otherwise(F.lit(0.0)),
+                URL_SCORE_WORDS,
+                F.lit(0.0),
+            )
+            + 1e-9,
+            2,
+        )
+
+        def with_host(hv: Column) -> Column:
+            blocked = F.exists(
+                table,
+                lambda d: (hv == d) | hv.endswith(F.concat(F.lit("."), d)),
+            )
+
+            def with_score(sc: Column) -> Column:
+                return F.struct(
+                    hv.alias("host"),
+                    blocked.alias("domain_blocked"),
+                    sc.alias("url_word_score"),
+                    (~blocked & (sc < URL_SCORE_THRESHOLD)).alias("url_keep"),
+                )
+
+            return _let(score, with_score)
+
+        return _let(F.regexp_extract(lo, URL_HOST_RE, 1), with_host)
+
+    return _let(F.lower(url), with_lower)
+
+
 def cap_per_host(
     df: DataFrame,
     url_col: str = "url",

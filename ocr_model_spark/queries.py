@@ -2106,6 +2106,78 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_url_filter_verdict(spark, sf_dir):
+    """RefinedWeb-style URL front gate (operators/urls.py::url_filter_struct)
+    over urls CONSTRUCTED in-plan on both engines: a clean article url, a
+    flagged-word path over threshold, one under threshold, a blocklisted
+    domain, a mixed-case SUBDOMAIN of a blocklist entry, and a two-word
+    path that sums over — every branch of blocked/score/keep fires both
+    ways."""
+    from ocr_model_spark.operators.urls import url_filter_struct
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 37).cast("string")
+    i = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 6
+    url = (
+        F.when(k == 0, F.concat(F.lit("https://news.site"), m, F.lit(".com/articles/"), i))
+        .when(k == 1, F.concat(F.lit("https://fun.site"), m, F.lit(".com/casino/poker-night")))
+        .when(k == 2, F.concat(F.lit("https://shop.site"), m, F.lit(".com/health/pills-review")))
+        .when(k == 3, F.concat(F.lit("https://cdn.badsite.example/assets/"), i))
+        .when(k == 4, F.concat(F.lit("https://Sub.Tracker.CO.UK/pixel?u="), i))
+        .otherwise(F.concat(F.lit("https://video.site"), m, F.lit(".com/webcam-adult-chat")))
+    )
+    return d.select(
+        "doc_id", url.alias("url"), F.inline(F.array(url_filter_struct(url)))
+    ).orderBy("doc_id")
+
+
+def _url_filter_sql() -> str:
+    """DuckDB twin of url_filter_struct — blocklist OR-chain and the
+    FIXED-ORDER weighted word sum rendered from the SAME urls.py
+    constants."""
+    from ocr_model_spark.operators.urls import (
+        URL_BLOCKLIST,
+        URL_HOST_RE,
+        URL_SCORE_THRESHOLD,
+        URL_SCORE_WORDS,
+    )
+
+    blocked = " OR ".join(
+        f"(host = '{d}' OR ends_with(host, '.{d}'))" for d in URL_BLOCKLIST
+    )
+    score = " + ".join(
+        f"(CASE WHEN contains(lo, '{w}') THEN {wt} ELSE 0.0 END)"
+        for w, wt in URL_SCORE_WORDS
+    )
+    return f"""
+WITH built AS (
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'https://news.site' || CAST(doc_id % 37 AS VARCHAR) || '.com/articles/' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'https://fun.site' || CAST(doc_id % 37 AS VARCHAR) || '.com/casino/poker-night'
+             WHEN 2 THEN 'https://shop.site' || CAST(doc_id % 37 AS VARCHAR) || '.com/health/pills-review'
+             WHEN 3 THEN 'https://cdn.badsite.example/assets/' || CAST(doc_id AS VARCHAR)
+             WHEN 4 THEN 'https://Sub.Tracker.CO.UK/pixel?u=' || CAST(doc_id AS VARCHAR)
+             ELSE 'https://video.site' || CAST(doc_id % 37 AS VARCHAR) || '.com/webcam-adult-chat'
+           END AS url
+    FROM documents
+), h AS (
+    SELECT doc_id, url, lower(url) AS lo,
+           regexp_extract(lower(url), '{URL_HOST_RE}', 1) AS host
+    FROM built
+), v AS (
+    SELECT doc_id, url, host,
+           ({blocked}) AS domain_blocked,
+           ROUND({score} + 1e-9, 2) AS url_word_score
+    FROM h
+)
+SELECT doc_id, url, host, domain_blocked, url_word_score,
+       (NOT domain_blocked) AND (url_word_score < {URL_SCORE_THRESHOLD}) AS url_keep
+FROM v ORDER BY doc_id
+"""
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition metrics per document (duplicate-content
     quality filters: distinct-word / top-word / top-bigram fractions),
@@ -3058,6 +3130,8 @@ DEMOTED_SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "minhash_est_jaccard": (q_minhash_est_jaccard, _minhash_est_jaccard_sql()),
     # new r6: model-based quality scoring (hashed linear classifier tier)
     "quality_classifier": (q_quality_classifier, _SQL_QUALITY_CLASSIFIER),
+    # new r6: RefinedWeb URL front gate (blocklist + weighted word score)
+    "url_filter_verdict": (q_url_filter_verdict, _url_filter_sql()),
     # new r6: incremental crawl dedup — batch vs standing corpus, cross-
     # side LSH candidates only; _verified adds the exact-Jaccard
     # false-positive recovery pass

@@ -1349,3 +1349,34 @@ def test_hashed_linear_score_hand_computed(spark):
     assert got[1]["clf_keep"] is True
     assert got[2]["score"] == 0.0 and got[2]["clf_keep"] is True
     assert got[3]["score"] == -0.75 and got[3]["clf_keep"] is False
+
+
+def test_url_filter_struct_branches(spark):
+    """URL front gate: clean keeps; blocklisted domain AND its subdomains
+    drop regardless of score; word weights sum in fixed order (1.0+0.5
+    over threshold drops, lone 0.5 keeps); matching is case-insensitive."""
+    import pandas as pd
+
+    from ocr_model_spark.operators.urls import url_filter_struct
+
+    urls = [
+        "https://news.ok.com/articles/1",
+        "https://fun.x.com/casino/poker-night",
+        "https://shop.y.com/health/pills-review",
+        "https://cdn.badsite.example/assets/2",
+        "https://Sub.Tracker.CO.UK/pixel",
+        "https://tracker.co.uk.evil.com/",  # NOT blocked: prefix, not suffix
+    ]
+    docs = spark.createDataFrame(pd.DataFrame({"i": range(len(urls)), "url": urls}))
+    got = {
+        r["i"]: r
+        for r in docs.select(
+            "i", F.inline(F.array(url_filter_struct(F.col("url"))))
+        ).collect()
+    }
+    assert got[0]["url_keep"] and got[0]["url_word_score"] == 0.0
+    assert got[1]["url_word_score"] == 1.5 and not got[1]["url_keep"]
+    assert got[2]["url_word_score"] == 0.5 and got[2]["url_keep"]
+    assert got[3]["domain_blocked"] and not got[3]["url_keep"]
+    assert got[4]["domain_blocked"] and got[4]["host"] == "sub.tracker.co.uk"
+    assert not got[5]["domain_blocked"] and got[5]["url_keep"]
