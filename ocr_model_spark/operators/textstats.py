@@ -458,9 +458,9 @@ def gopher_repetition_struct(text: Column) -> Column:
 # C4/Gopher batteries, thresholds as published)
 FINEWEB_SHORT_LINE_CHARS = 30
 FINEWEB_THRESHOLDS = {
-    "short_line_frac": ("<=", 0.67),  # drop when > 0.67 of lines are short
-    "dup_line_char_frac": ("<=", 0.01),  # drop when > 1% of chars duplicate
-    "terminal_punct_line_frac": (">=", 0.12),  # drop when < 12% end in punct
+    "short_line_frac": 0.67,  # keep when <= (drop: too many short lines)
+    "dup_line_char_frac": 0.01,  # keep when <= (drop: >1% duplicated chars)
+    "terminal_punct_line_frac": 0.12,  # keep when >= (drop: unpunctuated)
 }
 
 
@@ -498,11 +498,11 @@ def fineweb_quality_struct(text: Column) -> Column:
                     dup_frac.alias("dup_line_char_frac"),
                     punct_frac.alias("terminal_punct_line_frac"),
                     (
-                        (short_frac <= FINEWEB_THRESHOLDS["short_line_frac"][1])
-                        & (dup_frac <= FINEWEB_THRESHOLDS["dup_line_char_frac"][1])
+                        (short_frac <= FINEWEB_THRESHOLDS["short_line_frac"])
+                        & (dup_frac <= FINEWEB_THRESHOLDS["dup_line_char_frac"])
                         & (
                             punct_frac
-                            >= FINEWEB_THRESHOLDS["terminal_punct_line_frac"][1]
+                            >= FINEWEB_THRESHOLDS["terminal_punct_line_frac"]
                         )
                     ).alias("fineweb_keep"),
                 )

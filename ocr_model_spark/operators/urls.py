@@ -250,7 +250,7 @@ def url_filter_struct(url: Column) -> Column:
 
             return _let(score, with_score)
 
-        return _let(F.regexp_extract(lo, URL_HOST_RE, 1), with_host)
+        return _let(url_host(lo), with_host)
 
     return _let(F.lower(url), with_lower)
 

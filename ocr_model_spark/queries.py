@@ -1761,7 +1761,8 @@ def q_quality_classifier(spark, sf_dir):
         F.col("id").alias("b"),
         F.round(
             F.pmod(stable_hash(F.col("id").cast("string")), F.lit(2001)) / 1000.0
-            - 1.0,
+            - 1.0
+            + 1e-9,
             6,
         ).alias("weight"),
     )
@@ -1773,7 +1774,7 @@ _SQL_QUALITY_CLASSIFIER = r"""
 WITH wt AS (
     SELECT b,
            ROUND(CAST(CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 2001 AS DOUBLE)
-                 / 1000.0 - 1.0, 6) AS weight
+                 / 1000.0 - 1.0 + 1e-9, 6) AS weight
     FROM range(256) t(b)
 ), wds AS (
     SELECT doc_id,

@@ -361,39 +361,76 @@ def write_training_shards(
     manifest; ``max_records_per_file`` caps file sizes for object-store
     friendliness without extra shuffles."""
     import json
-    import os
 
     from ocr_model_spark.operators.dedup import stable_hash
 
+    if "shard" in docs.columns:
+        raise ValueError(
+            "input already has a 'shard' column — rename it; the exporter "
+            "writes its own hash-derived shard key"
+        )
     sid = F.col(id_col).cast("string")
-    sharded = docs.withColumn("shard", F.pmod(F.xxhash64(sid), F.lit(n_shards)))
-    writer = (
-        sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", id_col)
-        .write.mode("overwrite")
-        .partitionBy("shard")
-    )
-    if max_records_per_file is not None:
-        writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.json(out_dir)
-    stats = (
-        sharded.withColumn("_h", stable_hash(sid))
-        .groupBy("shard")
-        .agg(F.count("*").alias("n_docs"), F.expr("bit_xor(_h)").alias("fingerprint"))
-        .orderBy("shard")
-        .collect()  # bounded: <= n_shards rows
-    )
+    sharded = docs.withColumn(
+        "shard", F.pmod(F.xxhash64(sid), F.lit(n_shards))
+    ).persist()  # ONE input scan feeds both the write and the manifest agg
+    try:
+        writer = (
+            sharded.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", id_col)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+        )
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.json(out_dir)
+        stats = (
+            sharded.withColumn("_h", stable_hash(sid))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.expr("bit_xor(_h)").alias("fingerprint"),
+            )
+            .collect()  # bounded: <= n_shards rows
+        )
+    finally:
+        sharded.unpersist()
+    by_shard = {int(r["shard"]): r for r in stats}
     manifest = {
         "n_shards": n_shards,
         "total_docs": int(sum(r["n_docs"] for r in stats)),
+        # TOTAL over range(n_shards): an empty shard records 0 docs /
+        # fingerprint 0 instead of silently missing from the fixed list
         "shards": {
-            str(r["shard"]): {
-                "n_docs": int(r["n_docs"]),
-                "fingerprint": int(r["fingerprint"]),
+            str(s): {
+                "n_docs": int(by_shard[s]["n_docs"]) if s in by_shard else 0,
+                "fingerprint": int(by_shard[s]["fingerprint"]) if s in by_shard else 0,
             }
-            for r in stats
+            for s in range(n_shards)
         },
     }
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, sort_keys=True, indent=2)
+    _write_text_file(
+        docs.sparkSession,
+        out_dir.rstrip("/") + "/_manifest.json",
+        json.dumps(manifest, sort_keys=True, indent=2),
+    )
     return manifest
+
+
+def _write_text_file(spark, path: str, content: str) -> None:
+    """Write a small driver-side text file to wherever ``path`` lives:
+    plain open() for local paths, the JVM Hadoop FileSystem for URI
+    schemes (s3a://, hdfs://, file://) — a local open() against an
+    object-store URI would fail only AFTER the expensive distributed
+    write succeeded."""
+    if "://" not in path:
+        with open(path, "w") as f:
+            f.write(content)
+        return
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
