@@ -33,13 +33,47 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--profile", default="default", choices=["default", "performance", "quality"])
     p.add_argument("--partitions", type=int, default=None, help="extraction stage width")
     p.add_argument("--streaming", action="store_true", help="incremental foreachBatch mode")
+    p.add_argument(
+        "--corpus",
+        action="store_true",
+        help="run the end-to-end training-corpus pipeline (extract → URL "
+        "gate → quality → dedup → shard export) instead of a snapshot job",
+    )
+    p.add_argument("--n-shards", type=int, default=16, help="corpus-mode export shards")
+    p.add_argument(
+        "--quality-threshold", type=float, default=0.3, help="corpus-mode quality gate"
+    )
     p.add_argument("--master", default=None, help="override spark master (local runs)")
     args = p.parse_args(argv)
+    if args.corpus and (args.streaming or args.input_format != "parquet"):
+        p.error("--corpus runs batch over a parquet pages table")
 
     from ocr_model_spark.session import get_spark
 
     spark = get_spark(app_name=f"ocr_model_spark[{args.profile}]", master=args.master)
     try:
+        if args.corpus:
+            from ocr_model_spark.pipeline import build_training_corpus
+
+            res = build_training_corpus(
+                spark,
+                args.input,
+                out_dir=args.output,
+                quality_threshold=args.quality_threshold,
+                n_shards=args.n_shards,
+            )
+            print(
+                json.dumps(
+                    {
+                        "mode": "corpus",
+                        "funnel": res["funnel"],
+                        "total": res["total"],
+                        "exported_docs": res["manifest"]["total_docs"],
+                    },
+                    sort_keys=True,
+                )
+            )
+            return 0
         if args.streaming:
             from ocr_model_spark.streaming.pipeline import streaming_extraction
 

@@ -210,3 +210,136 @@ def commit_snapshot(results: dict[str, DataFrame], out_dir: str) -> None:
     results["lineage"].drop("extract_us").write.mode(mode).parquet(
         os.path.join(out_dir, "_lineage")
     )
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str | None = None,
+    benchmark: DataFrame | None = None,
+    quality_threshold: float = 0.3,
+    n_shards: int = 16,
+) -> dict:
+    """The end-to-end training-corpus pipeline — the composition a webtext
+    user actually ships, wired from the engine's own operators:
+
+        extract → URL front gate → quality battery → exact dedup →
+        MinHash near-dedup → [benchmark decontamination] → shard export
+
+    Funnel semantics: every document is tagged with its FIRST failing
+    stage (``extract_failed`` → ``url_blocked`` → ``low_quality`` →
+    ``exact_dup`` → ``near_dup`` → ``contaminated`` → ``kept``) and the
+    report aggregates in ONE pass over the tagged frame — no per-stage
+    recounting. Each stage computes only on the survivors of the previous
+    one (the C4/RefinedWeb/FineWeb production ordering), so dedup cost
+    scales with the filtered set, not the crawl.
+
+    Stage materialization: the flagged base frame ``persist()``s for the
+    duration — the single-job equivalent of the intermediate parquet a
+    cluster pipeline writes between stages (without it, every later
+    branch would re-run the extraction UDF). The returned ``kept`` frame
+    is lazy and recomputes if consumed after return; the funnel counts
+    and shard manifest are materialized before unpersist.
+
+    Determinism: every gate is a pure function of the input (hash ranks,
+    not rand()), so replays produce identical funnels, manifests, and
+    shard bytes."""
+    from pyspark.sql import Window
+
+    from ocr_model_spark.operators.dedup import (
+        benchmark_contamination,
+        minhash_candidates,
+        stable_hash,
+    )
+    from ocr_model_spark.operators.textstats import (
+        fineweb_quality_struct,
+        quality_score,
+    )
+    from ocr_model_spark.operators.urls import url_filter_struct
+    from ocr_model_spark.sources.sinks import write_training_shards
+
+    docs = run_extraction(spark, pages_path)["docs"]
+    base = (
+        docs.select(
+            "url",
+            "content_sha256",
+            F.col("text_extracted").alias("text"),
+            (F.col("ok") & (F.length("text_extracted") > 0)).alias("extract_ok"),
+            url_filter_struct(F.col("url"))["url_keep"].alias("url_keep"),
+            quality_score(F.col("text_extracted")).alias("quality"),
+            fineweb_quality_struct(F.col("text_extracted"))["fineweb_keep"].alias(
+                "fineweb_keep"
+            ),
+        )
+        .withColumn(
+            "pre_reason",
+            F.when(~F.col("extract_ok"), F.lit("extract_failed"))
+            .when(~F.col("url_keep"), F.lit("url_blocked"))
+            .when(
+                (F.col("quality") < quality_threshold) | ~F.col("fineweb_keep"),
+                F.lit("low_quality"),
+            ),
+        )
+        .persist()
+    )
+    try:
+        surv_q = base.filter(F.col("pre_reason").isNull())
+        # exact dedup among quality survivors: deterministic keeper per
+        # content hash (the house md5-prefix rank, never rand())
+        w = Window.partitionBy("content_sha256").orderBy(
+            stable_hash(F.col("url")), F.col("url")
+        )
+        ranked = surv_q.withColumn("_xrk", F.row_number().over(w))
+        surv_x = ranked.filter(F.col("_xrk") == 1)
+        losers = (
+            minhash_candidates(surv_x, "url", "text")
+            .select(F.col("id_b").alias("url"))
+            .distinct()
+            .withColumn("_near", F.lit(True))
+        )
+        tagged = ranked.join(losers, "url", "left")
+        if benchmark is not None:
+            cont = benchmark_contamination(
+                surv_x.join(losers, "url", "left_anti"),
+                benchmark,
+                id_col="url",
+                text_col="text",
+            ).select("url", "contaminated")
+            tagged = tagged.join(cont, "url", "left")
+        else:
+            tagged = tagged.withColumn("contaminated", F.lit(False))
+        full = base.join(
+            tagged.select("url", "_xrk", "_near", "contaminated"), "url", "left"
+        )
+        reason = F.coalesce(
+            F.col("pre_reason"),
+            F.when(F.col("_xrk") > 1, F.lit("exact_dup"))
+            .when(F.col("_near"), F.lit("near_dup"))
+            .when(F.coalesce("contaminated", F.lit(False)), F.lit("contaminated")),
+            F.lit("kept"),
+        )
+        verdicts = full.select(
+            "url",
+            "content_sha256",
+            "text",
+            "quality",
+            reason.alias("drop_reason"),
+        )
+        funnel = {
+            r["drop_reason"]: int(r["count"])
+            for r in verdicts.groupBy("drop_reason").count().collect()
+        }
+        kept = verdicts.filter(F.col("drop_reason") == "kept").drop("drop_reason")
+        manifest = (
+            write_training_shards(kept, out_dir, n_shards=n_shards, id_col="url")
+            if out_dir
+            else None
+        )
+    finally:
+        base.unpersist()
+    return {
+        "funnel": funnel,
+        "total": sum(funnel.values()),
+        "manifest": manifest,
+        "kept": kept,
+    }

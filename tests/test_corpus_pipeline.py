@@ -1,0 +1,64 @@
+"""End-to-end training-corpus pipeline: funnel totality, gate soundness,
+determinism, shard-export consistency, and decontamination composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_model_spark.pipeline import build_training_corpus
+from ocr_model_spark.sources.synth import materialize_pages
+
+
+def test_build_training_corpus_funnel_and_export(spark, tmp_path):
+    pages = materialize_pages("/root/testdata/sf0.001", str(tmp_path), n_pages=400)
+    out = str(tmp_path / "corpus")
+    res = build_training_corpus(spark, pages, out_dir=out, n_shards=4)
+
+    # funnel totality: every input doc lands in exactly one bucket
+    assert res["total"] == sum(res["funnel"].values()) == 400
+    assert res["funnel"].get("kept", 0) > 0
+    # the synthetic mix always carries some failures and some duplicates
+    assert res["funnel"].get("extract_failed", 0) > 0
+
+    # shard manifest certifies exactly the kept set
+    assert res["manifest"]["total_docs"] == res["funnel"]["kept"]
+
+    kept = spark.read.json(out)
+    assert kept.count() == res["funnel"]["kept"]
+    # gate soundness: every kept doc clears the quality threshold and the
+    # kept set is exact-duplicate-free
+    assert kept.filter(F.col("quality") < 0.3).count() == 0
+    dups = kept.groupBy("content_sha256").count().filter("count > 1").count()
+    assert dups == 0
+
+    # determinism: a replay produces the identical funnel and manifest
+    res2 = build_training_corpus(
+        spark, pages, out_dir=str(tmp_path / "corpus2"), n_shards=4
+    )
+    assert res2["funnel"] == res["funnel"]
+    assert res2["manifest"] == res["manifest"]
+
+
+def test_build_training_corpus_decontamination(spark, tmp_path):
+    pages = materialize_pages("/root/testdata/sf0.001", str(tmp_path), n_pages=300)
+    res = build_training_corpus(spark, pages)
+    # play back 5 kept documents as the "benchmark": identical text must
+    # self-flag as contaminated on the rerun
+    bench = (
+        res["kept"]
+        .select(F.col("url").alias("doc_id"), "text")
+        .orderBy("url")
+        .limit(5)
+    )
+    bench_urls = {r["doc_id"] for r in bench.collect()}
+    res2 = build_training_corpus(spark, pages, benchmark=bench)
+    assert res2["funnel"].get("contaminated", 0) >= 5
+    kept_urls = {r["url"] for r in res2["kept"].select("url").collect()}
+    assert not (bench_urls & kept_urls)
+    # everything that newly dropped went to 'contaminated', nothing else
+    # shifted (the earlier stages are independent of the benchmark)
+    for stage in ("extract_failed", "url_blocked", "low_quality", "exact_dup", "near_dup"):
+        assert res2["funnel"].get(stage, 0) == res["funnel"].get(stage, 0), stage
+    assert res2["funnel"]["kept"] + res2["funnel"]["contaminated"] == res[
+        "funnel"
+    ]["kept"] + res["funnel"].get("contaminated", 0)
