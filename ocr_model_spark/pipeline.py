@@ -212,6 +212,42 @@ def commit_snapshot(results: dict[str, DataFrame], out_dir: str) -> None:
     )
 
 
+def corpus_gate(docs: DataFrame, quality_threshold: float = 0.3) -> DataFrame:
+    """The per-document front gate shared by the batch corpus builder and
+    the streaming incremental builder: project extraction output to
+    ``(url, content_sha256, text, extract_ok, url_keep, quality,
+    fineweb_keep, pre_reason)`` where ``pre_reason`` tags the FIRST
+    failing row-local stage (``extract_failed`` → ``url_blocked`` →
+    ``low_quality``) and NULL means the document proceeds to the
+    corpus-level stages (dedup, decontamination). Pure expressions —
+    zero shuffle, evaluated on the extraction's scan partitions."""
+    from ocr_model_spark.operators.textstats import (
+        fineweb_quality_struct,
+        quality_score,
+    )
+    from ocr_model_spark.operators.urls import url_filter_struct
+
+    return docs.select(
+        "url",
+        "content_sha256",
+        F.col("text_extracted").alias("text"),
+        (F.col("ok") & (F.length("text_extracted") > 0)).alias("extract_ok"),
+        url_filter_struct(F.col("url"))["url_keep"].alias("url_keep"),
+        quality_score(F.col("text_extracted")).alias("quality"),
+        fineweb_quality_struct(F.col("text_extracted"))["fineweb_keep"].alias(
+            "fineweb_keep"
+        ),
+    ).withColumn(
+        "pre_reason",
+        F.when(~F.col("extract_ok"), F.lit("extract_failed"))
+        .when(~F.col("url_keep"), F.lit("url_blocked"))
+        .when(
+            (F.col("quality") < quality_threshold) | ~F.col("fineweb_keep"),
+            F.lit("low_quality"),
+        ),
+    )
+
+
 def build_training_corpus(
     spark: SparkSession,
     pages_path: str,
@@ -251,37 +287,10 @@ def build_training_corpus(
         minhash_candidates,
         stable_hash,
     )
-    from ocr_model_spark.operators.textstats import (
-        fineweb_quality_struct,
-        quality_score,
-    )
-    from ocr_model_spark.operators.urls import url_filter_struct
     from ocr_model_spark.sources.sinks import write_training_shards
 
     docs = run_extraction(spark, pages_path)["docs"]
-    base = (
-        docs.select(
-            "url",
-            "content_sha256",
-            F.col("text_extracted").alias("text"),
-            (F.col("ok") & (F.length("text_extracted") > 0)).alias("extract_ok"),
-            url_filter_struct(F.col("url"))["url_keep"].alias("url_keep"),
-            quality_score(F.col("text_extracted")).alias("quality"),
-            fineweb_quality_struct(F.col("text_extracted"))["fineweb_keep"].alias(
-                "fineweb_keep"
-            ),
-        )
-        .withColumn(
-            "pre_reason",
-            F.when(~F.col("extract_ok"), F.lit("extract_failed"))
-            .when(~F.col("url_keep"), F.lit("url_blocked"))
-            .when(
-                (F.col("quality") < quality_threshold) | ~F.col("fineweb_keep"),
-                F.lit("low_quality"),
-            ),
-        )
-        .persist()
-    )
+    base = corpus_gate(docs, quality_threshold).persist()
     try:
         surv_q = base.filter(F.col("pre_reason").isNull())
         # exact dedup among quality survivors: deterministic keeper per

@@ -150,3 +150,72 @@ def streaming_extraction(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_corpus(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    quality_threshold: float = 0.3,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Incremental corpus construction — the continuous-crawl shape of
+    :func:`ocr_model_spark.pipeline.build_training_corpus`: each
+    micro-batch extracts, runs the shared front gate
+    (``pipeline.corpus_gate``), exact-dedups within the batch AND against
+    the STANDING corpus (content hash), LSH-near-dedups against the
+    standing corpus (``dedup.dedup_new_against`` — cross-side candidates
+    only, the batch never signatures the corpus), and appends the
+    genuinely-new documents. Resume granularity = micro-batch (the file
+    stream checkpoint); within a batch every drop rule is a pure function
+    of the data, so replays append the same rows.
+
+    At 10^12 docs the standing corpus read is the persisted dedup index
+    (signatures computed per increment only over the batch — see
+    ``cross_corpus_candidates``); parquet emulates it here."""
+    import os
+
+    from ocr_model_spark.operators.dedup import dedup_new_against, stable_hash
+    from ocr_model_spark.pipeline import corpus_gate
+
+    from pyspark.sql import Window
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = extract_pages(batch_df)
+        gated = (
+            corpus_gate(docs, quality_threshold)
+            .filter(F.col("pre_reason").isNull())
+            .select("url", "content_sha256", "text", "quality")
+        )
+        # within-batch exact dedup: deterministic keeper per content hash
+        w = Window.partitionBy("content_sha256").orderBy(
+            stable_hash(F.col("url")), F.col("url")
+        )
+        fresh = (
+            gated.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        exists = os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+        if exists:
+            corpus = spark.read.parquet(out_dir)
+            # exact vs standing corpus, then LSH near-dup vs standing corpus
+            fresh = fresh.join(
+                corpus.select("content_sha256").distinct(),
+                "content_sha256",
+                "left_anti",
+            )
+            fresh = dedup_new_against(fresh, corpus, "url", "text")
+        fresh.write.mode("append" if exists else "overwrite").parquet(out_dir)
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(pages_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir.rstrip('/')}_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
