@@ -47,6 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.corpus and (args.streaming or args.input_format != "parquet"):
         p.error("--corpus runs batch over a parquet pages table")
+    if args.corpus and args.profile != "default":
+        p.error("--corpus uses the default extraction profile")
 
     from ocr_model_spark.session import get_spark
 
@@ -61,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
                 out_dir=args.output,
                 quality_threshold=args.quality_threshold,
                 n_shards=args.n_shards,
+                num_partitions=args.partitions,
             )
             print(
                 json.dumps(

@@ -724,6 +724,22 @@ def minhash_candidates(
     )
 
 
+def exact_dup_rank(
+    df: DataFrame, id_col: str, sha_col: str = "content_sha256"
+) -> DataFrame:
+    """Deterministic exact-dedup ranking: ``exact_rank`` numbers the rows
+    of each content-hash group by the md5-prefix stable hash of the id
+    (ties by id — never rand()), so rank 1 is the keeper and rank > 1 the
+    exact duplicates. Shared by the batch corpus builder (which tags the
+    losers in its funnel) and the streaming incremental builder (which
+    filters to keepers) — one definition so the keeper rule cannot drift
+    between them. Identical (id, sha) replays keep the same rows."""
+    w = Window.partitionBy(sha_col).orderBy(
+        stable_hash(F.col(id_col)), F.col(id_col)
+    )
+    return df.withColumn("exact_rank", F.row_number().over(w))
+
+
 def estimate_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
     """Signature-agreement Jaccard estimate per candidate pair — the free
     ranking/gating step a real pipeline runs BETWEEN LSH banding and exact

@@ -228,6 +228,13 @@ def corpus_gate(docs: DataFrame, quality_threshold: float = 0.3) -> DataFrame:
     from ocr_model_spark.operators.urls import url_filter_struct
 
     return docs.select(
+        # the pipeline's unique doc key: url ALONE is not one (a re-crawl
+        # carries the same url with changed bytes — the exact case
+        # resume_filter models), and joining/minhashing on a non-unique id
+        # multiplies rows and merges signatures
+        F.sha2(F.concat_ws("\n", "url", "content_sha256"), 256).alias(
+            "doc_key"
+        ),
         "url",
         "content_sha256",
         F.col("text_extracted").alias("text"),
@@ -255,6 +262,8 @@ def build_training_corpus(
     benchmark: DataFrame | None = None,
     quality_threshold: float = 0.3,
     n_shards: int = 16,
+    max_bucket: int | None = 1000,
+    num_partitions: int | None = None,
 ) -> dict:
     """The end-to-end training-corpus pipeline — the composition a webtext
     user actually ships, wired from the engine's own operators:
@@ -270,82 +279,96 @@ def build_training_corpus(
     one (the C4/RefinedWeb/FineWeb production ordering), so dedup cost
     scales with the filtered set, not the crawl.
 
-    Stage materialization: the flagged base frame ``persist()``s for the
-    duration — the single-job equivalent of the intermediate parquet a
-    cluster pipeline writes between stages (without it, every later
-    branch would re-run the extraction UDF). The returned ``kept`` frame
-    is lazy and recomputes if consumed after return; the funnel counts
-    and shard manifest are materialized before unpersist.
+    Stage materialization: the flagged base frame AND the final verdicts
+    frame ``persist()`` for the duration — the single-job equivalent of
+    the intermediate parquet a cluster pipeline writes between stages;
+    without the verdicts persist the funnel collect and the shard export
+    would each re-run the dominant dedup subtree. The returned ``kept``
+    frame is lazy and recomputes if consumed after return; the funnel
+    counts and shard manifest are materialized before unpersist.
+
+    ``max_bucket`` caps pathological LSH buckets (boilerplate clusters
+    that are NOT byte-identical survive exact dedup and pair
+    quadratically — see ``minhash_candidates``); ``num_partitions``
+    forces the extraction width for pathological inputs, as in
+    :func:`run_extraction`.
 
     Determinism: every gate is a pure function of the input (hash ranks,
     not rand()), so replays produce identical funnels, manifests, and
     shard bytes."""
-    from pyspark.sql import Window
-
     from ocr_model_spark.operators.dedup import (
         benchmark_contamination,
+        exact_dup_rank,
         minhash_candidates,
-        stable_hash,
     )
     from ocr_model_spark.sources.sinks import write_training_shards
 
-    docs = run_extraction(spark, pages_path)["docs"]
-    base = corpus_gate(docs, quality_threshold).persist()
+    docs = run_extraction(spark, pages_path, num_partitions=num_partitions)["docs"]
+    # dropDuplicates: a pages table can repeat a (url, bytes) row verbatim;
+    # one survivor keeps doc_key a true key for every join below
+    base = (
+        corpus_gate(docs, quality_threshold)
+        .dropDuplicates(["doc_key"])
+        .persist()
+    )
+    verdicts = None
     try:
         surv_q = base.filter(F.col("pre_reason").isNull())
         # exact dedup among quality survivors: deterministic keeper per
-        # content hash (the house md5-prefix rank, never rand())
-        w = Window.partitionBy("content_sha256").orderBy(
-            stable_hash(F.col("url")), F.col("url")
-        )
-        ranked = surv_q.withColumn("_xrk", F.row_number().over(w))
-        surv_x = ranked.filter(F.col("_xrk") == 1)
+        # content hash (shared rule: operators/dedup.py::exact_dup_rank)
+        ranked = exact_dup_rank(surv_q, "doc_key")
+        surv_x = ranked.filter(F.col("exact_rank") == 1)
         losers = (
-            minhash_candidates(surv_x, "url", "text")
-            .select(F.col("id_b").alias("url"))
+            minhash_candidates(surv_x, "doc_key", "text", max_bucket=max_bucket)
+            .select(F.col("id_b").alias("doc_key"))
             .distinct()
             .withColumn("_near", F.lit(True))
         )
-        tagged = ranked.join(losers, "url", "left")
+        tagged = ranked.join(losers, "doc_key", "left")
         if benchmark is not None:
             cont = benchmark_contamination(
-                surv_x.join(losers, "url", "left_anti"),
+                surv_x.join(losers, "doc_key", "left_anti"),
                 benchmark,
-                id_col="url",
+                id_col="doc_key",
                 text_col="text",
-            ).select("url", "contaminated")
-            tagged = tagged.join(cont, "url", "left")
+            ).select("doc_key", "contaminated")
+            tagged = tagged.join(cont, "doc_key", "left")
         else:
             tagged = tagged.withColumn("contaminated", F.lit(False))
         full = base.join(
-            tagged.select("url", "_xrk", "_near", "contaminated"), "url", "left"
+            tagged.select("doc_key", "exact_rank", "_near", "contaminated"),
+            "doc_key",
+            "left",
         )
         reason = F.coalesce(
             F.col("pre_reason"),
-            F.when(F.col("_xrk") > 1, F.lit("exact_dup"))
+            F.when(F.col("exact_rank") > 1, F.lit("exact_dup"))
             .when(F.col("_near"), F.lit("near_dup"))
             .when(F.coalesce("contaminated", F.lit(False)), F.lit("contaminated")),
             F.lit("kept"),
         )
         verdicts = full.select(
+            "doc_key",
             "url",
             "content_sha256",
             "text",
             "quality",
             reason.alias("drop_reason"),
-        )
+        ).persist()
         funnel = {
             r["drop_reason"]: int(r["count"])
             for r in verdicts.groupBy("drop_reason").count().collect()
         }
         kept = verdicts.filter(F.col("drop_reason") == "kept").drop("drop_reason")
         manifest = (
-            write_training_shards(kept, out_dir, n_shards=n_shards, id_col="url")
+            write_training_shards(kept, out_dir, n_shards=n_shards, id_col="doc_key")
             if out_dir
             else None
         )
     finally:
         base.unpersist()
+        if verdicts is not None:
+            verdicts.unpersist()
     return {
         "funnel": funnel,
         "total": sum(funnel.values()),

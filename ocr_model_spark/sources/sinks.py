@@ -416,6 +416,21 @@ def write_training_shards(
     return manifest
 
 
+def path_exists(spark, path: str) -> bool:
+    """Filesystem-aware existence check for driver-side control flow:
+    plain os.path for local paths, the JVM Hadoop FileSystem for URI
+    schemes — ``os.path.exists('hdfs://…')`` is ALWAYS False, which would
+    silently turn an append-to-standing-corpus branch into an overwrite."""
+    import os
+
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _write_text_file(spark, path: str, content: str) -> None:
     """Write a small driver-side text file to wherever ``path`` lives:
     plain open() for local paths, the JVM Hadoop FileSystem for URI

@@ -158,45 +158,58 @@ def streaming_corpus(
     out_dir: str,
     quality_threshold: float = 0.3,
     max_files_per_trigger: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> None:
     """Incremental corpus construction — the continuous-crawl shape of
     :func:`ocr_model_spark.pipeline.build_training_corpus`: each
     micro-batch extracts, runs the shared front gate
     (``pipeline.corpus_gate``), exact-dedups within the batch AND against
-    the STANDING corpus (content hash), LSH-near-dedups against the
-    standing corpus (``dedup.dedup_new_against`` — cross-side candidates
-    only, the batch never signatures the corpus), and appends the
-    genuinely-new documents. Resume granularity = micro-batch (the file
-    stream checkpoint); within a batch every drop rule is a pure function
-    of the data, so replays append the same rows.
+    the STANDING corpus (content hash), LSH-near-dedups WITHIN the batch
+    (a boilerplate cluster arriving together must not enter wholesale)
+    and against the standing corpus (``dedup.dedup_new_against`` —
+    cross-side candidates only, the batch never re-signatures the
+    corpus), and appends the genuinely-new documents. Resume granularity
+    = micro-batch (the file stream checkpoint); within a batch every
+    drop rule is a pure function of the data, so replays append the same
+    rows. ``max_bucket`` caps pathological LSH buckets (see
+    ``minhash_candidates``).
 
     At 10^12 docs the standing corpus read is the persisted dedup index
     (signatures computed per increment only over the batch — see
-    ``cross_corpus_candidates``); parquet emulates it here."""
-    import os
-
-    from ocr_model_spark.operators.dedup import dedup_new_against, stable_hash
+    ``cross_corpus_candidates``); parquet emulates it here, and the
+    corpus-existence probe goes through the Hadoop FileSystem so URI
+    outputs (hdfs://, s3a://) append instead of clobbering."""
+    from ocr_model_spark.operators.dedup import (
+        dedup_new_against,
+        exact_dup_rank,
+        minhash_candidates,
+    )
     from ocr_model_spark.pipeline import corpus_gate
-
-    from pyspark.sql import Window
+    from ocr_model_spark.sources.sinks import path_exists
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         docs = extract_pages(batch_df)
         gated = (
             corpus_gate(docs, quality_threshold)
             .filter(F.col("pre_reason").isNull())
-            .select("url", "content_sha256", "text", "quality")
+            .select("doc_key", "url", "content_sha256", "text", "quality")
+            .dropDuplicates(["doc_key"])
         )
-        # within-batch exact dedup: deterministic keeper per content hash
-        w = Window.partitionBy("content_sha256").orderBy(
-            stable_hash(F.col("url")), F.col("url")
-        )
+        # within-batch exact dedup (shared deterministic keeper rule)
         fresh = (
-            gated.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
+            exact_dup_rank(gated, "doc_key")
+            .filter(F.col("exact_rank") == 1)
+            .drop("exact_rank")
         )
-        exists = os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+        # within-batch near-dedup: drop the higher-key side of each LSH
+        # candidate pair so same-batch near-dup clusters keep one member
+        batch_losers = (
+            minhash_candidates(fresh, "doc_key", "text", max_bucket=max_bucket)
+            .select(F.col("id_b").alias("doc_key"))
+            .distinct()
+        )
+        fresh = fresh.join(batch_losers, "doc_key", "left_anti")
+        exists = path_exists(spark, out_dir.rstrip("/") + "/_SUCCESS")
         if exists:
             corpus = spark.read.parquet(out_dir)
             # exact vs standing corpus, then LSH near-dup vs standing corpus
@@ -205,7 +218,9 @@ def streaming_corpus(
                 "content_sha256",
                 "left_anti",
             )
-            fresh = dedup_new_against(fresh, corpus, "url", "text")
+            fresh = dedup_new_against(
+                fresh, corpus, "doc_key", "text", max_bucket=max_bucket
+            )
         fresh.write.mode("append" if exists else "overwrite").parquet(out_dir)
 
     reader = spark.readStream.schema(PAGES_SCHEMA)

@@ -62,3 +62,37 @@ def test_build_training_corpus_decontamination(spark, tmp_path):
     assert res2["funnel"]["kept"] + res2["funnel"]["contaminated"] == res[
         "funnel"
     ]["kept"] + res["funnel"].get("contaminated", 0)
+
+
+def test_build_training_corpus_recrawl_url_not_multiplied(spark, tmp_path):
+    """A re-crawled url (same url, changed bytes) is two distinct documents
+    keyed by (url x content hash): the funnel still sums to the input row
+    count (review finding: joining on bare url multiplied rows and merged
+    minhash signatures), and the near-identical pair resolves through the
+    dedup stages rather than duplicating the export."""
+    import glob as g
+    import shutil
+
+    from ocr_model_spark.sources.pages import PAGES_SCHEMA
+
+    src = materialize_pages("/root/testdata/sf0.001", str(tmp_path), n_pages=60)
+    rows = spark.read.parquet(src).collect()
+    dup = next(
+        r for r in rows if r["html"] is not None and bytes(r["html"][:1]) == b"<"
+    ).asDict()
+    dup["html"] = bytes(dup["html"]) + b"<!-- recrawl v2 -->"  # same url!
+    all_rows = [tuple(r[f.name] for f in PAGES_SCHEMA.fields) for r in rows] + [
+        tuple(dup[f.name] for f in PAGES_SCHEMA.fields)
+    ]
+    spark.createDataFrame(all_rows, PAGES_SCHEMA).coalesce(1).write.parquet(
+        str(tmp_path / "w")
+    )
+    part = g.glob(str(tmp_path / "w" / "part-*.parquet"))[0]
+    shutil.copy(part, str(tmp_path / "recrawl_pages.parquet"))
+
+    res = build_training_corpus(spark, str(tmp_path / "recrawl_pages.parquet"))
+    assert res["total"] == 61  # both versions counted, neither multiplied
+    # the identical-text pair collapses in dedup: at most one side exports
+    kept_urls = [r["url"] for r in res["kept"].select("url").collect()]
+    assert kept_urls.count(dup["url"]) <= 1
+    assert res["funnel"].get("exact_dup", 0) + res["funnel"].get("near_dup", 0) >= 1
