@@ -506,3 +506,275 @@ def lsh_cosine_topk(
     return top_k_per_group(
         scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k
     ).select("query_id", "neighbor_id", "sim", "rank")
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def _sampled_unit_matrix(corpus, sample_cap: int, id_col: str, vec_col: str):
+    """Deterministic hash-reservoir sample as a unit-normalized numpy
+    matrix in FIXED row order (sorted by (md5-hash, id)) — the same
+    sampling contract as :func:`ivf_train_kmeans_sampled`, shared by the
+    PQ codebook trainer. Bounded driver collect (``sample_cap`` rows)."""
+    import numpy as np
+
+    from ocr_model_spark.operators.dedup import stable_hash
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            stable_hash(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "id")
+        .limit(sample_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    x = np.array([[float(f) for f in r["v"]] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(x, axis=1)
+    n[n == 0] = 1.0
+    return x / n[:, None]
+
+
+def _l2_kmeans(x, k: int, iters: int = 10):
+    """Deterministic L2 k-means on a sample matrix: farthest-first seeding
+    (2-approx k-center, row-order/first-index tiebreaks — no RNG), Lloyd
+    with first-min assignment; empty cells keep their centroid. Bitwise
+    reproducible for a fixed input row order."""
+    import numpy as np
+
+    k = min(k, len(x))
+    chosen = [0]
+    d = ((x - x[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, ((x - x[nxt]) ** 2).sum(axis=1))
+    cents = x[chosen].copy()
+    for _ in range(max(0, iters)):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)  # first-min: deterministic
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.sum(axis=0) / len(members)
+    return cents
+
+
+def pq_train_codebooks(
+    corpus,
+    m_subvectors: int = 16,
+    pq_k: int = 32,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011 —
+    "Product Quantization for Nearest Neighbor Search"): split the
+    unit-normalized vector into ``m_subvectors`` subspaces and k-means
+    each one. At 10^12 vectors the index then stores M small codes per
+    vector instead of raw floats (64-dim float64 → 8 bytes at M=8, K≤256
+    — a 64× index shrink), and queries rank candidates from the codes
+    alone (ADC), fetching raw vectors only for the final re-rank.
+    Training follows the sampled, seedless, deterministic house recipe.
+    On the unit sphere L2 order equals cosine order, so L2 codebooks
+    serve cosine queries."""
+    xn = _sampled_unit_matrix(corpus, sample_cap, id_col, vec_col)
+    d = xn.shape[1]
+    if d % m_subvectors:
+        raise ValueError(f"dim {d} not divisible by m_subvectors={m_subvectors}")
+    sub = d // m_subvectors
+    return [
+        [c.tolist() for c in _l2_kmeans(xn[:, m * sub : (m + 1) * sub], pq_k, iters)]
+        for m in range(m_subvectors)
+    ]
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+
+
+def _unit(vec: Column) -> Column:
+    """In-row unit normalization, fully let-bound: the vector AND its norm
+    evaluate once per row (a captured norm inside the transform lambda
+    would re-aggregate per element — O(d²))."""
+    from ocr_model_spark.operators.dedup import _let
+
+    def body(v: Column) -> Column:
+        n2 = F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, e: a + e
+        )
+
+        def with_n(n: Column) -> Column:
+            return F.transform(v, lambda x: F.when(n > 0, x / n).otherwise(x))
+
+        return _let(F.sqrt(n2), with_n)
+
+    return _let(vec, body)
+
+
+def _pq_code_expr(vecn: Column, codebooks: list) -> Column:
+    """PQ encoding as pure expressions over a LET-BOUND unit vector:
+    code[m] = argmin_k l2sq(subvector_m, codebook[m][k]) (distance rounded
+    8 dp, k tiebreak — deterministic). Plan size is the codebook itself
+    (M × K × d/M literals), independent of corpus size."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for m, cb in enumerate(codebooks):
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _l2sq(
+                            F.slice(vecn, m * sub + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                        ),
+                        8,
+                    ).alias("d"),
+                    F.lit(ki).alias("k"),
+                )
+                for ki, c in enumerate(cb)
+            ]
+        )
+        codes.append(F.element_at(F.array_sort(cands), 1)["k"])
+    return F.array(*codes)
+
+
+def _adc_dist_expr(qn: Column, code: Column, codebooks: list) -> Column:
+    """Asymmetric distance computation: the estimated squared L2 between
+    the (let-bound) unit query and a corpus vector known only by its PQ
+    code — Σ_m l2sq(q_m, codebook[m][code[m]]). Each subspace embeds only
+    its own K×d/M literal table."""
+    sub = len(codebooks[0][0])
+    terms = []
+    for m, cb in enumerate(codebooks):
+        cbm = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+        cent = F.element_at(cbm, F.element_at(code, m + 1) + 1)
+        terms.append(_l2sq(F.slice(qn, m * sub + 1, sub), cent))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 14,
+    m_subvectors: int = 16,
+    pq_k: int = 32,
+    refine_factor: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    centroids: list | None = None,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN — the layout billion-scale vector indexes actually use
+    (IVF cells bound the scan, PQ codes shrink what's scanned): assign
+    each corpus vector to its nearest centroid cell and ENCODE it to M
+    product-quantization codes; per query, probe the ``n_probe`` nearest
+    cells, rank candidates by ADC over the codes alone (the raw corpus
+    vectors never enter the candidate join — at 10^12 rows that join
+    carries M bytes per vector, not the embedding), take a
+    ``k × refine_factor`` shortlist, and fetch ONLY the shortlist's raw
+    vectors for the exact cosine re-rank (fetch-on-refine).
+
+    Plan: broadcast centroid/codebook literals → one in-row assignment +
+    encoding pass over the corpus → equi-join on cell id → ADC expression
+    → windowed shortlist → candidate-scale fetch joins → exact top-k.
+    One corpus-wide shuffle (the cell join), no crossJoin, bounded driver
+    state (the trained tables).
+
+    Defaults tuned on the driver's ISOTROPIC random corpus — PQ's worst
+    case (no subspace structure, pairwise cosines all near 0, so
+    quantization distortion swamps the gaps): M=16 × K=32 codebooks with
+    a 16× refine shortlist measure recall@3 = 0.9333 @sf0.001 / 0.9667
+    @sf0.01 vs exact (pinned in tests) while the ADC pass still prunes
+    ~99% of probed candidates before any raw vector is fetched. Real
+    clustered embeddings quantize far better — shrink refine_factor and
+    pq_k per-corpus."""
+    from ocr_model_spark.operators.dedup import _let
+
+    if centroids is None:
+        centroids = _seed_centroids(corpus, n_centroids, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, m_subvectors, pq_k, id_col=id_col, vec_col=vec_col
+        )
+    cent_arrays = [
+        (i, F.array(*[F.lit(float(x)) for x in c])) for i, c in enumerate(centroids)
+    ]
+
+    def assign_and_encode(vec: Column) -> Column:
+        def body(vn: Column) -> Column:
+            return F.struct(
+                F.element_at(
+                    F.array_sort(_cell_score_array(vec, cent_arrays), _desc_sim), 1
+                )["cell"].alias("cell"),
+                _pq_code_expr(vn, codebooks).alias("code"),
+            )
+
+        return _let(_unit(vec), body)
+
+    # index side: id + cell + code ONLY — raw vectors die at the scan
+    indexed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.inline(F.array(assign_and_encode(F.col(vec_col)))),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit(F.col(vec_col)).alias("qn"),
+        F.slice(
+            F.array_sort(_cell_score_array(F.col(vec_col), cent_arrays), _desc_sim),
+            1,
+            n_probe,
+        ).alias("_cells"),
+    ).select(
+        "query_id",
+        "qn",
+        F.explode(F.transform("_cells", lambda c: c["cell"])).alias("cell"),
+    )
+    est = (
+        probes.join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.lit(1.0) - _adc_dist_expr(F.col("qn"), F.col("code"), codebooks) / 2,
+                8,
+            ).alias("est_sim"),
+        )
+    )
+    shortlist = top_k_per_group(
+        est, ["query_id"], [F.desc("est_sim"), F.asc("neighbor_id")], k * refine_factor
+    ).select("query_id", "neighbor_id")
+    # fetch-on-refine: raw vectors join back at CANDIDATE scale only
+    refined = (
+        shortlist.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+            "neighbor_id",
+        )
+        .join(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), round_to).alias("sim"),
+        )
+    )
+    return top_k_per_group(
+        refined, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "sim", "rank")

@@ -1380,3 +1380,122 @@ def test_url_filter_struct_branches(spark):
     assert got[3]["domain_blocked"] and not got[3]["url_keep"]
     assert got[4]["domain_blocked"] and got[4]["host"] == "sub.tracker.co.uk"
     assert not got[5]["domain_blocked"] and got[5]["url_keep"]
+
+
+def _py_fold_l2sq(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+def _py_cos(a, b):
+    import math
+
+    d = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+    na = 0.0
+    nb = 0.0
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
+def test_ivf_pq_matches_python_twin_and_recall(spark):
+    """IVF-PQ end to end against a pure-Python twin that mirrors every
+    fold order (left-fold l2sq/dot, rounded tie rules), so the comparison
+    is EXACT — assignment, encoding, ADC shortlist, fetch-on-refine
+    re-rank all verified; plus the recall@3 >= 0.9 pin vs exact cosine on
+    the isotropic sf0.001 corpus (the PQ worst case, see docstring)."""
+    import math
+
+    from ocr_model_spark.operators.similarity import (
+        _seed_centroids,
+        cosine_topk,
+        ivf_pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf_pq_topk(queries, emb, k=3).orderBy("query_id", "rank").collect()
+
+    # ---- pure-Python twin (same trained tables, same tie rules) ----
+    cents = _seed_centroids(emb, 16, "vec_id", "embedding")
+    cbs = pq_train_codebooks(emb)
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def unit(v):
+        n2 = 0.0
+        for x in v:
+            n2 += x * x
+        n = math.sqrt(n2)
+        return [x / n for x in v] if n > 0 else list(v)
+
+    def cell_order(v):
+        scored = [(round(_py_cos(v, c), 8), i) for i, c in enumerate(cents)]
+        return sorted(scored, key=lambda t: (-t[0], t[1]))
+
+    def encode(vn):
+        sub = len(cbs[0][0])
+        code = []
+        for m, cb in enumerate(cbs):
+            sv = vn[m * sub : (m + 1) * sub]
+            ds = [(round(_py_fold_l2sq(sv, c), 8), ki) for ki, c in enumerate(cb)]
+            code.append(min(ds)[1])
+        return code
+
+    cells = {i: cell_order(v)[0][1] for i, v in vecs.items()}
+    codes = {i: encode(unit(v)) for i, v in vecs.items()}
+    sub = len(cbs[0][0])
+    expect = []
+    for q in sorted(i for i in vecs if i < 10):
+        probed = {c for _, c in cell_order(vecs[q])[:14]}
+        qn = unit(vecs[q])
+        cand = []
+        for nid, v in vecs.items():
+            if nid == q or cells[nid] not in probed:
+                continue
+            adc = 0.0
+            for m in range(len(cbs)):
+                adc += _py_fold_l2sq(
+                    qn[m * sub : (m + 1) * sub], cbs[m][codes[nid][m]]
+                )
+            cand.append((round(1.0 - adc / 2, 8), nid))
+        short = sorted(cand, key=lambda t: (-t[0], t[1]))[: 3 * 16]
+        ranked = sorted(
+            ((round(_py_cos(vecs[q], vecs[n]), 4), n) for _, n in short),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        for rk, (sim, n) in enumerate(ranked, 1):
+            expect.append((q, n, sim, rk))
+
+    assert [(r["query_id"], r["neighbor_id"], r["sim"], r["rank"]) for r in got] == expect
+
+    # recall pin vs exact cosine
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, emb, k=3).select("query_id", "neighbor_id").collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_pq_codebooks_deterministic(spark):
+    """Training is a pure function of the parquet: two runs produce
+    bitwise-identical codebooks (seedless reservoir + farthest-first +
+    fixed-order Lloyd)."""
+    from ocr_model_spark.operators.similarity import pq_train_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    assert pq_train_codebooks(emb) == pq_train_codebooks(emb)
