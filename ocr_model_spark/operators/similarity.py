@@ -141,17 +141,12 @@ def _seed_centroids(
     corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
 ) -> list[list[float]]:
     """Deterministic seed centroids: the corpus vectors with the smallest
-    md5-derived id hash (a seedless reservoir)."""
-    from ocr_model_spark.operators.dedup import stable_hash
-
-    rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("_h", stable_hash(F.col("cid").cast("string")))
-        .orderBy("_h", "cid")
-        .limit(n_centroids)
-        .collect()
-    )
-    return [[float(x) for x in r["cv"]] for r in rows]
+    md5-derived id hash (the shared ``_sampled_rows`` reservoir — the
+    seeds are exactly the first ``n_centroids`` rows of any larger
+    trainer sample, so a caller holding one can slice instead of
+    re-scanning)."""
+    rows = _sampled_rows(corpus, n_centroids, id_col, vec_col)
+    return [[float(x) for x in r["v"]] for r in rows]
 
 
 def ivf_train_kmeans(
@@ -243,24 +238,7 @@ def ivf_train_kmeans_sampled(
     plan is unchanged."""
     import numpy as np
 
-    from ocr_model_spark.operators.dedup import stable_hash
-
-    rows = (
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            stable_hash(F.col(id_col).cast("string")).alias("_h"),
-        )
-        .orderBy("_h", "id")
-        .limit(sample_cap)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("empty corpus")
-    x = np.array([[float(f) for f in r["v"]] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(x, axis=1)
-    norms[norms == 0] = 1.0
-    xn = x / norms[:, None]
+    xn = _unit_matrix(_sampled_rows(corpus, sample_cap, id_col, vec_col))
     k = min(n_centroids, len(xn))
 
     # farthest-first seeding on the unit sphere (distance = 1 - cosine)
@@ -511,13 +489,13 @@ def lsh_cosine_topk(
 # ---------------------------------------------------------------- IVF-PQ
 
 
-def _sampled_unit_matrix(corpus, sample_cap: int, id_col: str, vec_col: str):
-    """Deterministic hash-reservoir sample as a unit-normalized numpy
-    matrix in FIXED row order (sorted by (md5-hash, id)) — the same
-    sampling contract as :func:`ivf_train_kmeans_sampled`, shared by the
-    PQ codebook trainer. Bounded driver collect (``sample_cap`` rows)."""
-    import numpy as np
-
+def _sampled_rows(corpus, cap: int, id_col: str, vec_col: str) -> list:
+    """THE sampling contract every trainer shares (seed centroids, IVF
+    Lloyd, PQ codebooks): the ``cap`` rows with the smallest md5-derived
+    id hash, in FIXED (hash, id) order — a seedless uniform reservoir
+    that is a pure function of the ids, fetched with a distributed top-k.
+    One definition so the trainers can never drift apart. Bounded driver
+    collect."""
     from ocr_model_spark.operators.dedup import stable_hash
 
     rows = (
@@ -527,11 +505,18 @@ def _sampled_unit_matrix(corpus, sample_cap: int, id_col: str, vec_col: str):
             stable_hash(F.col(id_col).cast("string")).alias("_h"),
         )
         .orderBy("_h", "id")
-        .limit(sample_cap)
+        .limit(cap)
         .collect()
     )
     if not rows:
         raise ValueError("empty corpus")
+    return rows
+
+
+def _unit_matrix(rows: list):
+    """Sample rows → unit-normalized float64 matrix (zero-norm guard)."""
+    import numpy as np
+
     x = np.array([[float(f) for f in r["v"]] for r in rows], dtype=np.float64)
     n = np.linalg.norm(x, axis=1)
     n[n == 0] = 1.0
@@ -571,6 +556,7 @@ def pq_train_codebooks(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_rows: list | None = None,
 ) -> list:
     """Product-quantization codebooks (Jégou, Douze & Schmid 2011 —
     "Product Quantization for Nearest Neighbor Search"): split the
@@ -581,8 +567,11 @@ def pq_train_codebooks(
     alone (ADC), fetching raw vectors only for the final re-rank.
     Training follows the sampled, seedless, deterministic house recipe.
     On the unit sphere L2 order equals cosine order, so L2 codebooks
-    serve cosine queries."""
-    xn = _sampled_unit_matrix(corpus, sample_cap, id_col, vec_col)
+    serve cosine queries. Pass ``sample_rows`` (a ``_sampled_rows``
+    result) to share one corpus scan with other trainers."""
+    if sample_rows is None:
+        sample_rows = _sampled_rows(corpus, sample_cap, id_col, vec_col)
+    xn = _unit_matrix(sample_rows)
     d = xn.shape[1]
     if d % m_subvectors:
         raise ValueError(f"dim {d} not divisible by m_subvectors={m_subvectors}")
@@ -705,12 +694,18 @@ def ivf_pq_topk(
     pq_k per-corpus."""
     from ocr_model_spark.operators.dedup import _let
 
-    if centroids is None:
-        centroids = _seed_centroids(corpus, n_centroids, id_col, vec_col)
-    if codebooks is None:
-        codebooks = pq_train_codebooks(
-            corpus, m_subvectors, pq_k, id_col=id_col, vec_col=vec_col
-        )
+    if centroids is None or codebooks is None:
+        # ONE sampled corpus scan trains both tables: the seed centroids
+        # are exactly the first n_centroids rows of the PQ sample (the
+        # shared _sampled_rows ordering)
+        rows = _sampled_rows(corpus, 4096, id_col, vec_col)
+        if centroids is None:
+            centroids = [[float(x) for x in r["v"]] for r in rows[:n_centroids]]
+        if codebooks is None:
+            codebooks = pq_train_codebooks(
+                corpus, m_subvectors, pq_k, id_col=id_col, vec_col=vec_col,
+                sample_rows=rows,
+            )
     cent_arrays = [
         (i, F.array(*[F.lit(float(x)) for x in c])) for i, c in enumerate(centroids)
     ]
