@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--quality-threshold", type=float, default=0.3, help="corpus-mode quality gate"
     )
+    p.add_argument(
+        "--token-budget",
+        type=int,
+        default=None,
+        help="corpus-mode token budget (deterministic hash-threshold sampling)",
+    )
     p.add_argument("--master", default=None, help="override spark master (local runs)")
     args = p.parse_args(argv)
     if args.corpus and (args.streaming or args.input_format != "parquet"):
@@ -64,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
                 quality_threshold=args.quality_threshold,
                 n_shards=args.n_shards,
                 num_partitions=args.partitions,
+                token_budget=args.token_budget,
             )
             print(
                 json.dumps(

@@ -264,6 +264,7 @@ def build_training_corpus(
     n_shards: int = 16,
     max_bucket: int | None = 1000,
     num_partitions: int | None = None,
+    token_budget: int | None = None,
 ) -> dict:
     """The end-to-end training-corpus pipeline — the composition a webtext
     user actually ships, wired from the engine's own operators:
@@ -292,6 +293,15 @@ def build_training_corpus(
     quadratically — see ``minhash_candidates``); ``num_partitions``
     forces the extraction width for pathological inputs, as in
     :func:`run_extraction`.
+
+    ``token_budget`` adds a final ``over_budget`` stage: when the
+    surviving corpus exceeds the budget (``multilingual_token_count``
+    sum), documents keep with probability budget/total via a
+    DETERMINISTIC hash threshold (``pmod(xxhash64(doc_key), 1e6)`` —
+    never rand()), so the exported size is the budget in expectation
+    with NO global sort or running total (a cumulative-sum window over
+    the whole corpus is a single-partition scale-killer; hash-threshold
+    selection is the 10^12 shape, and replays keep the same docs).
 
     Determinism: every gate is a pure function of the input (hash ranks,
     not rand()), so replays produce identical funnels, manifests, and
@@ -355,6 +365,27 @@ def build_training_corpus(
             "quality",
             reason.alias("drop_reason"),
         ).persist()
+        if token_budget is not None:
+            from ocr_model_spark.operators.textstats import multilingual_token_count
+
+            total = (
+                verdicts.filter(F.col("drop_reason") == "kept")
+                .agg(F.sum(multilingual_token_count(F.col("text"))).alias("t"))
+                .collect()[0]["t"]
+            ) or 0
+            if total > token_budget:
+                thresh = int(round(token_budget / total * 1_000_000))
+                over = (F.col("drop_reason") == "kept") & (
+                    F.pmod(F.xxhash64("doc_key"), F.lit(1_000_000)) >= thresh
+                )
+                budgeted = verdicts.withColumn(
+                    "drop_reason",
+                    F.when(over, F.lit("over_budget")).otherwise(
+                        F.col("drop_reason")
+                    ),
+                ).persist()
+                verdicts.unpersist()
+                verdicts = budgeted
         funnel = {
             r["drop_reason"]: int(r["count"])
             for r in verdicts.groupBy("drop_reason").count().collect()

@@ -96,3 +96,46 @@ def test_build_training_corpus_recrawl_url_not_multiplied(spark, tmp_path):
     kept_urls = [r["url"] for r in res["kept"].select("url").collect()]
     assert kept_urls.count(dup["url"]) <= 1
     assert res["funnel"].get("exact_dup", 0) + res["funnel"].get("near_dup", 0) >= 1
+
+
+def test_build_training_corpus_token_budget(spark, tmp_path):
+    """The over_budget stage trims the kept set deterministically: a tiny
+    budget drops most keepers (hash threshold, never rand()), funnel
+    totality holds, every other stage count is unchanged, and replays
+    keep the same documents."""
+    from pyspark.sql import functions as F
+
+    from ocr_model_spark.operators.textstats import multilingual_token_count
+
+    pages = materialize_pages("/root/testdata/sf0.001", str(tmp_path), n_pages=300)
+    base = build_training_corpus(spark, pages)
+    total_tokens = (
+        base["kept"]
+        .agg(F.sum(multilingual_token_count(F.col("text"))).alias("t"))
+        .collect()[0]["t"]
+    )
+    budget = total_tokens // 4
+    res = build_training_corpus(spark, pages, token_budget=budget)
+    assert res["total"] == base["total"] == 300
+    assert res["funnel"].get("over_budget", 0) > 0
+    assert (
+        res["funnel"]["kept"] + res["funnel"]["over_budget"]
+        == base["funnel"]["kept"]
+    )
+    for stage in ("extract_failed", "url_blocked", "low_quality", "exact_dup", "near_dup"):
+        assert res["funnel"].get(stage, 0) == base["funnel"].get(stage, 0), stage
+    # expectation-level budget: kept tokens land near the target
+    kept_tokens = (
+        res["kept"]
+        .agg(F.sum(multilingual_token_count(F.col("text"))).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert kept_tokens < total_tokens
+    # replay determinism
+    res2 = build_training_corpus(spark, pages, token_budget=budget)
+    k1 = {r["doc_key"] for r in res["kept"].select("doc_key").collect()}
+    k2 = {r["doc_key"] for r in res2["kept"].select("doc_key").collect()}
+    assert k1 == k2
+    # a budget at/above the corpus is a no-op stage
+    res3 = build_training_corpus(spark, pages, token_budget=int(total_tokens))
+    assert "over_budget" not in res3["funnel"]

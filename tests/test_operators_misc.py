@@ -1524,3 +1524,45 @@ def test_ivf_pq_recall_sf01_pinned(spark):
         .collect()
     }
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_psl_struct_properties_on_arbitrary_hosts(spark):
+    """Property sweep over adversarial host strings (hypothesis-generated
+    charset): psl_struct is TOTAL (never throws), host_norm is the
+    lowercased dot-stripped input, a non-null reg_domain is a dotted tail
+    of host_norm and extends public_suffix by exactly one label, and a
+    null reg_domain means the host IS the suffix, a single label, an IP,
+    or empty."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from ocr_model_spark.operators.urls import psl_struct
+
+    host_chars = st.sampled_from(list("abcXYZ019._-é中 "))
+    hosts_strategy = st.lists(
+        st.text(host_chars, min_size=0, max_size=12), min_size=1, max_size=24
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(hosts_strategy)
+    def check(hosts):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"i": range(len(hosts)), "host": hosts})
+        )
+        rows = docs.select(
+            "i", "host", F.inline(F.array(psl_struct(F.col("host"))))
+        ).collect()
+        for r in rows:
+            raw = hosts[r["i"]]
+            norm = raw.lower().rstrip(".")
+            if norm == "":
+                assert r["host_norm"] is None and r["reg_domain"] is None
+                continue
+            assert r["host_norm"] == norm
+            reg, sfx = r["reg_domain"], r["public_suffix"]
+            if reg is not None and sfx is not None:
+                assert norm == reg or norm.endswith("." + reg)
+                assert reg == sfx or reg.endswith("." + sfx)
+                assert reg.count(".") == sfx.count(".") + 1
+
+    check()
