@@ -297,11 +297,13 @@ def build_training_corpus(
     ``token_budget`` adds a final ``over_budget`` stage: when the
     surviving corpus exceeds the budget (``multilingual_token_count``
     sum), documents keep with probability budget/total via a
-    DETERMINISTIC hash threshold (``pmod(xxhash64(doc_key), 1e6)`` —
-    never rand()), so the exported size is the budget in expectation
-    with NO global sort or running total (a cumulative-sum window over
-    the whole corpus is a single-partition scale-killer; hash-threshold
-    selection is the 10^12 shape, and replays keep the same docs).
+    DETERMINISTIC salted hash threshold (``pmod(xxhash64(doc_key,
+    'budget'), 2^30)`` — never rand(); salted so it decorrelates from
+    the shard-assignment hash), so the exported size is the budget in
+    expectation with NO global sort or running total (a cumulative-sum
+    window over the whole corpus is a single-partition scale-killer;
+    hash-threshold selection is the 10^12 shape, and replays keep the
+    same docs).
 
     Determinism: every gate is a pure function of the input (hash ranks,
     not rand()), so replays produce identical funnels, manifests, and
@@ -321,7 +323,7 @@ def build_training_corpus(
         .dropDuplicates(["doc_key"])
         .persist()
     )
-    verdicts = None
+    persisted = [base]
     try:
         surv_q = base.filter(F.col("pre_reason").isNull())
         # exact dedup among quality survivors: deterministic keeper per
@@ -365,6 +367,7 @@ def build_training_corpus(
             "quality",
             reason.alias("drop_reason"),
         ).persist()
+        persisted.append(verdicts)
         if token_budget is not None:
             from ocr_model_spark.operators.textstats import multilingual_token_count
 
@@ -374,18 +377,28 @@ def build_training_corpus(
                 .collect()[0]["t"]
             ) or 0
             if total > token_budget:
-                thresh = int(round(token_budget / total * 1_000_000))
+                # 2^30 modulus + floor of 1: a 1e6 grid gives ±50% relative
+                # error at single-digit thresholds and rounds to ZERO (empty
+                # export!) below ratio 5e-7 — real at 10^12-token corpora.
+                # The hash is SALTED so it decorrelates from the shard
+                # assignment hash (same key, same function: with the bare
+                # hash, budget survivors all land in the first
+                # thresh-mod-n_shards shards).
+                mod = 1 << 30
+                thresh = max(1, int(round(token_budget / total * mod)))
                 over = (F.col("drop_reason") == "kept") & (
-                    F.pmod(F.xxhash64("doc_key"), F.lit(1_000_000)) >= thresh
+                    F.pmod(
+                        F.xxhash64(F.col("doc_key"), F.lit("budget")), F.lit(mod)
+                    )
+                    >= thresh
                 )
-                budgeted = verdicts.withColumn(
+                verdicts = verdicts.withColumn(
                     "drop_reason",
                     F.when(over, F.lit("over_budget")).otherwise(
                         F.col("drop_reason")
                     ),
                 ).persist()
-                verdicts.unpersist()
-                verdicts = budgeted
+                persisted.append(verdicts)
         funnel = {
             r["drop_reason"]: int(r["count"])
             for r in verdicts.groupBy("drop_reason").count().collect()
@@ -397,9 +410,8 @@ def build_training_corpus(
             else None
         )
     finally:
-        base.unpersist()
-        if verdicts is not None:
-            verdicts.unpersist()
+        for frame in persisted:
+            frame.unpersist()
     return {
         "funnel": funnel,
         "total": sum(funnel.values()),

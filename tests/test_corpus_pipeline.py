@@ -124,13 +124,14 @@ def test_build_training_corpus_token_budget(spark, tmp_path):
     )
     for stage in ("extract_failed", "url_blocked", "low_quality", "exact_dup", "near_dup"):
         assert res["funnel"].get(stage, 0) == base["funnel"].get(stage, 0), stage
-    # expectation-level budget: kept tokens land near the target
+    # expectation-level budget: kept tokens land in a band around the
+    # target (hash-threshold keeps each doc with p = budget/total)
     kept_tokens = (
         res["kept"]
         .agg(F.sum(multilingual_token_count(F.col("text"))).alias("t"))
         .collect()[0]["t"]
     )
-    assert kept_tokens < total_tokens
+    assert 0.5 * budget < kept_tokens < 2 * budget
     # replay determinism
     res2 = build_training_corpus(spark, pages, token_budget=budget)
     k1 = {r["doc_key"] for r in res["kept"].select("doc_key").collect()}
