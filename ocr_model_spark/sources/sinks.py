@@ -339,11 +339,13 @@ def write_training_shards(
     n_shards: int = 16,
     id_col: str = "doc_id",
     max_records_per_file: int | None = None,
+    fmt: str = "json",
 ) -> dict:
-    """Training-data export: JSONL shards plus a deterministic manifest —
-    the OUTPUT stage of a corpus pipeline (trainers consume fixed shard
-    lists; reproducibility means the same input set must always produce
-    the same shards with the same content).
+    """Training-data export: JSONL (or parquet, ``fmt='parquet'`` — same
+    shard/manifest contract, columnar for table-reading trainers) shards
+    plus a deterministic manifest — the OUTPUT stage of a corpus pipeline
+    (trainers consume fixed shard lists; reproducibility means the same
+    input set must always produce the same shards with the same content).
 
     Shard assignment is ``pmod(xxhash64(id), n_shards)`` — a pure
     function of the row (house determinism rule: never rand()), so
@@ -382,7 +384,12 @@ def write_training_shards(
         )
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.json(out_dir)
+        if fmt == "json":
+            writer.json(out_dir)
+        elif fmt == "parquet":
+            writer.parquet(out_dir)
+        else:
+            raise ValueError(f"unsupported shard format: {fmt!r}")
         stats = (
             sharded.withColumn("_h", stable_hash(sid))
             .groupBy("shard")

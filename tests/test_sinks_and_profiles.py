@@ -229,3 +229,24 @@ def test_training_shard_export_deterministic(spark, tmp_path):
 
     for s in m1["shards"]:
         assert shard_digest(out1, s) == shard_digest(out2, s)
+
+
+def test_training_shard_export_parquet_format(spark, tmp_path):
+    """fmt='parquet' keeps the shard/manifest contract: same membership
+    and manifest as the JSONL export of the same set, columnar roundtrip,
+    unknown formats rejected."""
+    import pytest
+
+    from ocr_model_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mj = write_training_shards(docs, str(tmp_path / "j"), n_shards=8)
+    mp = write_training_shards(docs, str(tmp_path / "p"), n_shards=8, fmt="parquet")
+    assert mp == mj  # identical membership → identical manifest
+    back = spark.read.parquet(str(tmp_path / "p"))
+    assert back.count() == mp["total_docs"]
+    assert set(back.columns) >= {"doc_id", "text", "shard"}
+    with pytest.raises(ValueError, match="unsupported shard format"):
+        write_training_shards(docs, str(tmp_path / "x"), fmt="csv")
