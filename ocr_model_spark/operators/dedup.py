@@ -146,8 +146,9 @@ def words_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokenize regex dominates; the checkpointed frame is narrow —
     id + words array, no payloads)."""
     # spread first: a single-file scan is one partition, which would run the
-    # (CPU-bound) tokenization expressions single-threaded
-    spread = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    # (CPU-bound) tokenization expressions single-threaded; hash on the id
+    # (unique) so no round-robin pre-sort is paid
+    spread = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id")
     return spread.select("id", normalized_words(F.col("t")).alias("w"))
 
 
@@ -182,16 +183,27 @@ def shingle_frame(
     return out
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a narrow frame to the pool width so per-row
-    CPU work parallelizes even from a one-partition scan.
+def _spread(df: DataFrame, *key: str) -> DataFrame:
+    """Repartition a narrow frame to the pool width so per-row CPU work
+    parallelizes even from a one-partition scan.
 
     Gated: at real scale the scan is already thousands of splits and this
     would be a pointless full-corpus shuffle — only repartition when the
-    scan is narrower than the pool."""
+    scan is narrower than the pool.
+
+    Pass ``key`` column name(s) (unique or near-unique — e.g. the doc id)
+    to hash-partition instead of round-robin: a keyless ``repartition(n)``
+    first pays a LOCAL SORT of its input (``sortBeforeRepartition``, on by
+    default since SPARK-23207 so retried tasks reproduce their row→partition
+    assignment) — on a one-partition scan that sort is itself
+    single-threaded dead time. Hash partitioning on a deterministic unique
+    key needs no such sort (the assignment is already a pure row function)
+    and spreads evenly."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
+    if key:
+        return df.repartition(sc.defaultParallelism, *[F.col(k) for k in key])
     return df.repartition(sc.defaultParallelism)
 
 

@@ -7,16 +7,29 @@ Reference scope: the reference serves extraction results over FastAPI
 beyond-reference addition in the "operations a large-scale training-data
 pipeline needs" family.
 
-Plan shape (the one that survives 10^12 docs):
+Plan shape (the one that survives 10^12 docs). Two regimes:
 
-* postings (doc, term, tf) — ONE shuffle over the tokenized corpus,
-  map-side combined;
-* doc lengths — a second keyed aggregate over the SAME postings frame
-  (no re-tokenize);
-* the query set is broadcast (queries are human-scale), so the postings
-  frame is PRUNED to query terms map-side before anything expensive;
-* df/idf are computed only for query terms (a shuffle over the pruned
-  frame, keyed by term — tiny);
+* **Human-scale query sets (the declared contract — r7 default path):** the
+  distinct query-term set is tiny, so corpus tokens are pruned to query
+  terms IN-ROW (one `filter` over the words array against a literal term
+  array) and the per-term tf counts are computed in-row too. The corpus is
+  tokenized ONCE and **never exploded**: the only full-corpus aggregate is
+  the one-row (n_docs, sum_dl) stats frame computed from the in-row doc
+  length (`dl == size(words)` — identical to the postings-sum by
+  construction), and everything downstream (df/idf, scoring, fold, top-k)
+  is hit-scale. The r6 plan exploded every token into a (doc, term, tf)
+  postings shuffle and semi-join-pruned the corpus-sized doc-length frame
+  back to hit ids; both of those full-corpus structures are gone.
+* **Large query sets** (``> max_inrow_terms`` distinct terms, where an
+  in-row literal array would bloat the plan and the O(|words| x |terms|)
+  in-row scan loses to a hash shuffle): the classic postings shape —
+  (doc, term, tf) one combining shuffle, broadcast query-term pruning,
+  doc-length frame semi-join-pruned to hit ids (the r6 10^12 shape).
+
+Shared invariants (both regimes, identical output by construction):
+
+* the query set is broadcast (queries are human-scale);
+* df/idf are computed only for query terms;
 * per-(query, doc) scores fold in a SORTED higher-order aggregate
   (collect_list → sort_array → fold) so the double summation order is
   fixed — bitwise identical across partitionings and engines (the same
@@ -31,7 +44,7 @@ downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ocr_model_spark.operators.windows import top_k_per_group
@@ -57,75 +70,34 @@ def postings_frame(
     )
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: list[tuple[str, list[str]]],
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    round_to: int = 4,
+def _score_and_rank(
+    hits: DataFrame,
+    qterms,
+    stats,
+    k: int,
+    k1: float,
+    b: float,
+    round_to: int,
+    id_col: str,
 ) -> DataFrame:
-    """Top-k documents per query by BM25.
-
-    ``queries`` is a small in-memory list of (query_id, terms) — it becomes
-    a broadcast relation; duplicate terms within a query are dropped (the
-    standard bag-of-distinct-terms form). Returns (query_id, doc_id, score,
-    rank) with deterministic doc-id tiebreak."""
-    spark = docs.sparkSession
-    # the postings frame feeds THREE subtrees (doc lengths, corpus stats,
-    # query-term hits) — checkpoint it so the tokenize+explode+combine runs
-    # once, not once per subtree (measured 3.4 s → ~1.4 s at sf0.1)
-    post = postings_frame(docs, id_col, text_col).localCheckpoint(eager=False)
-    dl = post.groupBy("id").agg(F.sum("tf").alias("dl"))
-    # corpus stats as a one-row broadcast relation (no collect)
-    stats = F.broadcast(
-        dl.agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-        )
-    )
-    qrows = sorted(
-        {(qid, t) for qid, terms in queries for t in terms}
-    )
-    qterms = F.broadcast(
-        spark.createDataFrame(qrows, "query_id: string, term: string")
-    )
-    # prune postings to query terms FIRST (map-side broadcast join) — df and
-    # scoring never see non-query terms
-    hits = post.join(qterms.select("term").distinct(), "term")
-    # the hits frame feeds THREE consumers (df, the id-prune below, scoring)
-    # — checkpoint the narrow pruned frame once
-    hits = hits.localCheckpoint(eager=False)
+    """Shared tail of both BM25 regimes: df/idf over the hit frame, the
+    BM25 contribution expression (operation order is part of the oracle
+    contract — IEEE ops are deterministic given identical order), the
+    sorted fold, and the windowed top-k. ``hits`` is (id, dl, term, tf)."""
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
-    idf = (
-        dfreq.crossJoin(stats).select(
-            "term",
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                )
-                + 1e-9,
-                6,
-            ).alias("idf"),
-        )
-    )
-    # VERDICT r5 #5: at 10^12 docs the corpus-sized doc-length frame can
-    # neither broadcast nor should it shuffle wide — semi-join-prune it to
-    # the query-hit doc ids first, so the scoring join scales with hits
-    # (query-matched docs), not with the corpus. The full `dl` survives
-    # only as the one-row stats aggregate above.
-    # the distinct hit-id set scales with query-matched docs (bounded by
-    # Σ_term df(term) over the human-scale query set), so it broadcasts by
-    # design — the classic semi-join-reduction build side, same trade as
-    # the qterms broadcast above
-    dl_hits = dl.join(
-        F.broadcast(hits.select("id").distinct()), "id", "left_semi"
+    idf = dfreq.crossJoin(stats).select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            + 1e-9,
+            6,
+        ).alias("idf"),
     )
     scored = (
-        hits.join(dl_hits, "id")
-        .join(F.broadcast(idf), "term")
+        hits.join(F.broadcast(idf), "term")
         .join(qterms, "term")
         .crossJoin(stats)
         .select(
@@ -174,3 +146,139 @@ def bm25_topk(
         top_k_per_group(folded, ["query_id"], [F.desc("score"), F.asc("id")], k)
         .select("query_id", F.col("id").alias(id_col), "score", "rank")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+    max_inrow_terms: int = 64,
+) -> DataFrame:
+    """Top-k documents per query by BM25.
+
+    ``queries`` is a small in-memory list of (query_id, terms) — it becomes
+    a broadcast relation; duplicate terms within a query are dropped (the
+    standard bag-of-distinct-terms form). Returns (query_id, doc_id, score,
+    rank) with deterministic doc-id tiebreak. Regime selection (identical
+    output either way — tf/df/dl/score are the same numbers by
+    construction): ≤ ``max_inrow_terms`` distinct terms → in-row pruning,
+    no token explode; above → postings shuffle (see module docstring)."""
+    spark = docs.sparkSession
+    qrows = sorted(
+        {(qid, t) for qid, terms in queries for t in terms}
+    )
+    qterms = F.broadcast(
+        spark.createDataFrame(qrows, "query_id: string, term: string")
+    )
+    term_set = sorted({t for _, t in qrows})
+    if len(term_set) <= max_inrow_terms:
+        return _bm25_inrow(
+            docs, qterms, term_set, id_col, text_col, k, k1, b, round_to
+        )
+    return _bm25_postings(docs, qterms, id_col, text_col, k, k1, b, round_to)
+
+
+def _bm25_inrow(
+    docs: DataFrame,
+    qterms,
+    term_set: list[str],
+    id_col: str,
+    text_col: str,
+    k: int,
+    k1: float,
+    b: float,
+    round_to: int,
+) -> DataFrame:
+    """In-row regime: tokenize once, prune to query terms inside the row,
+    never explode corpus tokens."""
+    from ocr_model_spark.operators.dedup import _let, _spread, normalized_words
+
+    terms_lit = F.array(*[F.lit(t) for t in term_set])
+
+    def tf_struct(w: Column) -> Column:
+        # two-step in-row prune: one pass over the words array against the
+        # term set, then per-term counts over the (tiny) surviving array —
+        # O(|w| + |terms| x |hits|) instead of O(|w| x |terms|)
+        qw = F.filter(w, lambda x: F.array_contains(terms_lit, x))
+
+        def with_qw(qwb: Column) -> Column:
+            tfs = F.filter(
+                F.transform(
+                    terms_lit,
+                    lambda t: F.struct(
+                        t.alias("term"),
+                        F.size(F.filter(qwb, lambda x: x == t)).alias("tf"),
+                    ),
+                ),
+                lambda s: s["tf"] > 0,
+            )
+            # dl = size(w) ≡ sum of tf over ALL terms (every token counts
+            # exactly once) — the value the postings regime derives by
+            # summing tf per doc
+            return F.struct(F.size(w).alias("dl"), tfs.alias("tfs"))
+
+        return _let(qw, with_qw)
+
+    base = _spread(
+        docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("t")
+        ),
+        "id",
+    )
+    # F.inline(F.array(...)) = the repo's Generate-barrier idiom: the
+    # let-bound struct evaluates ONCE per row even though two fields come
+    # out (CollapseProject cannot substitute through a Generate); the
+    # checkpointed frame is narrow (id, dl, ≤|terms| tf structs) and feeds
+    # both the stats aggregate and the hit explode
+    per_doc = (
+        base.select(
+            "id",
+            F.inline(F.array(_let(normalized_words(F.col("t")), tf_struct))),
+        )
+        .filter(F.col("dl") > 0)
+        .localCheckpoint(eager=False)
+    )
+    stats = F.broadcast(
+        per_doc.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    )
+    hits = per_doc.select("id", "dl", F.explode("tfs").alias("x")).select(
+        "id", "dl", F.col("x.term").alias("term"), F.col("x.tf").alias("tf")
+    )
+    return _score_and_rank(hits, qterms, stats, k, k1, b, round_to, id_col)
+
+
+def _bm25_postings(
+    docs: DataFrame,
+    qterms,
+    id_col: str,
+    text_col: str,
+    k: int,
+    k1: float,
+    b: float,
+    round_to: int,
+) -> DataFrame:
+    """Postings regime (large query sets): the r6 shape — one combining
+    token shuffle, broadcast query-term pruning, doc-length frame
+    semi-join-pruned to hit ids (VERDICT r5 #5: at 10^12 docs the
+    corpus-sized doc-length frame can neither broadcast nor shuffle wide)."""
+    post = postings_frame(docs, id_col, text_col).localCheckpoint(eager=False)
+    dl = post.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    )
+    hits = post.join(qterms.select("term").distinct(), "term").localCheckpoint(
+        eager=False
+    )
+    # the distinct hit-id set scales with query-matched docs (bounded by
+    # Σ_term df(term) over the human-scale query set), so it broadcasts by
+    # design — the classic semi-join-reduction build side
+    dl_hits = dl.join(
+        F.broadcast(hits.select("id").distinct()), "id", "left_semi"
+    )
+    hits = hits.join(dl_hits, "id")
+    return _score_and_rank(hits, qterms, stats, k, k1, b, round_to, id_col)

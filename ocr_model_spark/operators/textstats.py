@@ -852,12 +852,28 @@ def quality_score(text: Column) -> Column:
         shape_f  = 1 if 3 <= mean_word_len <= 10 else 0.5
         penalty  = least(0.5, 2 * punct_ratio)
         score    = round(greatest(0, length_f * shape_f - penalty), 6)
-    """
+
+    The words array and the mean-word-length scalar are ``_let``-bound so
+    the tokenize regex runs ONCE per row regardless of how many times the
+    enclosing expression is referenced (``quality_bucket(score)`` compares
+    the score twice; naive inlining re-ran the tokenizer ~20× per row —
+    the dominant cost of the quality_scores slot)."""
     length_f = F.least(F.lit(1.0), F.length(text) / 500.0)
-    mwl = mean_word_length(text)
-    shape_f = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     penalty = F.least(F.lit(0.5), 2.0 * punct_ratio(text))
-    return F.round(F.greatest(F.lit(0.0), length_f * shape_f - penalty), 6)
+
+    def with_words(ws: Column) -> Column:
+        total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+        mwl_val = F.when(F.size(ws) > 0, F.round(total / F.size(ws), 6)).otherwise(0.0)
+
+        def with_mwl(mwl: Column) -> Column:
+            shape_f = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(
+                F.lit(0.5)
+            )
+            return F.round(F.greatest(F.lit(0.0), length_f * shape_f - penalty), 6)
+
+        return _let(mwl_val, with_mwl)
+
+    return _let(normalized_words(text), with_words)
 
 
 def quality_bucket(score: Column) -> Column:
@@ -874,14 +890,25 @@ def doc_fingerprint(text: Column) -> Column:
     """Position-sensitive rolling document fingerprint:
     ``sum((i+1) * stable_hash(word_i)) mod M`` over normalized words —
     order-sensitive (unlike a bag hash), expression-only, oracle-matchable."""
-    words = normalized_words(text)
-    idx = F.sequence(F.lit(1), F.size(words))
-    weighted = F.zip_with(
-        words, idx, lambda w, i: F.pmod(i.cast("long") * stable_hash(w), F.lit(FINGERPRINT_MOD))
-    )
-    return F.when(F.size(words) > 0, F.aggregate(
-        weighted, F.lit(0).cast("long"), lambda acc, x: F.pmod(acc + x, F.lit(FINGERPRINT_MOD))
-    )).otherwise(F.lit(0).cast("long"))
+    def body(words: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(words))
+        weighted = F.zip_with(
+            words,
+            idx,
+            lambda w, i: F.pmod(i.cast("long") * stable_hash(w), F.lit(FINGERPRINT_MOD)),
+        )
+        return F.when(
+            F.size(words) > 0,
+            F.aggregate(
+                weighted,
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(acc + x, F.lit(FINGERPRINT_MOD)),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    # _let: the words array evaluates once per row (the tokenize regex
+    # appeared 4× in the naive expression — size twice, zip_with, guard)
+    return _let(normalized_words(text), body)
 
 
 # --------------------------------------------------------------- PII scrub
@@ -1016,20 +1043,32 @@ def unigram_logprob_quality(
     comparable before the final round."""
     from pyspark.sql import functions as F
 
-    from ocr_model_spark.operators.dedup import normalized_words
+    from ocr_model_spark.operators.dedup import _spread, normalized_words
 
+    # spread the narrow (id, text) projection before tokenizing: a
+    # single-file scan is ONE task, and the tokenize+explode is the
+    # CPU-dominant stage of this operator (no-op at real scale)
+    base = _spread(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("t")
+        ),
+        "id",
+    )
     pairs = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), normalized_words(F.col(text_col)).alias("w"))
+        base.select("id", normalized_words(F.col("t")).alias("w"))
         .filter(F.size("w") > 0)
         .select("id", F.explode("w").alias("g"))
         .groupBy("id", "g")
         .agg(F.count("*").alias("c"))
     )
     vocab = pairs.groupBy("g").agg(F.sum("c").alias("cnt"))
-    # total over ALL words (pairs, not the possibly-capped vocab): the
-    # distribution stays normalized over the full corpus either way
-    total = pairs.agg(F.sum("c").cast("double").alias("total"))
+    # total over ALL words — summed from the UNCAPPED vocab partials, not
+    # from a second full pass over `pairs` (Σ_g cnt(g) ≡ Σ c exactly:
+    # integer sums are order-insensitive, so this saves one whole scan of
+    # the (id, g, c) frame while keeping the value bit-identical); the
+    # distribution stays normalized over the full corpus even when the
+    # vocab is capped below
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
     if vocab_top_k is not None:
         # global top-K by (count desc, word asc — a total order) runs as
         # TakeOrderedAndProject: no full sort materializes

@@ -997,12 +997,27 @@ def q_near_dup_clusters(spark, sf_dir):
     # (min-label re-reads the edge list every round), so without this the
     # whole minhash/LSH pipeline would recompute per round per variant
     pairs = D.minhash_candidates(d, "doc_id", "text").localCheckpoint(eager=True)
-    star = D.connected_components_star(pairs).withColumn(
-        "method", F.lit("star")
-    )
-    minlabel = D.connected_components(pairs).withColumn(
-        "method", F.lit("minlabel")
-    )
+    # The two CC variants are INDEPENDENT iterative job sequences over the
+    # same checkpointed edge list, and each round is a small action
+    # (checkpoint + convergence check) — run them from two driver threads
+    # so one variant's rounds back-fill the executor slots the other
+    # leaves idle (guide-§2.6 overlap-independent-jobs; the scheduler is
+    # FIFO so neither starves). Results are deterministic integer mins,
+    # unaffected by scheduling order. inheritable_thread_target keeps the
+    # JVM thread-local job properties correct in the worker threads.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_star = pool.submit(
+            inheritable_thread_target(lambda: D.connected_components_star(pairs))
+        )
+        f_min = pool.submit(
+            inheritable_thread_target(lambda: D.connected_components(pairs))
+        )
+        star = f_star.result().withColumn("method", F.lit("star"))
+        minlabel = f_min.result().withColumn("method", F.lit("minlabel"))
     return (
         star.unionByName(minlabel)
         .select(
@@ -2585,15 +2600,25 @@ FROM scored ORDER BY doc_id
 
 
 def q_quality_scores(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # spread the narrow projection first: a single-file scan is ONE task and
+    # the quality expression is regex-heavy (words array is _let-bound inside
+    # quality_score so the tokenizer runs once per reference, but bucket()
+    # still re-derives the score) — parallelize it across the pool
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     t = F.col("text")
-    score = X.quality_score(t)
-    return d.select(
-        "doc_id",
-        score.alias("quality"),
-        X.quality_bucket(score).alias("bucket"),
-        X.punct_ratio(t).alias("punct_ratio"),
-    ).orderBy("doc_id")
+    # one-evaluation struct behind a Generate barrier (the c4_line_struct
+    # pattern): the score is _let-bound so quality AND the bucket CASE read
+    # the same computed value — naively projecting three columns re-derived
+    # the regex-heavy score once per reference
+    qstruct = D._let(
+        X.quality_score(t),
+        lambda s: F.struct(
+            s.alias("quality"),
+            X.quality_bucket(s).alias("bucket"),
+            X.punct_ratio(t).alias("punct_ratio"),
+        ),
+    )
+    return d.select("doc_id", F.inline(F.array(qstruct))).orderBy("doc_id")
 
 
 _SQL_QUALITY_SCORES = """
@@ -2628,7 +2653,9 @@ FROM scored ORDER BY doc_id
 
 
 def q_doc_fingerprints(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # spread: single-file scan = one task; the rolling fingerprint is a
+    # tokenize + fold per row, CPU-bound (see q_quality_scores)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     return d.select(
         "doc_id", X.doc_fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")

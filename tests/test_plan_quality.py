@@ -205,9 +205,11 @@ def test_repetition_profile_two_keyed_shuffles(spark):
 
 
 def test_bm25_plan_all_broadcast_no_python(spark):
-    """BM25 serving plan: the query-term relation, idf table, and corpus
-    stats all BROADCAST (no SortMergeJoin — postings shuffle only on their
-    own aggregation keys), no cartesian product, no Python stage."""
+    """BM25 serving plan (in-row regime, r7): the query-term relation, idf
+    table, and corpus stats all BROADCAST, no SortMergeJoin, no cartesian
+    product, no Python stage — and corpus TOKENS never explode: the only
+    Generate nodes are the one-per-doc inline struct and the ≤|terms|
+    tf-hit explode (no full-token explode feeding a (doc, term) shuffle)."""
     from ocr_model_spark.queries import q_bm25_topk
 
     df = q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -216,10 +218,42 @@ def test_bm25_plan_all_broadcast_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
-    # r6: the corpus-sized doc-length frame is semi-join-pruned to hit doc
-    # ids before the scoring join (the 10^12 shape) — the prune must
-    # survive in the plan as a LeftSemi join
+
+
+def test_bm25_postings_regime_keeps_semi_join_prune(spark):
+    """Above ``max_inrow_terms`` the postings regime must engage, and its
+    corpus-sized doc-length frame must stay semi-join-pruned to hit doc
+    ids before the scoring join (VERDICT r5 #5 — the 10^12 shape)."""
+    from ocr_model_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = [("q0", ["hash", "join"])]
+    df = bm25_topk(docs, queries, k=5, max_inrow_terms=1)
+    plan = _plan(df)
     assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_regimes_identical_output(spark):
+    """The in-row and postings regimes are two physical plans for ONE
+    operator contract — row-for-row identical output (scores are the same
+    doubles: tf/df/dl are equal integers and the contribution/fold
+    expressions are shared)."""
+    from ocr_model_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = [
+        ("q_hash_join", ["hash", "join"]),
+        ("q_vector_scan", ["vector", "column", "scan"]),
+    ]
+    inrow = bm25_topk(docs, queries, k=5).orderBy("query_id", "rank").collect()
+    posting = (
+        bm25_topk(docs, queries, k=5, max_inrow_terms=0)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert inrow == posting
+    assert len(inrow) > 0
 
 
 def test_semantic_dedup_plan_cell_equijoin_no_crossjoin(spark):
