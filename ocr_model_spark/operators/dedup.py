@@ -241,7 +241,13 @@ def jaccard_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 3
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    *,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for a CANDIDATE pair list (id_a, id_b) — the
     scale-correct use of exact Jaccard: verify LSH survivors, never
@@ -266,7 +272,7 @@ def jaccard_verify(
     # pruned + flat → cheap to materialize; three consumers (sizes, both
     # common-join sides) would otherwise re-tokenize the corpus each
     sh = (
-        shingle_frame(df, id_col, text_col, n, hashed=False)
+        shingle_frame(df, id_col, text_col, n, hashed=False, words=words)
         .join(F.broadcast(member_ids), "id")
         .localCheckpoint(eager=False)
     )
@@ -662,11 +668,19 @@ def keep_best_per_cluster(
 # ------------------------------------------------------------- MinHash LSH
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    *,
+    words: DataFrame | None = None,
+) -> DataFrame:
     """16 minhash values per doc: min over shingles of (a_i*sid + b_i) mod P.
     One narrow groupBy over the shingle frame — 16 mins computed in a single
-    partial-aggregating pass (map-side combine)."""
-    sh = shingle_frame(df, id_col, text_col, n).withColumn(
+    partial-aggregating pass (map-side combine). Pass a pre-built ``words``
+    frame to share one tokenization pass with sibling consumers."""
+    sh = shingle_frame(df, id_col, text_col, n, words=words).withColumn(
         "sid", F.pmod(F.col("sh"), F.lit(MERSENNE31))
     )
     aggs = [
@@ -699,6 +713,7 @@ def minhash_candidates(
     n: int = 3,
     max_bucket: int | None = None,
     sigs: DataFrame | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any (band_idx, band_key) bucket become a
     candidate pair. Returns distinct (id_a < id_b) pairs.
@@ -717,8 +732,14 @@ def minhash_candidates(
 
     ``sigs``: pass a precomputed :func:`minhash_signatures` frame to share
     the tokenize+shingle+min pass with other consumers (the estimator,
-    the verifier) — the ``words=`` pattern from ``repetition_profile``."""
-    sig = sigs if sigs is not None else minhash_signatures(df, id_col, text_col, n)
+    the verifier); ``words``: share just the tokenization (the
+    ``repetition_profile`` pattern) when the sibling needs raw shingles
+    rather than signatures."""
+    sig = (
+        sigs
+        if sigs is not None
+        else minhash_signatures(df, id_col, text_col, n, words=words)
+    )
     banded = sig.select("id", F.explode(F.array(*_band_structs())).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
@@ -1006,32 +1027,53 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     """SimHash fingerprint: per word, hash → per bit ±count accumulation →
     bit set where the sum is positive.
 
-    All ``bits`` accumulators run as SEPARATE aggregate expressions in ONE
-    map-side-combining groupBy — no bit-index explode (a ``bits``× row
-    amplification) and no extra shuffle stage (measured: 3 shuffles → 2,
-    and the shuffled frame is ``bits``× smaller)."""
-    words = (
-        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
-        .select("id", F.explode(normalized_words(F.col("t"))).alias("w"))
-        .groupBy("id", "w")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", stable_hash(F.col("w")))
+    Computed ENTIRELY in-row (r7 — zero shuffles; the r6 shape ran two
+    keyed shuffles: (id, word) counts, then per-doc bit sums). The key
+    identity: the per-distinct-word ±count sum equals a ±1 sum over the
+    RAW token stream — every occurrence of word w contributes exactly 1
+    to cnt(w), so Σ_distinct ±cnt(w) ≡ Σ_tokens ±1 — and integer sums are
+    order-insensitive, making the in-row fold bit-identical to the
+    groupBy. One fold over the words array with a ``bits``-long
+    accumulator; the word hash is let-bound so md5 runs once per token."""
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+
+    def body(ws: Column) -> Column:
+        sums = F.aggregate(
+            ws,
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, x: _let(
+                stable_hash(x),
+                lambda h: F.zip_with(
+                    acc,
+                    masks,
+                    lambda s, m: s
+                    + F.when(h.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+                        F.lit(-1).cast("long")
+                    ),
+                ),
+            ),
+        )
+        return _let(
+            sums,
+            lambda ss: F.aggregate(
+                F.zip_with(
+                    ss,
+                    masks,
+                    lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"
+    ).select("id", normalized_words(F.col("t")).alias("w"))
+    # row-presence contract matches the aggregate path: docs with NULL
+    # text or zero tokens produced no (id, word) rows, hence no output row
+    return base.filter(F.col("w").isNotNull() & (F.size("w") > 0)).select(
+        "id", _let(F.col("w"), body).alias("simhash")
     )
-    bit_sums = words.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("cnt")).otherwise(
-                    -F.col("cnt")
-                )
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
-    )
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return bit_sums.select("id", sim.cast("long").alias("simhash"))
 
 
 def connected_components(

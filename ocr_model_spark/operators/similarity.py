@@ -350,31 +350,77 @@ def embedding_near_dups(
     round_to: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (driver-mandated dedup variant):
-    multi-table LSH bucket SELF-join generates candidates (one shuffle on
-    the 't:bits' key — never an all-pairs crossJoin), exact cosine keeps
+    multi-table LSH bucket keys generate candidates, exact cosine keeps
     pairs ≥ threshold. Near-identical vectors share every bucket with
     near-certainty, so at high thresholds the result matches the exact
     all-pairs answer (the oracle pins exactly that).
 
-    The keyed frame self-joins WITHOUT a checkpoint — deliberately:
-    re-keying the corpus twice is cheaper than materializing the
-    ×n_tables-exploded (id, vector, bucket) frame (measured 2.1 s →
-    10.9 s when checkpointed; the vectors dominate the frame, the keying
-    expressions are cheap)."""
+    Plan shape (r7 — the repo-canonical candidate-generator form shared
+    with minhash/winnow/simhash and the estimate_jaccard prune): the
+    corpus is keyed ONCE; only the narrow (bucket, id) projection shuffles
+    into a per-bucket groupBy whose sorted id list generates (a < b) pairs
+    IN-ROW (``_all_pairs`` — no self-join, vectors never ride the bucket
+    shuffle); the raw vectors are then attached candidate-scale by two
+    id-equi-joins against the id-pruned corpus. The r6 shape self-joined
+    the ×n_tables-exploded (id, vector, bucket) frame — it keyed the
+    corpus twice and sort-merged fat vector rows on the bucket key.
+    Per-bucket pair generation is quadratic either way (that is what an
+    LSH bucket means); the in-row form additionally keeps the bucket size
+    observable for capping, exactly like the minhash family."""
+    from ocr_model_spark.operators.dedup import _all_pairs
+
     keyed = lsh_keyed(corpus, id_col, vec_col, n_planes, dim, n_tables)
-    a, b = keyed.alias("a"), keyed.alias("b")
+    buckets = (
+        keyed.select("bucket", "id")
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode(_all_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # per-vector norms are computed ONCE here and carried as columns —
+    # cosine(a, b) = dot/(norm*norm) recomputed both norms per PAIR, an
+    # O(pairs × dim) interpreted-HOF tax for values that are pure per-id
+    # functions (bit-identical: same fold over the same array, and the
+    # norm*norm product multiplies the same two doubles)
+    vecs = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(ids, "id")
+        .withColumn("n", norm(F.col("v")))
+    )
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    # repartition the pair list on the pair key before attaching vectors:
+    # pair generation explodes a hot bucket's quadratic pair list inside
+    # ONE task (and AQE coalesces the tiny post-distinct frame to one
+    # partition locally) — the per-pair dot products are the dominant
+    # compute of this operator and must spread over the pool; partition
+    # count follows spark.sql.shuffle.partitions (scale-adaptive)
+    spread_pairs = pairs.repartition(F.col("id_a"), F.col("id_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
+        spread_pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), round_to).alias("sim"),
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_to,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
-        .distinct()
     )
 
 

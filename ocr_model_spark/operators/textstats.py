@@ -950,13 +950,17 @@ def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text", *, wo
     stuffing, generation loops) score low/high respectively and get
     filtered before training.
 
-    Relational shape: explode → per-(doc, gram) counts (map-side combined)
-    → per-doc max/sum — two narrow shuffles keyed by (doc, gram), safe at
-    corpus scale; no quadratic work. Uses the engine-wide normalized
-    tokenization (shared with the dedup family and its oracles). Pass a
-    pre-built ``words`` frame (``dedup.words_frame``, ideally
-    localCheckpoint'ed) to share one tokenization pass with sibling
-    gram aggregates in the same slot."""
+    In-row shape (r7 — the ``dup_mass_stats`` design): every signal is a
+    per-document function of its own words array, so each is computed by
+    ONE sorted run-length fold inside the row — zero shuffles, no
+    (doc, gram) explode (the r6 relational shape shuffled every token and
+    every bigram twice; the per-(doc, gram) counts it aggregated are
+    exactly the run lengths of the sorted array, so the integers — and
+    therefore the rounded fractions — are identical by construction).
+    Uses the engine-wide normalized tokenization (shared with the dedup
+    family and its oracles). Pass a pre-built ``words`` frame
+    (``dedup.words_frame``, ideally localCheckpoint'ed) to share one
+    tokenization pass with sibling gram aggregates in the same slot."""
     from pyspark.sql import functions as F
 
     from ocr_model_spark.operators.dedup import words_frame
@@ -965,46 +969,89 @@ def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text", *, wo
     worded = words if words is not None else words_frame(df, id_col, text_col)
     base = worded.filter(F.col("w").isNotNull() & (F.size("w") > 0))
 
-    words = base.select("id", F.explode("w").alias("g"))
-    wstats = (
-        words.groupBy("id", "g")
-        .count()
-        .groupBy("id")
-        .agg(
-            F.sum("count").alias("n_words"),
-            F.count("*").alias("n_distinct"),
-            F.max("count").alias("top_word_n"),
-        )
-    )
-    # guard: sequence(1, 0) DESCENDS in Spark, so a single-word doc would
-    # index element_at(w, 0) — emit no bigrams instead
-    bigram_arr = F.when(
-        F.size("w") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("w") - 1),
-            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bigrams = base.select("id", F.explode(bigram_arr).alias("g"))
-    bstats = (
-        bigrams.groupBy("id", "g")
-        .count()
-        .groupBy("id")
-        .agg(F.max("count").alias("top_bigram_n"), F.sum("count").alias("n_bigrams"))
-    )
     r = lambda c: F.round(c + 1e-9, 4)  # noqa: E731 — oracle rounding rule
-    return (
-        wstats.join(bstats, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_words",
-            r(F.col("n_distinct") / F.col("n_words")).alias("distinct_word_frac"),
-            r(F.col("top_word_n") / F.col("n_words")).alias("top_word_frac"),
-            r(
-                F.coalesce(F.col("top_bigram_n") / F.col("n_bigrams"), F.lit(0.0))
-            ).alias("top_bigram_frac"),
-        )
+
+    def body(ws: Column) -> Column:
+        n_words = F.size(ws).cast("long")
+        # guard: sequence(1, 0) DESCENDS in Spark, so a single-word doc
+        # would index element_at(w, 0) — emit no bigrams instead
+        bigram_arr = F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def with_stats(wst: Column) -> Column:
+            def with_bigrams(bs: Column) -> Column:
+                def with_bstats(bst: Column) -> Column:
+                    return F.struct(
+                        n_words.alias("n_words"),
+                        r(wst["n_distinct"] / n_words).alias("distinct_word_frac"),
+                        r(wst["top_n"] / n_words).alias("top_word_frac"),
+                        r(
+                            F.coalesce(
+                                bst["top_n"] / F.size(bs).cast("long"),
+                                F.lit(0.0),
+                            )
+                        ).alias("top_bigram_frac"),
+                    )
+
+                return _let(_sorted_run_stats(bs), with_bstats)
+
+            return _let(bigram_arr, with_bigrams)
+
+        return _let(_sorted_run_stats(ws), with_stats)
+
+    return base.select(
+        F.col("id").alias(id_col), F.inline(F.array(_let(F.col("w"), body)))
     )
+
+
+def _sorted_run_stats(arr: Column) -> Column:
+    """struct(top_n, n_distinct) of a string-array column, computed by one
+    sorted run-length fold IN-ROW: ``top_n`` = the highest occurrence
+    count of any distinct value (≡ max of the per-(doc, gram) groupBy
+    counts), ``n_distinct`` = the distinct-value count. Longs, matching
+    the aggregate-path types. The ``""`` sentinel for ``prev`` is safe:
+    normalized words and their space-joined grams are never empty.
+    Empty arrays yield (0, 0)."""
+
+    def body(s: Column) -> Column:
+        folded = F.aggregate(
+            s,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("top_n"),
+                F.lit(0).cast("long").alias("n_distinct"),
+            ),
+            lambda acc, x: _let(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+                lambda run: F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(acc["top_n"], run).alias("top_n"),
+                    (
+                        acc["n_distinct"]
+                        + F.when(x == acc["prev"], F.lit(0).cast("long")).otherwise(
+                            F.lit(1).cast("long")
+                        )
+                    ).alias("n_distinct"),
+                ),
+            ),
+            lambda acc: F.struct(
+                acc["top_n"].alias("top_n"), acc["n_distinct"].alias("n_distinct")
+            ),
+        )
+        return folded
+
+    return _let(F.array_sort(arr), body)
 
 
 def unigram_logprob_quality(

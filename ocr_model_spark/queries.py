@@ -911,7 +911,15 @@ def q_pii_scrub_stats(spark, sf_dir):
     in-plan on both engines (the synthetic corpus carries no real PII, and
     must not), then redacted; the oracle pins match counts and a
     fingerprint of the scrubbed text — verifying the actual redaction."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread: document-sized regex scrubbing on a one-task scan would run
+    # single-threaded (no-op at real scale); every downstream aggregate is
+    # order-insensitive (integer sums + bit_xor fingerprint)
+    d = D._spread(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "text"),
+        "doc_id",
+    )
     made = d.select(
         "source",
         F.concat(
@@ -2461,7 +2469,15 @@ def q_embedding_near_dups(spark, sf_dir):
         F.transform("embedding", lambda x: x + F.lit(0.0005)).alias("embedding"),
     )
     corpus = emb.unionByName(aug)
-    return S.embedding_near_dups(corpus, threshold=0.99).orderBy("id_a", "id_b")
+    # lazy checkpoint before the presentation sort: orderBy's range
+    # sampling re-executes its child, and here the child is the whole
+    # candidate+cosine pipeline — the checkpoint pins the (tiny,
+    # post-threshold) pair set so the sort samples cached rows instead
+    return (
+        S.embedding_near_dups(corpus, threshold=0.99)
+        .localCheckpoint(eager=False)
+        .orderBy("id_a", "id_b")
+    )
 
 
 _SQL_EMBEDDING_NEAR_DUPS = """
@@ -2491,7 +2507,10 @@ _CJK_SAMPLES = [
 
 
 def q_text_profile(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread: the language-marker/script regex battery is the heaviest
+    # pure-projection expression set in the suite, and a single-file scan
+    # runs it on ONE task (no-op at real scale)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     samples = spark.createDataFrame(_CJK_SAMPLES, "doc_id bigint, text string")
     d = d.unionByName(samples)
     t = F.col("text")
@@ -2738,7 +2757,10 @@ def q_corpus_filter_verdict(spark, sf_dir):
     quality scorer, the MinHash-LSH candidate generator, and the broadcast
     decontamination probe."""
     d = _t(spark, sf_dir, "documents")
-    quality = d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+    # spread the quality projection (regex-heavy, one-task scan otherwise)
+    quality = D._spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", X.quality_score(F.col("text")).alias("quality")
+    )
     losers = (
         D.minhash_candidates(d, "doc_id", "text")
         .select(F.col("id_b").alias("doc_id"))
@@ -2849,8 +2871,13 @@ def q_near_dup_verified(spark, sf_dir):
     the full (id, shingle) frame to parquet and feeding BOTH the signature
     and verify stages from it."""
     d = _t(spark, sf_dir, "documents")
-    cands = D.minhash_candidates(d, "doc_id", "text")
-    v = D.jaccard_verify(cands, d, "doc_id", "text")
+    # ONE tokenization pass feeds both the signature path and the shingle
+    # verify path (the repetition_profile words= pattern): the narrow
+    # (id, words) frame is lazily checkpointed so the regex tokenize — the
+    # dominant per-row cost — materializes once for the whole slot
+    w = D.words_frame(d, "doc_id", "text").localCheckpoint(eager=False)
+    cands = D.minhash_candidates(d, "doc_id", "text", words=w)
+    v = D.jaccard_verify(cands, d, "doc_id", "text", words=w)
     return (
         v.withColumn("is_near_dup", F.col("jaccard") >= 0.12)
         .select("id_a", "id_b", "n_common", "jaccard", "is_near_dup")

@@ -193,15 +193,16 @@ def test_pii_scrub_runs_email_regex_once_per_row(spark):
 
 
 def test_repetition_profile_two_keyed_shuffles(spark):
-    """Word and bigram stats each need one (doc, gram) shuffle plus the
-    per-doc combine — partials are map-side combined; no cross join, no
-    Python stage."""
+    """r7: the per-doc word/bigram stats are IN-ROW sorted folds (zero
+    shuffles — only the cross-document duplicate-ngram coverage still
+    aggregates: marks groupBy + per-doc combine, partial+final each); no
+    cross join, no Python stage."""
     from ocr_model_spark.queries import q_repetition_profile
 
     df = q_repetition_profile(spark, "/root/testdata/sf0.001")
     plan = _formatted(df)
     assert "ArrowEvalPython" not in plan and "CartesianProduct" not in plan
-    assert plan.count("HashAggregate") >= 4  # partial+final for both frames
+    assert plan.count("HashAggregate") >= 4  # coverage partial+final pairs
 
 
 def test_bm25_plan_all_broadcast_no_python(spark):
