@@ -44,6 +44,8 @@ _MULRK = 0x00BD
 _BOOLERR = 0x0205
 _FORMULA = 0x0006
 _STRING = 0x0207
+# records [MS-XLS] allows between a string-result FORMULA and its STRING
+_FORMULA_COMPANIONS = frozenset((0x04BC, 0x0221, 0x0236))  # SHRFMLA/ARRAY/TABLE
 _BOUNDSHEET = 0x0085
 _DATEMODE = 0x0022
 _XF = 0x00E0
@@ -313,10 +315,17 @@ def extract_xls_stream(book: bytes) -> dict:
                 break
             if op == _BOF and _off != 0:
                 break  # ran into the next substream without an EOF
-            if pending_string is not None and op == _STRING:
-                cells[pending_string] = _xl_string(payload, 0)
-                pending_string = None
-                continue
+            if pending_string is not None:
+                if op == _STRING:
+                    cells[pending_string] = _xl_string(payload, 0)
+                    pending_string = None
+                    continue
+                if op not in _FORMULA_COMPANIONS:
+                    # spec-conformant files emit STRING immediately after
+                    # FORMULA (or its SHRFMLA/ARRAY/TABLE companion) — a
+                    # stray later STRING must not be mis-assigned to a
+                    # long-stale pending cell (malformed-crawl hazard)
+                    pending_string = None
             if op in (_LABELSST, _NUMBER, _RK, _BOOLERR, _FORMULA, _LABEL):
                 if len(payload) < 6:
                     continue

@@ -1090,35 +1090,42 @@ def connected_components(
     frame with the symmetrized edge list and takes the min over neighbors;
     converges in O(component diameter) rounds — near-dup clusters are
     shallow (dup chains, not paths), so a handful of rounds closes them.
-    Each round ends in ``localCheckpoint`` so the plan stays O(1) deep
-    instead of doubling per iteration, and the convergence check is an
-    aggregate on the checkpointed frame (no recomputation). Deterministic:
-    integer mins only. At 10^12-edge scale (or high-diameter components)
-    use ``connected_components_star`` — identical output contract,
-    O(log n) rounds regardless of diameter."""
+    TWO propagation steps run between checkpoints (r7): each checkpoint +
+    convergence check is a full driver-side action, so fusing a pair of
+    steps halves the job count; the fixpoint is stable under the update
+    rule (applying it at convergence is the identity), so at worst one
+    extra — label-identical — fused round runs, and the returned labels
+    are unchanged. The plan stays O(1) deep via the per-fused-round
+    ``localCheckpoint``; the convergence check is an aggregate on the
+    checkpointed frame (no recomputation). Deterministic: integer mins
+    only. At 10^12-edge scale (or high-diameter components) use
+    ``connected_components_star`` — identical output contract, O(log n)
+    rounds regardless of diameter."""
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+
+    def step(lbl: DataFrame) -> DataFrame:
         nbr = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            sym.join(lbl.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        return lbl.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "label"
+            ),
+        )
+
+    for _ in range((max_iter + 1) // 2):
         stepped = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "label"
-                ),
-                (
-                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
-                ).alias("_changed"),
-            )
+            step(step(labels))
+            .join(labels.withColumnsRenamed({"label": "_prev"}), "id")
+            .select("id", "label", (F.col("label") < F.col("_prev")).alias("_changed"))
             .localCheckpoint(eager=True)
         )
         changed = stepped.filter("_changed").limit(1).count()
@@ -1175,31 +1182,43 @@ def connected_components_star(
         .unionByName(pairs.select(F.col(id_b).alias("id")))
         .distinct()
     )
-    for _ in range(max_iter):
+
+    def ls_ss_round(edges: DataFrame) -> DataFrame:
         # -- large-star over the symmetric neighbor relation
-        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # no .distinct() here (r7): every consumer below is duplicate-
+        # insensitive — mins2 is a combining groupBy and the round's final
+        # .distinct() dedupes the joined rows — so the extra exchange
+        # bought nothing (one full shuffle per round removed)
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # -- small-star over larger→smaller oriented edges
         e2 = ls.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).filter(F.col("u") != F.col("v"))
         mins2 = e2.groupBy("u").agg(F.min("v").alias("m"))
-        ss = (
+        return (
             e2.join(mins2, "u")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins2.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+
+    # one alternation round per checkpoint: fusing two rounds was tried
+    # (r7) and measured SLOWER — the doubled in-job DAG (≈12 chained
+    # exchanges) costs more in AQE stage materialization than the saved
+    # checkpoint/convergence actions, unlike the cheap min-label step
+    for _ in range(max_iter):
+        ss = ls_ss_round(e).localCheckpoint(eager=True)
         changed = (
             ss.unionByName(e)
             .groupBy("u", "v")

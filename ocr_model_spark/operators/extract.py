@@ -119,8 +119,9 @@ def extract_pages(pages: DataFrame) -> DataFrame:
             F.spark_partition_id().alias("partition_id"),
         ),
     )
-    # 'doc' = CFB with a WordDocument stream (sniff-refined); bare 'ole'
-    # (xls/ppt/junk) stays on the cold path — same typed failure as r5
+    # 'doc'/'xls'/'ppt' = CFB refined by stream markers (sniff) — all three
+    # extract hot; bare 'ole' now means CFB *without* a doc/xls/ppt stream
+    # marker (.msg, unknown junk) and stays on the cold typed-failure path
     extractable = F.col("doc_type_sniffed").isin(
         "pdf", "html", "text", "docx", "doc", "xls", "ppt"
     )

@@ -27,6 +27,7 @@ from ocr_model_spark.kernels.xls_extract import (
     _FILEPASS,
     _FORMULA,
     _MULRK,
+    _NUMBER,
     _STRING,
     _rec,
     _wstr,
@@ -142,6 +143,29 @@ def test_xls_formula_cached_results_and_mulrk():
     assert out["ok"], out["error"]
     texts = [r["text"] for r in out["regions"]]
     assert texts == ["S", "12.5 | net total | TRUE | #DIV/0!", "7 | 8 | 9"]
+
+
+def test_xls_stray_string_not_misassigned_to_stale_pending_formula():
+    """Malformed stream: a string-result FORMULA whose STRING never comes,
+    then unrelated cell records, then a stray late STRING. The stale
+    pending cell must NOT swallow the stray value — spec-conformant files
+    emit STRING immediately after FORMULA (or a SHRFMLA/ARRAY/TABLE
+    companion), so any intervening cell record clears the pending slot."""
+    cells = bytearray()
+    # string-result FORMULA at (0,0) — its STRING is missing
+    cells += _rec(
+        _FORMULA,
+        struct.pack("<HHH", 0, 0, 15) + b"\x00\x00\x00\x00\x00\x00\xff\xff",
+    )
+    # unrelated NUMBER at (0,1) — clears the pending slot
+    cells += _rec(_NUMBER, struct.pack("<HHH", 0, 1, 15) + struct.pack("<d", 3.0))
+    # stray STRING: must be ignored, not assigned to (0,0)
+    cells += _rec(_STRING, _wstr("stray"))
+    out = extract_xls_stream(_hand_built_sheet(bytes(cells)))
+    assert out["ok"], out["error"]
+    texts = [r["text"] for r in out["regions"]]
+    assert texts == ["S", "3"]
+    assert all("stray" not in t for t in texts)
 
 
 def test_xls_encrypted_fails_typed():
