@@ -433,7 +433,8 @@ def paragraph_dedup(
     spread = _spread(
         df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("t")
-        )
+        ),
+        "id",
     )
     norm = lambda p: F.trim(F.regexp_replace(F.lower(p), r"\s+", " "))  # noqa: E731
     paras = spread.select(
@@ -504,7 +505,7 @@ def boilerplate_line_removal(
         F.col(group_col).alias("grp"),
         F.col(text_col).alias("t"),
     )
-    spread = _spread(docs)
+    spread = _spread(docs, "id")
     norms = spread.select(
         "id",
         "grp",

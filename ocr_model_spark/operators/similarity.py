@@ -131,7 +131,10 @@ def lsh_keyed(
         ),
     )
     return (
-        _spread(df.select(F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out)))
+        _spread(
+            df.select(F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out)),
+            id_out,
+        )
         .crossJoin(planes)  # one broadcast row: duplicates nothing
         .select(id_out, vec_out, F.explode(keys).alias("bucket"))
     )
@@ -455,6 +458,11 @@ def semantic_dedup(
     assigned = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        # per-vector norm computed ONCE here (r7): cosine per within-cell
+        # PAIR recomputed both norms — an O(pairs × dim) interpreted-HOF
+        # tax for per-id values; dot/(na*nb) multiplies the same doubles,
+        # bit-identical to cosine()
+        norm(F.col(vec_col)).alias("n"),
         F.element_at(
             F.array_sort(_cell_score_array(F.col(vec_col), cent_arrays), _desc_sim), 1
         )["cell"].alias("cell"),
@@ -464,7 +472,11 @@ def semantic_dedup(
     dropped = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")))
         .filter(
-            F.round(cosine(F.col("a.v"), F.col("b.v")), round_to) >= threshold
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
+                round_to,
+            )
+            >= threshold
         )
         .select(F.col("a.id").alias("id"))
         .distinct()

@@ -1069,7 +1069,11 @@ def q_dedup_keep_best(spark, sf_dir):
     tiebreak); docs that never paired keep themselves as singletons. The
     decision step real pipelines run after clustering — measuring
     clusters without choosing survivors isn't dedup."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     pairs = D.minhash_candidates(d, "doc_id", "text").localCheckpoint(eager=True)
     clusters = D.connected_components_star(pairs)
     scored = d.select(
@@ -1122,7 +1126,11 @@ def q_token_budget_sample(spark, sf_dir):
     budget 1500): the corpus-mixing step — each language gets a token
     quota filled in deterministic (md5-priority, id) order; the boundary
     doc is kept, so quotas overshoot by at most one doc."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     return X.token_budget_sample(d, 1500).orderBy("doc_id")
 
 
@@ -1226,7 +1234,11 @@ def q_c4_line_stats(spark, sf_dir):
     variant, and a per-doc_id lorem-ipsum/good-sentence variant — so every
     rule branch (kept, dropped-short, dropped-no-punct, js flag, brace
     flag, lorem flag, page keep) fires on a deterministic slice."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     base = F.substring(F.regexp_replace("text", r"\s+", " "), 1, 60)
     line4 = F.when(F.col("doc_id") % 5 == 0, F.lit("code { x }")).otherwise(
         F.lit("Short line.")
@@ -1295,7 +1307,11 @@ def q_gopher_quality(spark, sf_dir):
     hash-symbol line trips the 0.1 symbol-ratio ceiling, and a %11
     all-bullet override fails word-count + stopword + bullet rules at
     once — so every rule branch and the keep bit fire both ways."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     base = F.substring(F.regexp_replace("text", r"\s+", " "), 1, 80)
     body = F.concat(
         F.repeat(F.concat(base, F.lit(" ")), 8),
@@ -1390,7 +1406,11 @@ def q_paragraph_dedup(spark, sf_dir):
     boilerplate paragraph shared across the doc_id%5 class, the doc's own
     text prefix, and a per-doc unique paragraph — so shared fractions are
     non-trivial and deterministic."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     t = F.concat_ws(
         "\n",
         F.concat(
@@ -1437,7 +1457,11 @@ def q_winnow_fingerprints(spark, sf_dir):
     window-min gram hashes, their count, and the selection density.
     Expression-only on both engines; the winnow operators let-bind their
     array inputs (dedup._let) so the chain stays O(n) under any plan."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     wdf = d.select("doc_id", D.normalized_words(F.col("text")).alias("w"))
     hdf = wdf.select("doc_id", D.gram_hashes(F.col("w"), 3).alias("h"))
 
@@ -1533,7 +1557,11 @@ def q_gopher_repetition(spark, sf_dir):
     doc_id%3 duplicated paragraph, and a doc_id%4 'buy now'×6 slice that
     trips the top-2/3/4-gram and dup-5..10-gram mass fractions — so every
     signal and the keep bit fire both ways."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     line1 = F.concat(
         F.substring(F.regexp_replace("text", r"\s+", " "), 1, 40), F.lit(" tail.")
     )
@@ -1705,7 +1733,11 @@ def q_fineweb_quality(spark, sf_dir):
     doc_id%3 duplicated first line flips the duplicate-char fraction, and
     a no-period closing line varies the terminal-punctuation ratio — every
     rule and the keep bit fire both ways."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     l1 = F.concat(
         F.substring(F.regexp_replace("text", r"\s+", " "), 1, 50),
         F.lit(" and more."),
@@ -1789,7 +1821,11 @@ def q_quality_classifier(spark, sf_dir):
             6,
         ).alias("weight"),
     )
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     return X.hashed_linear_score(d, w, n_buckets=n_buckets).orderBy("doc_id")
 
 
@@ -1831,7 +1867,11 @@ def q_boilerplate_removal(spark, sf_dir):
     a doc_id%3 promo line (~1/3 of each source — below the 0.5 floor,
     kept), the doc's own body prefix, and a doc_id%2 newsletter/end line
     (~1/2 each — exercises the threshold boundary both ways)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     t = F.concat_ws(
         "\n",
         F.lit("© Example Site — all rights reserved"),
@@ -1894,7 +1934,11 @@ def q_dup_span_removal(spark, sf_dir):
     dropped, plus per-doc removal counts. n=3 keeps the suite corpus's
     naturally-shared template phrases in play (the synth documents carry
     real boilerplate overlap) without an in-plan construction."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     return D.remove_duplicate_spans(d, "doc_id", "text", 3).orderBy("doc_id")
 
 
@@ -1941,7 +1985,11 @@ def q_dsir_importance(spark, sf_dir):
     distribution defined in-plan on both engines as the doc_id % 10 == 0
     slice — documents whose hashed-bigram profile matches that slice score
     high, dissimilar ones negative."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread (gated, keyed): these slots run regex/fold-heavy projections
+    # that would otherwise execute on the single-file scan's ONE task
+    d = D._spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     target = d.filter(F.col("doc_id") % 10 == 0)
     return X.dsir_importance(d, target, "doc_id", "text").orderBy("doc_id")
 
