@@ -379,16 +379,28 @@ def embedding_near_dups(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    # repartition the RAW pair list on the pair key, then dedup with
+    # dropDuplicates: the aggregate's required hashpartitioning(id_a, id_b)
+    # is already satisfied by the repartition, so dedup + spread cost ONE
+    # shuffle (a .distinct() followed by .repartition on the same key paid
+    # two full shuffles of the same frame). The spread matters because pair
+    # generation explodes a hot bucket's quadratic pair list inside ONE
+    # task — the per-pair dot products are the dominant compute of this
+    # operator and must spread over the pool; partition count follows
+    # spark.sql.shuffle.partitions (scale-adaptive)
     pairs = (
         buckets.select(F.explode(_all_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
+        .repartition(F.col("id_a"), F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    # candidate-id prune derived from the BUCKETS frame, not the pair list:
+    # the sets are identical (every id in a size>1 bucket pairs with another
+    # member of that bucket, and every pair member comes from such a bucket),
+    # but this reads the small (bucket, ids) aggregate once instead of
+    # carrying the quadratic pair-generation subtree through both union
+    # branches
+    ids = buckets.select(F.explode("ids").alias("id")).distinct()
     # per-vector norms are computed ONCE here and carried as columns —
     # cosine(a, b) = dot/(norm*norm) recomputed both norms per PAIR, an
     # O(pairs × dim) interpreted-HOF tax for values that are pure per-id
@@ -405,15 +417,8 @@ def embedding_near_dups(
     vb = vecs.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
-    # repartition the pair list on the pair key before attaching vectors:
-    # pair generation explodes a hot bucket's quadratic pair list inside
-    # ONE task (and AQE coalesces the tiny post-distinct frame to one
-    # partition locally) — the per-pair dot products are the dominant
-    # compute of this operator and must spread over the pool; partition
-    # count follows spark.sql.shuffle.partitions (scale-adaptive)
-    spread_pairs = pairs.repartition(F.col("id_a"), F.col("id_b"))
     return (
-        spread_pairs.join(va, "id_a")
+        pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
