@@ -320,10 +320,18 @@ def _collect(node: _Node, under_link: bool, out: list) -> None:
             _collect(ch, under_link or ch.tag == "a", out)
 
 
-def _stats(node: _Node) -> tuple[str, int, int, int]:
-    """Return (normalized_text, total_chars, link_chars, elem_count)."""
+def _stats(node: _Node) -> tuple[str, int, int]:
+    """Return (normalized_text, total_chars, link_chars)."""
     frags: list = []
     _collect(node, node.tag == "a", frags)
+    if len(frags) == 1:
+        # dominant case (leaf blocks): one fragment means the region text IS
+        # the normalized fragment, so total == len(text) and the per-fragment
+        # split below would redo the same work — fast path, same values
+        f, is_link = frags[0]
+        text = _norm(f)
+        n = len(text)
+        return text, n, n if is_link else 0
     # region text: normalize the full concatenation (single canonical spacing)
     text = _norm("".join(f for f, _ in frags))
     # densities: per-fragment normalized lengths so they are insensitive to
@@ -337,8 +345,7 @@ def _stats(node: _Node) -> tuple[str, int, int, int]:
         total += n
         if is_link:
             link += n
-    elems = _count_elems(node)
-    return text, total, link, elems
+    return text, total, link
 
 
 def _count_elems(node: _Node) -> int:
@@ -371,14 +378,16 @@ def _confidence(text_len: int, link_density: float) -> float:
 
 
 def _evaluate(node: _Node, rtype: str) -> dict | None:
-    text, total, link, elems = _stats(node)
+    text, total, link = _stats(node)
     n = len(text)
     if n < _MIN_CHARS[rtype]:
         return None
     link_density = round(link / total, 6) if total else 0.0
     if link_density > _MAX_LINK_DENSITY[rtype]:
         return None
-    text_density = round(total / (1.0 + elems), 6)
+    # elems only feeds text_density on ACCEPTED regions — counting it after
+    # the gates skips a full subtree walk for every rejected candidate
+    text_density = round(total / (1.0 + _count_elems(node)), 6)
     conf = _confidence(n, link_density)
     return {
         "type": rtype,
