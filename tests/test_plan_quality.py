@@ -269,6 +269,31 @@ def test_semantic_dedup_plan_cell_equijoin_no_crossjoin(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_embedding_near_dups_pair_dedup_rides_spread_shuffle(spark):
+    """The candidate-pair dedup must reuse the spread repartition's
+    partitioning (r7): every exchange keyed on BOTH pair columns is the
+    user REPARTITION_BY_COL — a second ENSURE_REQUIREMENTS exchange on
+    (id_a, id_b) would mean dropDuplicates stopped riding the repartition
+    and the pair frame is shuffled twice on the same key."""
+    import re
+
+    from ocr_model_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (i + F.col("id")).cast("double"),
+        ).alias("embedding"),
+    )
+    plan = _plan(embedding_near_dups(emb, threshold=0.99, n_planes=2, dim=8, n_tables=2))
+    origins = re.findall(
+        r"Exchange hashpartitioning\(id_a#\d+L, id_b#\d+L, \d+\), (\w+)", plan
+    )
+    assert origins, f"expected a pair-key exchange in the plan:\n{plan}"
+    assert all(o == "REPARTITION_BY_COL" for o in origins), origins
+
+
 def test_winnow_let_binding_survives_optimizer(spark):
     """The collapse-proof let-binding (dedup._let) must survive into the
     OPTIMIZED plan: the winnow selection reads its gram-hash array through
